@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Benchmark: Cornell box path tracing throughput on the attached accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (pbrt-v4) publishes no numbers (BASELINE.md); the
+north-star target is >10x a 64-core CPU's wavefront paths/sec. We use a
+nominal 1.0 Mpaths/sec for that CPU baseline (typical pbrt-v4 CPU throughput
+on cornell-box-class scenes at depth 5) until a measured baseline lands, so
+vs_baseline = value / 1.0e6.
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    from pbrt_tpu import scenes
+    from pbrt_tpu import samplers as smp
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+
+    width = height = 400
+    spp = 64
+    scene, cam = scenes.make_cornell_box(width=width, height=height)
+    sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(width, height))
+    opts = PathOptions(max_depth=5)
+
+    # warmup (compile) with the IDENTICAL static config as the timed run
+    rdr.render(scene, cam, sampler=sampler, opts=opts, max_waves=1)
+    # timed run
+    img, stats = rdr.render(scene, cam, spp=spp, sampler=sampler, opts=opts)
+    value = stats["paths_per_sec"]
+    baseline = 1.0e6
+    print(json.dumps({"metric": "wavefront_paths_per_sec", "value": value,
+                      "unit": "paths/s", "vs_baseline": value / baseline}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

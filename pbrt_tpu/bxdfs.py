@@ -1,0 +1,382 @@
+"""BxDFs in the local shading frame (reference bxdfs.{h,cpp},
+util/scattering.{h,cpp}; closed world base/bxdf.h:154).
+
+Conventions follow the reference: wo/wi in shading space with n = (0,0,1),
+both pointing away from the surface; f includes no cosine; pdfs are solid
+angle. All functions are batched over leading axes; spectral values (..., 4).
+
+Dispatch: instead of TaggedPointer::Dispatch we evaluate the closed set of
+BxDF lobes and select by tag (evaluate-all-and-select vectorizes cleanly on
+the VPU; per-tag compaction is a later optimization mirroring the
+reference's per-material wavefront queues).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .utils import vecmath as vm
+from .utils.math import sqr, safe_sqrt, safe_div, PI, INV_PI, lerp
+from .utils import sampling as sp
+
+BXDF_NONE = -1
+BXDF_DIFFUSE = 0
+BXDF_CONDUCTOR = 1
+BXDF_DIELECTRIC = 2
+BXDF_THIN_DIELECTRIC = 3
+BXDF_DIFFUSE_TRANSMISSION = 4
+
+# flags (reference base/bxdf.h BxDFFlags)
+FLAG_REFLECTION = 1
+FLAG_TRANSMISSION = 2
+FLAG_DIFFUSE = 4
+FLAG_GLOSSY = 8
+FLAG_SPECULAR = 16
+
+
+@struct.dataclass
+class BSDFParams:
+    """Per-lane BSDF parameters after texture evaluation."""
+    tag: jnp.ndarray          # (N,) int32
+    albedo: jnp.ndarray       # (N, 4) reflectance spectrum samples
+    alpha_x: jnp.ndarray      # (N,)
+    alpha_y: jnp.ndarray      # (N,)
+    eta: jnp.ndarray          # (N, 4) real IOR (dielectric: scalar-per-lambda)
+    k: jnp.ndarray            # (N, 4) absorption (conductor)
+
+
+# ---------------------------------------------------------------------------
+# Fresnel (reference util/scattering.h FrDielectric / FrComplex)
+
+def fr_dielectric(cos_theta_i, eta):
+    """Unpolarized Fresnel reflectance, real eta. cos_theta_i may be negative
+    (ray inside medium) — eta is flipped accordingly."""
+    cos_theta_i = jnp.clip(cos_theta_i, -1.0, 1.0)
+    flip = cos_theta_i < 0
+    eta = jnp.where(flip, 1.0 / eta, eta)
+    cos_theta_i = jnp.abs(cos_theta_i)
+    sin2_i = 1.0 - sqr(cos_theta_i)
+    sin2_t = sin2_i / sqr(eta)
+    cos_theta_t = safe_sqrt(1.0 - sin2_t)
+    r_parl = safe_div(eta * cos_theta_i - cos_theta_t,
+                      eta * cos_theta_i + cos_theta_t)
+    r_perp = safe_div(cos_theta_i - eta * cos_theta_t,
+                      cos_theta_i + eta * cos_theta_t)
+    F = 0.5 * (sqr(r_parl) + sqr(r_perp))
+    return jnp.where(sin2_t >= 1.0, 1.0, F)
+
+
+def fr_complex(cos_theta_i, eta, k):
+    """Fresnel for complex IOR eta - i k (conductors), computed with explicit
+    complex arithmetic in real pairs (reference FrComplex)."""
+    cos_theta_i = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)
+    cos2 = sqr(cos_theta_i)
+    sin2 = 1.0 - cos2
+    # eta_c^2 = (eta^2 - k^2) + i(2 eta k)
+    e2r = sqr(eta) - sqr(k)
+    e2i = 2.0 * eta * k
+    # sin2_t = sin2 / eta_c^2 ; cos2_t = 1 - sin2_t ; need sqrt(cos2_t)*eta_c
+    # work with w = sqrt(eta_c^2 - sin2) (complex sqrt)
+    wr = e2r - sin2
+    wi = e2i
+    mag = jnp.sqrt(jnp.maximum(sqr(wr) + sqr(wi), 1e-30))
+    sr = jnp.sqrt(jnp.maximum((mag + wr) / 2.0, 0.0))
+    si = jnp.sign(wi) * jnp.sqrt(jnp.maximum((mag - wr) / 2.0, 0.0))
+    # r_perp = (cos - w) / (cos + w)
+    def cdiv(ar, ai, br, bi):
+        den = jnp.maximum(sqr(br) + sqr(bi), 1e-30)
+        return ((ar * br + ai * bi) / den, (ai * br - ar * bi) / den)
+    rp_r, rp_i = cdiv(cos_theta_i - sr, -si, cos_theta_i + sr, si)
+    r_perp = sqr(rp_r) + sqr(rp_i)
+    # r_parl = (eta_c^2 cos - w) / (eta_c^2 cos + w)
+    ar, ai = e2r * cos_theta_i - sr, e2i * cos_theta_i - si
+    br, bi = e2r * cos_theta_i + sr, e2i * cos_theta_i + si
+    rl_r, rl_i = cdiv(ar, ai, br, bi)
+    r_parl = sqr(rl_r) + sqr(rl_i)
+    return 0.5 * (r_perp + r_parl)
+
+
+# ---------------------------------------------------------------------------
+# Trowbridge-Reitz / GGX (reference util/scattering.h:109)
+
+def tr_d(wm, ax, ay):
+    tan2 = vm.tan2_theta(wm)
+    cos4 = sqr(vm.cos2_theta(wm))
+    e = (sqr(vm.cos_phi(wm) / ax) + sqr(vm.sin_phi(wm) / ay)) * tan2
+    d = safe_div(1.0, PI * ax * ay * cos4 * sqr(1.0 + e))
+    return jnp.where(jnp.isfinite(tan2), d, 0.0)
+
+
+def tr_lambda(w, ax, ay):
+    tan2 = vm.tan2_theta(w)
+    alpha2 = sqr(vm.cos_phi(w) * ax) + sqr(vm.sin_phi(w) * ay)
+    lam = (safe_sqrt(1.0 + alpha2 * tan2) - 1.0) / 2.0
+    return jnp.where(jnp.isfinite(tan2), lam, 0.0)
+
+
+def tr_g1(w, ax, ay):
+    return 1.0 / (1.0 + tr_lambda(w, ax, ay))
+
+
+def tr_g(wo, wi, ax, ay):
+    return 1.0 / (1.0 + tr_lambda(wo, ax, ay) + tr_lambda(wi, ax, ay))
+
+
+def tr_d_visible(w, wm, ax, ay):
+    """Visible-normal distribution PDF of wm given w."""
+    return safe_div(tr_g1(w, ax, ay) * vm.absdot(w, wm) * tr_d(wm, ax, ay),
+                    vm.abs_cos_theta(w))
+
+
+def tr_sample_wm(w, u, ax, ay):
+    """Sample visible normals (reference TrowbridgeReitz Sample_wm; Heitz 2018)."""
+    wh = vm.normalize(jnp.stack([ax * w[..., 0], ay * w[..., 1], w[..., 2]], -1))
+    wh = jnp.where((wh[..., 2] < 0)[..., None], -wh, wh)
+    t1 = jnp.where((wh[..., 2] < 0.999)[..., None],
+                   vm.normalize(vm.cross(jnp.broadcast_to(
+                       jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wh.shape), wh)),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], jnp.float32), wh.shape))
+    t2 = vm.cross(wh, t1)
+    p = sp.sample_uniform_disk_concentric(u)
+    h = safe_sqrt(1.0 - sqr(p[..., 0]))
+    py = lerp((1.0 + wh[..., 2]) / 2.0, h, p[..., 1])
+    pz = safe_sqrt(1.0 - sqr(p[..., 0]) - sqr(py))
+    nh = p[..., 0][..., None] * t1 + py[..., None] * t2 + pz[..., None] * wh
+    wm = jnp.stack([ax * nh[..., 0], ay * nh[..., 1],
+                    jnp.maximum(nh[..., 2], 1e-6)], -1)
+    return vm.normalize(wm)
+
+
+def tr_pdf(w, wm, ax, ay):
+    return tr_d_visible(w, wm, ax, ay) / (4.0 * jnp.maximum(vm.absdot(w, wm), 1e-8)) * \
+        4.0 * vm.absdot(w, wm) / (4.0 * jnp.maximum(vm.absdot(w, wm), 1e-8))
+
+
+def tr_effectively_smooth(ax, ay):
+    return jnp.maximum(ax, ay) < 1e-3
+
+
+def roughness_to_alpha(roughness):
+    """(reference scattering.h RoughnessToAlpha: sqrt)"""
+    return jnp.sqrt(jnp.maximum(roughness, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Lobe evaluations; each returns (f (N,4), pdf (N,)) given local wo, wi
+
+def _diffuse_f_pdf(p: BSDFParams, wo, wi):
+    same = vm.same_hemisphere(wo, wi)
+    f = jnp.where(same[..., None], p.albedo * INV_PI, 0.0)
+    pdf = jnp.where(same, sp.cosine_hemisphere_pdf(vm.abs_cos_theta(wi)), 0.0)
+    return f, pdf
+
+
+def _diffuse_transmission_f_pdf(p: BSDFParams, wo, wi):
+    same = vm.same_hemisphere(wo, wi)
+    # albedo = reflectance; use k slot as transmittance color
+    f = jnp.where(same[..., None], p.albedo * INV_PI, p.k * INV_PI)
+    pr = jnp.max(p.albedo, axis=-1)
+    pt = jnp.max(p.k, axis=-1)
+    tot = jnp.maximum(pr + pt, 1e-9)
+    pdf = jnp.where(same, pr / tot, pt / tot) * \
+        sp.cosine_hemisphere_pdf(vm.abs_cos_theta(wi))
+    return f, pdf
+
+
+def _conductor_f_pdf(p: BSDFParams, wo, wi):
+    """Rough conductor; smooth case handled in sampling as specular."""
+    same = vm.same_hemisphere(wo, wi)
+    cos_o = vm.abs_cos_theta(wo)
+    cos_i = vm.abs_cos_theta(wi)
+    wm = wo + wi
+    wm_ok = vm.length_squared(wm) > 1e-12
+    wm = vm.normalize(wm)
+    F = fr_complex(vm.absdot(wo, wm)[..., None], p.eta, p.k)
+    d = tr_d(wm, p.alpha_x, p.alpha_y)
+    g = tr_g(wo, wi, p.alpha_x, p.alpha_y)
+    f = safe_div(d * g, 4.0 * cos_o * cos_i)[..., None] * F
+    pdf = tr_d_visible(wo, wm, p.alpha_x, p.alpha_y) / \
+        (4.0 * jnp.maximum(vm.absdot(wo, wm), 1e-8))
+    smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
+    valid = same & wm_ok & ~smooth & (cos_o > 0) & (cos_i > 0)
+    return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
+
+
+def _dielectric_f_pdf(p: BSDFParams, wo, wi):
+    """Rough dielectric reflection+transmission (reference DielectricBxDF::f)."""
+    eta_s = p.eta[..., 0]  # non-dispersive path for eval (hero wavelength)
+    cos_o = vm.cos_theta(wo)
+    cos_i = vm.cos_theta(wi)
+    reflectv = cos_i * cos_o > 0
+    etap = jnp.where(reflectv, 1.0, jnp.where(cos_o > 0, eta_s, 1.0 / eta_s))
+    wm = wi * etap[..., None] + wo
+    wm_ok = vm.length_squared(wm) > 1e-12
+    wm = vm.normalize(wm)
+    wm = jnp.where((vm.cos_theta(wm) < 0)[..., None], -wm, wm)
+    # discard backfacing microfacets
+    backface = (vm.dot(wm, wi) * cos_i < 0) | (vm.dot(wm, wo) * cos_o < 0)
+    F = fr_dielectric(vm.dot(wo, wm), eta_s)
+    d = tr_d(wm, p.alpha_x, p.alpha_y)
+    g = tr_g(wo, wi, p.alpha_x, p.alpha_y)
+    # reflection
+    f_r = safe_div(d * g * F, jnp.abs(4.0 * cos_o * cos_i))
+    # transmission
+    denom = sqr(vm.dot(wi, wm) + vm.dot(wo, wm) / etap)
+    f_t = safe_div(d * (1.0 - F) * g *
+                   jnp.abs(vm.dot(wi, wm) * vm.dot(wo, wm)),
+                   jnp.abs(cos_i * cos_o) * denom) / sqr(etap)
+    f_scalar = jnp.where(reflectv, f_r, f_t)
+    # pdf with MIS-weighted lobe choice R/(R+T)
+    pdf_wm = tr_d_visible(wo, wm, p.alpha_x, p.alpha_y)
+    pr, pt = F, 1.0 - F
+    dwm_dwi_r = 1.0 / (4.0 * jnp.maximum(vm.absdot(wo, wm), 1e-8))
+    dwm_dwi_t = safe_div(jnp.abs(vm.dot(wi, wm)), denom)
+    pdf = jnp.where(reflectv,
+                    pdf_wm * dwm_dwi_r * safe_div(pr, pr + pt),
+                    pdf_wm * dwm_dwi_t * safe_div(pt, pr + pt))
+    smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
+    valid = wm_ok & ~smooth & ~backface & (cos_o != 0) & (cos_i != 0)
+    f = jnp.where(valid[..., None], f_scalar[..., None] * jnp.ones_like(p.albedo), 0.0)
+    return f, jnp.where(valid, pdf, 0.0)
+
+
+def bsdf_f(p: BSDFParams, wo, wi):
+    """f(wo, wi) for non-specular lobes, dispatched on tag. (N, 4)."""
+    f_d, pdf_d = _diffuse_f_pdf(p, wo, wi)
+    f_c, pdf_c = _conductor_f_pdf(p, wo, wi)
+    f_g, pdf_g = _dielectric_f_pdf(p, wo, wi)
+    f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
+    tag = p.tag[..., None]
+    f = jnp.where(tag == BXDF_DIFFUSE, f_d,
+        jnp.where(tag == BXDF_CONDUCTOR, f_c,
+        jnp.where(tag == BXDF_DIELECTRIC, f_g,
+        jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, f_dt, 0.0))))
+    return f
+
+
+def bsdf_pdf(p: BSDFParams, wo, wi):
+    _, pdf_d = _diffuse_f_pdf(p, wo, wi)
+    _, pdf_c = _conductor_f_pdf(p, wo, wi)
+    _, pdf_g = _dielectric_f_pdf(p, wo, wi)
+    _, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
+    return jnp.where(p.tag == BXDF_DIFFUSE, pdf_d,
+           jnp.where(p.tag == BXDF_CONDUCTOR, pdf_c,
+           jnp.where(p.tag == BXDF_DIELECTRIC, pdf_g,
+           jnp.where(p.tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt, 0.0))))
+
+
+def bsdf_sample(p: BSDFParams, wo, uc, u2):
+    """Sample wi ~ the BSDF. Returns dict(wi, f, pdf, specular, transmission,
+    eta_scale) — eta_scale is eta^2 relative IOR scaling for RR (reference
+    PathIntegrator etaScale, integrators.cpp:749)."""
+    N = wo.shape[0] if wo.ndim > 1 else ()
+    smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
+
+    # --- diffuse ---
+    wi_d = sp.sample_cosine_hemisphere(u2)
+    wi_d = jnp.where((wo[..., 2] < 0)[..., None],
+                     jnp.concatenate([wi_d[..., :2], -wi_d[..., 2:]], -1), wi_d)
+    f_d, pdf_d = _diffuse_f_pdf(p, wo, wi_d)
+
+    # --- diffuse transmission ---
+    pr_dt = jnp.max(p.albedo, axis=-1)
+    pt_dt = jnp.max(p.k, axis=-1)
+    tot_dt = jnp.maximum(pr_dt + pt_dt, 1e-9)
+    choose_t = uc < pt_dt / tot_dt
+    wi_dt = jnp.where((choose_t ^ (wo[..., 2] < 0))[..., None],
+                      jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
+                      jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
+    f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi_dt)
+
+    # --- conductor ---
+    # smooth: perfect mirror
+    wi_cs = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    F_cs = fr_complex(vm.abs_cos_theta(wo)[..., None], p.eta, p.k)
+    f_cs = safe_div(F_cs, vm.abs_cos_theta(wi_cs)[..., None])
+    # rough: sample VNDF
+    wm_c = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+    wi_cr = vm.reflect(wo, wm_c)
+    f_cr, pdf_cr = _conductor_f_pdf(p, wo, wi_cr)
+    wi_c = jnp.where(smooth[..., None], wi_cs, wi_cr)
+    f_c = jnp.where(smooth[..., None], f_cs, f_cr)
+    pdf_c = jnp.where(smooth, 1.0, pdf_cr)
+
+    # --- dielectric ---
+    eta_s = p.eta[..., 0]
+    # smooth case
+    F_ds = fr_dielectric(vm.cos_theta(wo), eta_s)
+    refl_ds = uc < F_ds
+    wi_ds_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+    ok_t, wi_ds_t, etap_s = vm.refract(wo, jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape), eta_s)
+    wi_ds = jnp.where(refl_ds[..., None], wi_ds_r, wi_ds_t)
+    f_ds_r = safe_div(F_ds, vm.abs_cos_theta(wi_ds_r))
+    f_ds_t = safe_div((1.0 - F_ds) / sqr(etap_s), vm.abs_cos_theta(wi_ds_t))
+    f_ds = jnp.where(refl_ds, f_ds_r, jnp.where(ok_t, f_ds_t, 0.0))
+    pdf_ds = jnp.where(refl_ds, F_ds, jnp.where(ok_t, 1.0 - F_ds, 1.0))
+    # rough case
+    wm_g = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+    F_dr = fr_dielectric(vm.dot(wo, wm_g), eta_s)
+    refl_dr = uc < F_dr
+    wi_dr_r = vm.reflect(wo, wm_g)
+    ok_rt, wi_dr_t, _ = vm.refract(wo, wm_g, eta_s)
+    wi_dr = jnp.where(refl_dr[..., None], wi_dr_r, wi_dr_t)
+    f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr)
+    wi_g = jnp.where(smooth[..., None], wi_ds, wi_dr)
+    f_g_scalar = jnp.where(smooth, f_ds, 0.0)
+    pdf_g = jnp.where(smooth, pdf_ds, pdf_dr)
+    f_g = jnp.where(smooth[..., None], f_ds[..., None] * jnp.ones_like(p.albedo), f_dr)
+    trans_g = jnp.where(smooth, refl_ds == False, refl_dr == False)  # noqa: E712
+    eta_scale_g = jnp.where(trans_g, sqr(jnp.where(vm.cos_theta(wo) > 0,
+                                                   eta_s, 1.0 / eta_s)), 1.0)
+
+    # --- thin dielectric (reference ThinDielectricBxDF, bxdfs.h:209) ---
+    R0 = fr_dielectric(vm.abs_cos_theta(wo), eta_s)
+    R_th = jnp.where(R0 < 1.0, R0 + sqr(1.0 - R0) * R0 / (1.0 - sqr(R0)), 1.0)
+    T_th = 1.0 - R_th
+    refl_th = uc < R_th
+    wi_th = jnp.where(refl_th[..., None],
+                      jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1), -wo)
+    f_th = jnp.where(refl_th, safe_div(R_th, vm.abs_cos_theta(wo)),
+                     safe_div(T_th, vm.abs_cos_theta(wo)))
+    pdf_th = jnp.where(refl_th, R_th, T_th)
+
+    # --- select by tag ---
+    tag = p.tag
+    tag3 = tag[..., None]
+    wi = jnp.where(tag3 == BXDF_DIFFUSE, wi_d,
+         jnp.where(tag3 == BXDF_CONDUCTOR, wi_c,
+         jnp.where(tag3 == BXDF_DIELECTRIC, wi_g,
+         jnp.where(tag3 == BXDF_THIN_DIELECTRIC, wi_th,
+         jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, wi_dt, wi_d)))))
+    f = jnp.where(tag3 == BXDF_DIFFUSE, f_d,
+        jnp.where(tag3 == BXDF_CONDUCTOR, f_c,
+        jnp.where(tag3 == BXDF_DIELECTRIC, f_g,
+        jnp.where(tag3 == BXDF_THIN_DIELECTRIC,
+                  f_th[..., None] * jnp.ones_like(p.albedo),
+        jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, f_dt, 0.0)))))
+    pdf = jnp.where(tag == BXDF_DIFFUSE, pdf_d,
+          jnp.where(tag == BXDF_CONDUCTOR, pdf_c,
+          jnp.where(tag == BXDF_DIELECTRIC, pdf_g,
+          jnp.where(tag == BXDF_THIN_DIELECTRIC, pdf_th,
+          jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt, 0.0)))))
+    specular = jnp.where(tag == BXDF_CONDUCTOR, smooth,
+               jnp.where(tag == BXDF_DIELECTRIC, smooth,
+               jnp.where(tag == BXDF_THIN_DIELECTRIC, True, False)))
+    transmission = jnp.where(tag == BXDF_DIELECTRIC, trans_g,
+                   jnp.where(tag == BXDF_THIN_DIELECTRIC, ~refl_th,
+                   jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, choose_t, False)))
+    eta_scale = jnp.where(tag == BXDF_DIELECTRIC, eta_scale_g, 1.0)
+    valid = pdf > 0
+    return dict(wi=wi, f=f, pdf=jnp.maximum(pdf, 0.0), valid=valid,
+                specular=specular, transmission=transmission,
+                eta_scale=eta_scale)
+
+
+def bsdf_flags(p: BSDFParams):
+    smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
+    spec = ((p.tag == BXDF_CONDUCTOR) & smooth) | \
+           ((p.tag == BXDF_DIELECTRIC) & smooth) | \
+           (p.tag == BXDF_THIN_DIELECTRIC)
+    return dict(specular=spec)

@@ -1,0 +1,139 @@
+"""Film + pixel sensor (reference film.{h,cpp}: PixelSensor:36, RGBFilm:232,
+GBufferFilm:319).
+
+The film is a pure accumulation tensor: samples scatter-add (pixel_index,
+sensor_rgb * weight, weight) into (H*W, 4) float32 buffers — the TPU analogue
+of the reference's per-pixel double accumulators + AtomicFloat splats. The
+PixelSensor models the sensor response: by default the CIE XYZ matching
+curves (reference's default when no named sensor is given), optionally a
+measured camera RGB response from the named-spectra database, with
+white-balance chromatic adaptation folded into a 3x3 matrix.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .utils import spectrum as spc
+from .utils import color as pcolor
+from .utils.spectrum import SampledWavelengths, CIE_Y_INTEGRAL
+
+
+@struct.dataclass
+class PixelSensor:
+    # response curves as dense tables (3, 471): rows rbar, gbar, bbar
+    response: jnp.ndarray
+    # output RGB = xyz_from_sensor_rgb @ sensor_rgb (includes white balance)
+    xyz_from_sensor_rgb: jnp.ndarray  # (3, 3)
+    imaging_ratio: jnp.ndarray        # scalar
+
+
+def make_pixel_sensor(colorspace=None, sensor_name="cie1931", iso=100.0,
+                      exposure_time=1.0, fnumber=1.0, white_balance_temp=None):
+    """(reference film.cpp PixelSensor::Create / CreateDefault)"""
+    if colorspace is None:
+        colorspace = pcolor.srgb()
+    imaging_ratio = np.pi * exposure_time * iso / (100.0 * fnumber ** 2) \
+        if sensor_name != "cie1931" else exposure_time * iso / 100.0
+    if sensor_name == "cie1931":
+        response = spc.cie_tables()
+        xyz_from_sensor = np.eye(3, dtype=np.float32)
+        if white_balance_temp:
+            # adapt from the blackbody whitepoint to the colorspace whitepoint
+            bb = spc.BlackbodySpectrum(white_balance_temp).to_xyz()
+            src_xy = (bb[0] / bb.sum(), bb[1] / bb.sum())
+            xyz_from_sensor = pcolor.white_balance_matrix(src_xy, colorspace.w_xy)
+    else:
+        r = spc.get_named_spectrum(f"{sensor_name}_r")
+        g = spc.get_named_spectrum(f"{sensor_name}_g")
+        b = spc.get_named_spectrum(f"{sensor_name}_b")
+        if r is None:
+            raise ValueError(f"unknown sensor {sensor_name}")
+        response = np.stack([r.to_dense(), g.to_dense(), b.to_dense()])
+        # solve sensor->XYZ by least squares over training swatches under the
+        # illuminant (reference PixelSensor ctor solves with reflectance swatches;
+        # we use the sigmoid-spectrum table's grid colors as swatches)
+        xyz_from_sensor = _solve_sensor_matrix(response, colorspace,
+                                               white_balance_temp)
+    return PixelSensor(response=jnp.asarray(response, jnp.float32),
+                       xyz_from_sensor_rgb=jnp.asarray(xyz_from_sensor, jnp.float32),
+                       imaging_ratio=jnp.asarray(imaging_ratio, jnp.float32))
+
+
+def _solve_sensor_matrix(response, colorspace, white_balance_temp):
+    """LSQ fit mapping sensor RGB -> XYZ over reflectance training swatches
+    (reference film.cpp:~80, using 24 swatch reflectances; we use a color grid)."""
+    rng = np.random.RandomState(7)
+    swatches = rng.rand(64, 3).astype(np.float32)
+    coeffs = colorspace.to_spectrum_coeffs(swatches)
+    lam = np.arange(360.0, 831.0, 1.0, dtype=np.float32)
+    refl = np.asarray(pcolor.eval_rgb_sigmoid_polynomial(
+        jnp.asarray(coeffs)[:, None, :], jnp.asarray(lam)[None, :, None]))[..., 0]
+    illum = colorspace.illuminant.to_dense()[None, :]
+    cie = spc.cie_tables()
+    xyz = (refl * illum) @ cie.T / np.sum(cie[1] * illum[0])
+    sens = (refl * illum) @ np.asarray(response).T
+    sens /= np.maximum(np.sum(np.asarray(response)[1] * illum[0]), 1e-9)
+    M, *_ = np.linalg.lstsq(sens, xyz, rcond=None)
+    return M.T.astype(np.float32)
+
+
+def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
+    """MC projection of sampled radiance onto the sensor response (reference
+    PixelSensor::ToSensorRGB, film.h:74). L: (..., 4) -> (..., 3)."""
+    w = spc.safe_div_spectrum(L, swl.pdf) / CIE_Y_INTEGRAL
+    r = spc.eval_dense(sensor.response[0], swl.lam)
+    g = spc.eval_dense(sensor.response[1], swl.lam)
+    b = spc.eval_dense(sensor.response[2], swl.lam)
+    rgb = jnp.stack([jnp.mean(r * w, -1), jnp.mean(g * w, -1),
+                     jnp.mean(b * w, -1)], axis=-1)
+    return sensor.imaging_ratio * rgb
+
+
+@struct.dataclass
+class Film:
+    """RGB film accumulation buffers, (H*W, 3) + weight (H*W,)."""
+    rgb_sum: jnp.ndarray     # (HW, 3) weighted sensor-RGB sum
+    weight_sum: jnp.ndarray  # (HW,)
+    splat_sum: jnp.ndarray   # (HW, 3)
+    width: int = struct.field(pytree_node=False)
+    height: int = struct.field(pytree_node=False)
+
+
+def make_film(width, height) -> Film:
+    hw = width * height
+    return Film(rgb_sum=jnp.zeros((hw, 3), jnp.float32),
+                weight_sum=jnp.zeros((hw,), jnp.float32),
+                splat_sum=jnp.zeros((hw, 3), jnp.float32),
+                width=width, height=height)
+
+
+def add_samples(film: Film, pixel_index, rgb, weight) -> Film:
+    """Scatter-add samples (reference RGBFilm::AddSample, film.h:239).
+
+    pixel_index: (N,) int32 flat pixel ids; rgb: (N, 3); weight: (N,).
+    """
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)  # nan scrub like reference
+    return film.replace(
+        rgb_sum=film.rgb_sum.at[pixel_index].add(rgb * weight[:, None]),
+        weight_sum=film.weight_sum.at[pixel_index].add(weight))
+
+
+def add_splats(film: Film, pixel_index, rgb) -> Film:
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+    return film.replace(splat_sum=film.splat_sum.at[pixel_index].add(rgb))
+
+
+def get_image(film: Film, sensor: PixelSensor, colorspace=None,
+              splat_scale=1.0) -> np.ndarray:
+    """Resolve to (H, W, 3) linear RGB in the output color space (reference
+    RGBFilm::GetPixelRGB + GetImage)."""
+    if colorspace is None:
+        colorspace = pcolor.srgb()
+    w = np.asarray(film.weight_sum)
+    rgb = np.asarray(film.rgb_sum) / np.maximum(w, 1e-12)[:, None]
+    rgb = rgb + splat_scale * np.asarray(film.splat_sum)
+    xyz = rgb @ np.asarray(sensor.xyz_from_sensor_rgb).T
+    out = xyz @ np.asarray(colorspace.rgb_from_xyz).T
+    return out.reshape(film.height, film.width, 3).astype(np.float32)

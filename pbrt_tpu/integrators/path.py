@@ -1,0 +1,197 @@
+"""Wavefront-style path integrator with NEE + MIS (reference
+cpu/integrators.cpp PathIntegrator:628 / wavefront render loop,
+wavefront/integrator.cpp).
+
+TPU mapping of the wavefront architecture (SURVEY.md §2.6): instead of
+atomic-compaction work queues, all rays of a wave stay in fixed SoA arrays
+with an active-lane mask; each `fori_loop` iteration is one wavefront depth
+(the reference's GenerateRaySamples -> IntersectClosest -> shade -> shadow
+pipeline fused into one XLA program). Dimension indexing follows the
+reference's pre-drawn per-bounce sampler dimensions (samples.cpp:19).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import scene_core as sc
+from .. import samplers as smp
+from .. import bxdfs
+from .. import materials as mtl
+from .. import lights as lgt
+from .. import lightsamplers as lsamp
+from .. import cameras as cam_mod
+from .. import filters as flt
+from ..utils import vecmath as vm
+from ..utils import spectrum as spc
+from ..utils.math import power_heuristic, safe_div
+
+# sampler dimension layout (camera: 0-4, lambda: 5, then 7 dims per bounce)
+_CAM_DIMS = 6
+_DIMS_PER_BOUNCE = 7
+
+
+@struct.dataclass
+class PathOptions:
+    max_depth: int = struct.field(pytree_node=False, default=5)
+    rr_start_depth: int = struct.field(pytree_node=False, default=1)
+    sample_visible_wavelengths: bool = struct.field(pytree_node=False, default=True)
+
+
+def _to_local(ns, t1, t2, w):
+    return jnp.stack([vm.dot(w, t1), vm.dot(w, t2), vm.dot(w, ns)], axis=-1)
+
+
+def _to_world(ns, t1, t2, w):
+    return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
+
+
+def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
+                sample_index, o, d, swl: spc.SampledWavelengths,
+                opts: PathOptions):
+    """Trace one wave of paths. px/py: (N,) pixel ints; o, d: (N, 3) camera
+    rays. Returns L (N, 4) spectral radiance estimates (pdf NOT divided out —
+    the film's sensor projection divides by swl.pdf)."""
+    N = o.shape[0]
+    lam = swl.lam
+
+    def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
+        """Next-event estimation (reference SampleLd, integrators.cpp:764)."""
+        base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
+        u_pick = smp.sample_1d(sampler, px, py, sample_index, base)
+        u_l = smp.sample_2d(sampler, px, py, sample_index, base + 1)
+        li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler, u_pick)
+        li_idx = jnp.maximum(li_idx, 0)
+        ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
+                           scene.spectra_pool, scene.tri_p0, scene.tri_p1,
+                           scene.tri_p2, scene.scene_radius)
+        wi = ls["wi"]
+        wi_local = _to_local(ns, t1, t2, wi)
+        f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
+            jnp.abs(wi_local[..., 2])[..., None]
+        pdf_b = bxdfs.bsdf_pdf(bp, wo_local, wi_local)
+        pdf_l = ls["pdf"] * pmf
+        contrib_ok = active & ls["valid"] & (pdf_l > 0) & jnp.any(f > 0, axis=-1)
+        # shadow ray
+        o_sh = sc.offset_ray_origin(p, ng, wi)
+        dist = vm.length(ls["p_light"] - o_sh)
+        occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999)
+        contrib_ok = contrib_ok & ~occluded
+        w_mis = jnp.where(ls["is_delta"], 1.0,
+                          power_heuristic(1.0, pdf_l, 1.0, pdf_b))
+        Ld = f * ls["L"] * safe_div(w_mis, pdf_l)[..., None]
+        return jnp.where(contrib_ok[..., None], Ld, 0.0)
+
+    def body(depth, state):
+        (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale) = state
+        isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+        hit = isect["hit"] & active
+
+        # --- emitted radiance at hits of emissive triangles ---
+        light_idx = isect["light"]
+        is_emitter = hit & (light_idx >= 0)
+        li_safe = jnp.maximum(light_idx, 0)
+        Le = lgt.area_light_radiance(scene.lights, li_safe, isect["ng"],
+                                     isect["wo"], lam, scene.spectra_pool)
+        pdf_light = lgt.pdf_li_area_tri(
+            scene.lights, li_safe, o, d, isect["p"], isect["ng"],
+            scene.tri_p0, scene.tri_p1, scene.tri_p2) * \
+            lsamp.light_pmf(scene.light_sampler, li_safe)
+        w_emit = jnp.where((depth == 0) | spec_bounce, 1.0,
+                           power_heuristic(1.0, prev_pdf, 1.0, pdf_light))
+        L = L + jnp.where(is_emitter[..., None], beta * Le * w_emit[..., None], 0.0)
+
+        # --- escaped rays: infinite lights ---
+        if scene.n_infinite > 0:
+            escaped = active & ~isect["hit"]
+            Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
+                                                 scene.spectra_pool, d,
+                                                 scene.inf_indices)
+            # MIS vs uniform-sphere light sampling
+            inf_idx = scene.inf_indices[0]
+            pmf_inf = lsamp.light_pmf(scene.light_sampler,
+                                      jnp.full((N,), inf_idx, jnp.int32))
+            pdf_inf = pmf_inf * (1.0 / (4.0 * np.pi))
+            w_inf = jnp.where((depth == 0) | spec_bounce, 1.0,
+                              power_heuristic(1.0, prev_pdf, 1.0, pdf_inf))
+            L = L + jnp.where(escaped[..., None], beta * Le_inf * w_inf[..., None], 0.0)
+
+        active = hit
+        # --- shading frame (shading normal + tangents) ---
+        ns = isect["ns"]
+        ng = isect["ng"]
+        t1, t2 = vm.coordinate_system(ns)
+        wo_local = _to_local(ns, t1, t2, isect["wo"])
+        # lanes where wo is below the shading surface: treat as inactive
+        # (reference handles via shading-normal adjustments)
+        bp = mtl.get_bsdf_params(scene.materials, isect["mat"], lam,
+                                 scene.spectra_pool)
+
+        # --- NEE ---
+        if scene.light_sampler.n_lights > 0:
+            Ld = nee(isect["p"], ns, ng, t1, t2, wo_local, bp, active, depth)
+            L = L + beta * Ld
+
+        # --- BSDF sampling for the next bounce ---
+        base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
+        uc = smp.sample_1d(sampler, px, py, sample_index, base + 3)
+        u2 = smp.sample_2d(sampler, px, py, sample_index, base + 4)
+        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2)
+        wi_world = _to_world(ns, t1, t2, bs["wi"])
+        cos_factor = jnp.abs(bs["wi"][..., 2])
+        beta_new = beta * bs["f"] * safe_div(cos_factor, bs["pdf"])[..., None]
+        active = active & bs["valid"] & jnp.any(beta_new > 0, axis=-1)
+        beta = jnp.where(active[..., None], beta_new, beta)
+        eta_scale = eta_scale * bs["eta_scale"]
+
+        # --- Russian roulette on beta * eta_scale (integrators.cpp:749) ---
+        rr_beta_max = jnp.max(beta, axis=-1) * eta_scale
+        u_rr = smp.sample_1d(sampler, px, py, sample_index, base + 6)
+        q = jnp.maximum(0.0, 1.0 - rr_beta_max)
+        do_rr = (depth >= opts.rr_start_depth) & (rr_beta_max < 1.0)
+        killed = do_rr & (u_rr < q)
+        active = active & ~killed
+        beta = jnp.where((do_rr & ~killed)[..., None],
+                         beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
+
+        o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        return (o_next, wi_world, beta, L,
+                active, bs["specular"], bs["pdf"], eta_scale)
+
+    state = (o, d,
+             jnp.ones((N, 4), jnp.float32),       # beta
+             jnp.zeros((N, 4), jnp.float32),      # L
+             jnp.ones((N,), bool),                # active
+             jnp.zeros((N,), bool),               # specular bounce
+             jnp.ones((N,), jnp.float32),         # prev bsdf pdf
+             jnp.ones((N,), jnp.float32))         # eta_scale
+    state = jax.lax.fori_loop(0, opts.max_depth, body, state)
+    return state[3]
+
+
+def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
+                sampler: smp.SamplerParams, filt: flt.Filter,
+                pixel_idx, sample_index, opts: PathOptions):
+    """One sample-per-pixel wave over a batch of pixels.
+
+    pixel_idx: (N,) flat pixel ids; sample_index: (N,) per-pixel sample no.
+    Returns (rgb-ready spectral L (N, 4), swl, filter_weight (N,)).
+    """
+    px = pixel_idx % camera.width
+    py = pixel_idx // camera.width
+    u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
+    u_time = smp.sample_1d(sampler, px, py, sample_index, 2)
+    u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)
+    u_lam = smp.sample_1d(sampler, px, py, sample_index, 5)
+    if opts.sample_visible_wavelengths:
+        swl = spc.sample_visible_wavelengths(u_lam)
+    else:
+        swl = spc.sample_uniform_wavelengths(u_lam)
+    f_off, f_weight = flt.sample(filt, u_pix)
+    p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + f_off[..., 0],
+                        py.astype(jnp.float32) + 0.5 + f_off[..., 1]], axis=-1)
+    o, d, _time = cam_mod.generate_ray(camera, p_film, u_lens, u_time)
+    L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts)
+    return L, swl, f_weight

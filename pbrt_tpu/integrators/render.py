@@ -1,0 +1,75 @@
+"""Render driver: wave loop over samples + pixel chunks (reference
+cpu/integrators.cpp ImageTileIntegrator::Render wave loop :66-225 /
+wavefront scanlinesPerPass sizing, wavefront/integrator.cpp:231).
+
+The device-side step (one sample wave over a pixel chunk) is one jitted
+function; the host loops over (sample_index, chunk) and scatter-adds into
+the film. Multi-chip: shard the pixel axis across the mesh (parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import scene_core as sc
+from .. import samplers as smp
+from .. import cameras as cam_mod
+from .. import filters as flt
+from .. import film as film_mod
+from . import path as path_mod
+
+
+@functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(5,))
+def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
+                 sample_index, opts):
+    L, swl, f_weight = path_mod.render_wave(scene, camera, sampler, filt,
+                                            pixel_idx, sample_index, opts)
+    rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
+    return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
+
+
+def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
+           sampler: smp.SamplerParams = None, filt: flt.Filter = None,
+           sensor=None, opts: path_mod.PathOptions = None,
+           max_rays_per_wave=1 << 20, verbose=False, colorspace=None,
+           max_waves=None):
+    """Render and return (image (H, W, 3) linear RGB, stats dict).
+
+    max_waves: stop after this many sample waves (warmup/benchmark use)."""
+    W, H = camera.width, camera.height
+    if sampler is None:
+        sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
+    if filt is None:
+        filt = flt.make_filter("gaussian")
+    if sensor is None:
+        sensor = film_mod.make_pixel_sensor(colorspace)
+    if opts is None:
+        opts = path_mod.PathOptions()
+    film = film_mod.make_film(W, H)
+    n_pix = W * H
+    chunk = min(n_pix, max_rays_per_wave)
+    all_pix = np.arange(n_pix, dtype=np.int32)
+    t0 = time.time()
+    n_paths = 0
+    n_waves = sampler.spp if max_waves is None else min(max_waves, sampler.spp)
+    for s in range(n_waves):
+        for c0 in range(0, n_pix, chunk):
+            ids = all_pix[c0:c0 + chunk]
+            if len(ids) < chunk:  # pad to static shape
+                ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1], np.int32)])
+            pixel_idx = jnp.asarray(ids)
+            sample_index = jnp.full((chunk,), s, jnp.int32)
+            film = _render_step(scene, camera, sampler, filt, sensor, film,
+                                pixel_idx, sample_index, opts)
+            n_paths += chunk
+        if verbose:
+            print(f"wave {s + 1}/{sampler.spp}  {time.time() - t0:.2f}s")
+    jax.block_until_ready(film.rgb_sum)
+    dt = time.time() - t0
+    img = film_mod.get_image(film, sensor, colorspace)
+    return img, dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),
+                     spp=sampler.spp)

@@ -1,0 +1,245 @@
+"""Samplers as stateless functions (reference samplers.{h,cpp}, base/sampler.h:28).
+
+Closed world: {Independent, Stratified, Halton, Sobol, PaddedSobol, ZSobol,
+PMJ02BN} — each sampler computes sample dimension d for (pixel, sample_index)
+as a pure function, which is the TPU-native form of the reference's stateful
+Get1D/Get2D with an internal dimension counter: the integrator carries an
+int32 dimension counter in its loop state and calls `sample_1d/sample_2d`.
+
+ZSobol (reference samplers.h:225, Ahmed & Wonka 2020 blue-noise Sobol') is
+the default high-quality sampler, matching the reference's recommendation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .utils import rng as prng
+from .utils import lowdiscrepancy as ld
+
+SAMPLER_INDEPENDENT = 0
+SAMPLER_STRATIFIED = 1
+SAMPLER_ZSOBOL = 2
+SAMPLER_SOBOL = 3
+SAMPLER_PADDED_SOBOL = 4
+SAMPLER_HALTON = 5
+
+_U32 = jnp.uint32
+
+
+@struct.dataclass
+class SamplerParams:
+    kind: int = struct.field(pytree_node=False, default=SAMPLER_ZSOBOL)
+    spp: int = struct.field(pytree_node=False, default=16)
+    seed: int = struct.field(pytree_node=False, default=0)
+    # zsobol: derived index bit counts
+    log2_spp: int = struct.field(pytree_node=False, default=4)
+    n_base4_digits: int = struct.field(pytree_node=False, default=16)
+    # stratified
+    x_strata: int = struct.field(pytree_node=False, default=4)
+    y_strata: int = struct.field(pytree_node=False, default=4)
+    jitter: bool = struct.field(pytree_node=False, default=True)
+
+
+def make_sampler(kind="zsobol", spp=16, seed=0, full_resolution=(1024, 1024),
+                 jitter=True) -> SamplerParams:
+    kinds = {"independent": SAMPLER_INDEPENDENT, "stratified": SAMPLER_STRATIFIED,
+             "zsobol": SAMPLER_ZSOBOL, "sobol": SAMPLER_SOBOL,
+             "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON}
+    k = kinds[kind]
+    if k in (SAMPLER_ZSOBOL, SAMPLER_SOBOL, SAMPLER_PADDED_SOBOL):
+        # round spp to power of 2 (reference warns and rounds, samplers.h:243)
+        log2_spp = max(0, int(np.ceil(np.log2(max(spp, 1)))))
+        spp = 1 << log2_spp
+    else:
+        log2_spp = 0
+    res = max(full_resolution[0], full_resolution[1])
+    log4_spp = (log2_spp + 1) // 2
+    n_base4 = int(np.ceil(np.log2(max(res, 2)))) + log4_spp
+    xs = int(np.sqrt(spp))
+    while xs > 1 and spp % xs:
+        xs -= 1
+    return SamplerParams(kind=k, spp=spp, seed=seed, log2_spp=log2_spp,
+                         n_base4_digits=n_base4, x_strata=xs,
+                         y_strata=max(spp // xs, 1), jitter=jitter)
+
+
+# ---------------------------------------------------------------------------
+# ZSobol index shuffling (reference samplers.h ZSobolSampler::GetSampleIndex)
+
+_PERMUTATIONS = np.array([
+    [0, 1, 2, 3], [0, 1, 3, 2], [0, 2, 1, 3], [0, 2, 3, 1],
+    [0, 3, 2, 1], [0, 3, 1, 2], [1, 0, 2, 3], [1, 0, 3, 2],
+    [1, 2, 0, 3], [1, 2, 3, 0], [1, 3, 2, 0], [1, 3, 0, 2],
+    [2, 1, 0, 3], [2, 1, 3, 0], [2, 0, 1, 3], [2, 0, 3, 1],
+    [2, 3, 0, 1], [2, 3, 1, 0], [3, 1, 2, 0], [3, 1, 0, 2],
+    [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2]], np.int32)
+
+
+def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
+    """Blue-noise shuffled sample index (reference samplers.h:258-316)."""
+    perms = jnp.asarray(_PERMUTATIONS)
+    morton = prng.encode_morton_2(px.astype(_U32), py.astype(_U32))
+    morton_index = (morton << np.uint32(params.log2_spp)) | sample_index.astype(_U32)
+
+    n_digits = params.n_base4_digits
+    pow2_spp = (params.log2_spp & 1) == 1
+    last_digit = 1 if pow2_spp else 0
+    sample_idx = jnp.zeros_like(morton_index)
+    for i in range(n_digits - 1, last_digit - 1, -1):
+        digit_shift = np.uint32(2 * i - (1 if pow2_spp else 0))
+        digit = (morton_index >> digit_shift) & np.uint32(3)
+        higher = (morton_index >> (digit_shift + np.uint32(2))).astype(_U32)
+        p = (prng.hash_u32(higher, jnp.asarray(dim_pair, _U32),
+                           _U32(np.uint32(params.seed)),
+                           np.uint32(0x9dbf6d7c)) >> 24) % np.uint32(24)
+        digit = perms[p.astype(jnp.int32), digit.astype(jnp.int32)].astype(_U32)
+        sample_idx = sample_idx | (digit << digit_shift)
+    if pow2_spp:
+        digit = morton_index & np.uint32(1)
+        flip = prng.hash_u32((morton_index >> np.uint32(1)).astype(_U32),
+                             jnp.asarray(dim_pair, _U32),
+                             _U32(np.uint32(params.seed))) & np.uint32(1)
+        sample_idx = sample_idx | (digit ^ flip)
+    return sample_idx
+
+
+def _sobol_01(index, scramble_seed_a, scramble_seed_b):
+    m = jnp.asarray(ld.sobol_matrices())
+    va = ld.sobol_sample_u32(index, 0, m)
+    vb = ld.sobol_sample_u32(index, 1, m)
+    ua = ld.u32_to_sample(ld.fast_owen_scramble(va, scramble_seed_a))
+    ub = ld.u32_to_sample(ld.fast_owen_scramble(vb, scramble_seed_b))
+    return ua, ub
+
+
+# ---------------------------------------------------------------------------
+# Public sampling entry points
+
+def sample_1d(params: SamplerParams, px, py, sample_index, dim):
+    """dim: int32 array or scalar — the dimension counter."""
+    px = jnp.asarray(px)
+    py = jnp.asarray(py)
+    sample_index = jnp.asarray(sample_index)
+    dim = jnp.asarray(dim, jnp.int32) + jnp.zeros_like(px, jnp.int32)
+    if params.kind == SAMPLER_INDEPENDENT:
+        return prng.uniform_float(np.uint32(params.seed), px.astype(_U32),
+                                  py.astype(_U32), sample_index.astype(_U32),
+                                  dim.astype(_U32))
+    if params.kind == SAMPLER_STRATIFIED:
+        # 1D stratification over spp with per-dimension permutation
+        h = prng.hash_u32(px.astype(_U32), py.astype(_U32), dim.astype(_U32),
+                          np.uint32(params.seed))
+        stratum = _permutation_element(sample_index.astype(_U32),
+                                       np.uint32(params.spp), h)
+        delta = prng.uniform_float(h, sample_index.astype(_U32),
+                                   np.uint32(0x55aa55aa)) if params.jitter else 0.5
+        return (stratum.astype(jnp.float32) + delta) / params.spp
+    if params.kind == SAMPLER_ZSOBOL:
+        idx = _zsobol_sample_index(params, px, py, sample_index, dim)
+        h = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed))
+        m = jnp.asarray(ld.sobol_matrices())
+        v = ld.sobol_sample_u32(idx, 0, m)
+        return ld.u32_to_sample(ld.fast_owen_scramble(v, h))
+    # Sobol/padded-sobol/halton fall back to per-dimension padded Sobol'
+    idx = _padded_index(params, px, py, sample_index, dim)
+    h = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
+    m = jnp.asarray(ld.sobol_matrices())
+    v = ld.sobol_sample_u32(idx, 0, m)
+    return ld.u32_to_sample(ld.fast_owen_scramble(v, h))
+
+
+def sample_2d(params: SamplerParams, px, py, sample_index, dim):
+    """Returns (..., 2). Consumes 2 dimensions (caller advances dim by 2)."""
+    px = jnp.asarray(px)
+    py = jnp.asarray(py)
+    sample_index = jnp.asarray(sample_index)
+    dim = jnp.asarray(dim, jnp.int32) + jnp.zeros_like(px, jnp.int32)
+    if params.kind == SAMPLER_INDEPENDENT:
+        u = prng.uniform_float(np.uint32(params.seed), px.astype(_U32),
+                               py.astype(_U32), sample_index.astype(_U32),
+                               dim.astype(_U32))
+        v = prng.uniform_float(np.uint32(params.seed ^ 0x94d049bb),
+                               px.astype(_U32), py.astype(_U32),
+                               sample_index.astype(_U32), dim.astype(_U32))
+        return jnp.stack([u, v], axis=-1)
+    if params.kind == SAMPLER_STRATIFIED:
+        h = prng.hash_u32(px.astype(_U32), py.astype(_U32), dim.astype(_U32),
+                          np.uint32(params.seed))
+        stratum = _permutation_element(sample_index.astype(_U32),
+                                       np.uint32(params.spp), h)
+        xs = np.uint32(params.x_strata)
+        sx = (stratum % xs).astype(jnp.float32)
+        sy = (stratum // xs).astype(jnp.float32)
+        if params.jitter:
+            dx = prng.uniform_float(h, np.uint32(1), sample_index.astype(_U32))
+            dy = prng.uniform_float(h, np.uint32(2), sample_index.astype(_U32))
+        else:
+            dx = dy = 0.5
+        return jnp.stack([(sx + dx) / params.x_strata,
+                          (sy + dy) / params.y_strata], axis=-1)
+    if params.kind == SAMPLER_ZSOBOL:
+        idx = _zsobol_sample_index(params, px, py, sample_index, dim)
+        ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed))
+        hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x4df5))
+        ua, ub = _sobol_01(idx, ha, hb)
+        return jnp.stack([ua, ub], axis=-1)
+    idx = _padded_index(params, px, py, sample_index, dim)
+    ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
+    hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x9f3a))
+    ua, ub = _sobol_01(idx, ha, hb)
+    return jnp.stack([ua, ub], axis=-1)
+
+
+def sample_pixel_2d(params: SamplerParams, px, py, sample_index, dim):
+    """Pixel-position sample (GetPixel2D): same as sample_2d for our samplers."""
+    return sample_2d(params, px, py, sample_index, dim)
+
+
+def _padded_index(params: SamplerParams, px, py, sample_index, dim):
+    """Per-(pixel, dimension) shuffled sample index (PaddedSobol-style)."""
+    h = prng.hash_u32(px.astype(_U32), py.astype(_U32), dim.astype(_U32),
+                      np.uint32(params.seed), np.uint32(0x51a33))
+    return _permutation_element(sample_index.astype(_U32),
+                                np.uint32(max(params.spp, 1)), h)
+
+
+def _permutation_element(i, n, seed):
+    """Stateless in-place random permutation of [0, n) (Andrew Kensler's hash
+    permutation; reference util/hash.h PermutationElement)."""
+    i = i.astype(_U32)
+    w = n - np.uint32(1)
+    w = w | (w >> 1)
+    w = w | (w >> 2)
+    w = w | (w >> 4)
+    w = w | (w >> 8)
+    w = w | (w >> 16)
+
+    def mix(x):
+        x = x ^ seed
+        x = x * np.uint32(0xe170893d)
+        x = x ^ (seed >> 16)
+        x = x ^ ((x & w) >> 4)
+        x = x ^ (seed >> 8)
+        x = x * np.uint32(0x0929eb3f)
+        x = x ^ (seed >> 23)
+        x = x ^ ((x & w) >> 1)
+        x = x * (np.uint32(1) | (seed >> 27))
+        x = x * np.uint32(0x6935fa69)
+        x = x ^ ((x & w) >> 11)
+        x = x * np.uint32(0x74dcb303)
+        x = x ^ ((x & w) >> 2)
+        x = x * np.uint32(0x9e501cc3)
+        x = x ^ ((x & w) >> 2)
+        x = x * np.uint32(0xc860a3df)
+        return x & w
+
+    # "cycle-walk until < n": since w+1 is the next pow2 >= n, each round
+    # succeeds w.p. >= 1/2; 8 static rounds leave < 0.4% needing the modulo
+    # fallback (bias negligible for MC decorrelation).
+    x = mix(i)
+    for _ in range(7):
+        x = jnp.where(x >= n, mix(x), x)
+    x = jnp.where(x >= n, x % jnp.maximum(n, np.uint32(1)), x)
+    return (x + seed) % n

@@ -1,0 +1,289 @@
+"""Compiled scene: flat device arrays + intersection entry points.
+
+The TPU analogue of the reference's BasicScene -> scene objects + aggregate
+pipeline (scene.cpp CreateAggregate / cpu/render.cpp): meshes, materials,
+lights, spectra are compiled into SoA pools; ray intersection dispatches to
+the BVH traversal (ops/bvh.py) or brute force for tiny scenes (the
+"WavefrontAggregate" seam, reference wavefront/integrator.h:32).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .ops import bvh as bvh_mod
+from .utils import vecmath as vm
+from . import materials as mtl
+from . import lights as lgt
+from . import lightsamplers as lsamp
+from .utils import spectrum as spc
+
+
+@struct.dataclass
+class Scene:
+    # triangle pool (pre-gathered vertices)
+    tri_p0: jnp.ndarray   # (T, 3)
+    tri_p1: jnp.ndarray
+    tri_p2: jnp.ndarray
+    tri_n0: jnp.ndarray   # (T, 3) shading normals (geometric if absent)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray    # (T,) int32
+    tri_light: jnp.ndarray  # (T,) int32, -1 if not emissive
+    bvh: bvh_mod.BVH
+    materials: mtl.MaterialPool
+    lights: lgt.LightPool
+    light_sampler: lsamp.LightSampler
+    spectra_pool: jnp.ndarray  # (S, 471)
+    scene_radius: jnp.ndarray  # scalar
+    use_bvh: bool = struct.field(pytree_node=False, default=True)
+    n_infinite: int = struct.field(pytree_node=False, default=0)
+    inf_indices: tuple = struct.field(pytree_node=False, default=())
+
+
+class SceneBuilder:
+    """Host-side scene assembly (the library-level construction API the
+    reference exposes through its test scenes, cf. integrators_test.cpp:66)."""
+
+    def __init__(self, colorspace=None):
+        from .utils import color as pcolor
+        self.cs = colorspace or pcolor.srgb()
+        self.materials = mtl.MaterialBuilder(self.cs)
+        self.v0 = []
+        self.v1 = []
+        self.v2 = []
+        self.n0 = []
+        self.n1 = []
+        self.n2 = []
+        self.uv0 = []
+        self.uv1 = []
+        self.uv2 = []
+        self.t_mat = []
+        self.t_light = []
+        self.light_rows = []
+        self.spectra = []        # list of (471,) arrays
+        self._spec_cache = {}
+
+    def add_spectrum(self, s: spc.Spectrum, key=None) -> int:
+        if key is not None and key in self._spec_cache:
+            return self._spec_cache[key]
+        idx = len(self.spectra)
+        self.spectra.append(s.to_dense())
+        if key is not None:
+            self._spec_cache[key] = idx
+        return idx
+
+    def add_mesh(self, vertices, indices, material: int, normals=None, uvs=None,
+                 emission=None, emission_scale=1.0, two_sided=False):
+        """vertices (V,3); indices (F,3); emission: host Spectrum for area light.
+        Returns list of light indices created (one per triangle if emissive)."""
+        vertices = np.asarray(vertices, np.float32)
+        indices = np.asarray(indices, np.int64)
+        p0 = vertices[indices[:, 0]]
+        p1 = vertices[indices[:, 1]]
+        p2 = vertices[indices[:, 2]]
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+            n0, n1, n2 = (normals[indices[:, i]] for i in range(3))
+        else:
+            ng = np.cross(p1 - p0, p2 - p0)
+            ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+            n0 = n1 = n2 = ng
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = (uvs[indices[:, i]] for i in range(3))
+        else:
+            uv0 = np.zeros((len(p0), 2), np.float32)
+            uv1 = np.tile(np.array([[1, 0]], np.float32), (len(p0), 1))
+            uv2 = np.tile(np.array([[1, 1]], np.float32), (len(p0), 1))
+        tri_base = len(self.t_mat)
+        created_lights = []
+        for i in range(len(p0)):
+            self.v0.append(p0[i]); self.v1.append(p1[i]); self.v2.append(p2[i])
+            self.n0.append(n0[i]); self.n1.append(n1[i]); self.n2.append(n2[i])
+            self.uv0.append(uv0[i]); self.uv1.append(uv1[i]); self.uv2.append(uv2[i])
+            self.t_mat.append(material)
+            if emission is not None:
+                area = 0.5 * np.linalg.norm(np.cross(p1[i] - p0[i], p2[i] - p0[i]))
+                sidx = self.add_spectrum(emission, key=("emit", id(emission)))
+                li = len(self.light_rows)
+                self.light_rows.append(dict(
+                    tag=lgt.LIGHT_AREA_TRI, p=np.zeros(3), dir=np.zeros(3),
+                    spec_idx=sidx, scale=emission_scale, tri=tri_base + i,
+                    two_sided=two_sided, cfs=1.0, cfe=1.0,
+                    power=lgt.compute_light_power(
+                        lgt.LIGHT_AREA_TRI, emission_scale, emission, area=area,
+                        two_sided=two_sided),
+                    is_delta=False))
+                self.t_light.append(li)
+                created_lights.append(li)
+            else:
+                self.t_light.append(-1)
+        return created_lights
+
+    def add_point_light(self, position, spectrum: spc.Spectrum, scale=1.0):
+        sidx = self.add_spectrum(spectrum, key=("pt", id(spectrum)))
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_POINT, p=np.asarray(position, np.float32),
+            dir=np.zeros(3), spec_idx=sidx, scale=scale, tri=0,
+            two_sided=False, cfs=1.0, cfe=1.0,
+            power=lgt.compute_light_power(lgt.LIGHT_POINT, scale, spectrum),
+            is_delta=True))
+        return len(self.light_rows) - 1
+
+    def add_distant_light(self, direction, spectrum: spc.Spectrum, scale=1.0):
+        sidx = self.add_spectrum(spectrum, key=("dist", id(spectrum)))
+        d = np.asarray(direction, np.float32)
+        d = d / np.linalg.norm(d)
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_DISTANT, p=np.zeros(3), dir=d, spec_idx=sidx,
+            scale=scale, tri=0, two_sided=False, cfs=1.0, cfe=1.0,
+            power=lgt.compute_light_power(lgt.LIGHT_DISTANT, scale, spectrum),
+            is_delta=True))
+        return len(self.light_rows) - 1
+
+    def add_spot_light(self, position, direction, spectrum: spc.Spectrum,
+                       scale=1.0, cone_angle=30.0, cone_delta=5.0):
+        sidx = self.add_spectrum(spectrum, key=("spot", id(spectrum)))
+        d = np.asarray(direction, np.float32)
+        d = d / np.linalg.norm(d)
+        cfs = float(np.cos(np.radians(cone_angle - cone_delta)))
+        cfe = float(np.cos(np.radians(cone_angle)))
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_SPOT, p=np.asarray(position, np.float32), dir=d,
+            spec_idx=sidx, scale=scale, tri=0, two_sided=False, cfs=cfs, cfe=cfe,
+            power=lgt.compute_light_power(lgt.LIGHT_SPOT, scale, spectrum,
+                                          cos_falloff_start=cfs, cos_falloff_end=cfe),
+            is_delta=True))
+        return len(self.light_rows) - 1
+
+    def add_uniform_infinite_light(self, spectrum: spc.Spectrum, scale=1.0):
+        sidx = self.add_spectrum(spectrum, key=("inf", id(spectrum)))
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_UNIFORM_INFINITE, p=np.zeros(3), dir=np.zeros(3),
+            spec_idx=sidx, scale=scale, tri=0, two_sided=False, cfs=1.0,
+            cfe=1.0, power=1.0, is_delta=False))
+        return len(self.light_rows) - 1
+
+    def build(self, light_sampler="power", force_bvh=None) -> Scene:
+        n_tri = len(self.v0)
+        assert n_tri > 0, "empty scene"
+        p0 = np.stack(self.v0); p1 = np.stack(self.v1); p2 = np.stack(self.v2)
+        lo = np.minimum(np.minimum(p0, p1), p2)
+        hi = np.maximum(np.maximum(p0, p1), p2)
+        world_lo, world_hi = lo.min(axis=0), hi.max(axis=0)
+        radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
+        use_bvh = (n_tri > 64) if force_bvh is None else force_bvh
+        bvh = bvh_mod.build_bvh(lo, hi)
+
+        # finalize scene_radius-dependent light powers
+        rows = self.light_rows
+        if rows:
+            for r in rows:
+                if r["tag"] in (lgt.LIGHT_DISTANT, lgt.LIGHT_UNIFORM_INFINITE):
+                    base = spc.DenselySampledSpectrum(
+                        self.spectra[r["spec_idx"]].astype(np.float64))
+                    r["power"] = lgt.compute_light_power(
+                        r["tag"], r["scale"], base, scene_radius=radius)
+            pool = lgt.LightPool(
+                tag=jnp.asarray([r["tag"] for r in rows], jnp.int32),
+                p=jnp.asarray(np.stack([r["p"] for r in rows]), jnp.float32),
+                dir=jnp.asarray(np.stack([r["dir"] for r in rows]), jnp.float32),
+                spec_idx=jnp.asarray([r["spec_idx"] for r in rows], jnp.int32),
+                scale=jnp.asarray([r["scale"] for r in rows], jnp.float32),
+                tri=jnp.asarray([r["tri"] for r in rows], jnp.int32),
+                two_sided=jnp.asarray([r["two_sided"] for r in rows], bool),
+                cos_falloff_start=jnp.asarray([r["cfs"] for r in rows], jnp.float32),
+                cos_falloff_end=jnp.asarray([r["cfe"] for r in rows], jnp.float32),
+                power=jnp.asarray([r["power"] for r in rows], jnp.float32),
+                is_delta=jnp.asarray([r["is_delta"] for r in rows], bool))
+        else:
+            # size-1 dummy pool so device gathers stay in-bounds; the light
+            # sampler's n_lights == 0 (static) disables NEE, and tri_light
+            # == -1 everywhere disables emission lookups semantically.
+            z = np.zeros(1, np.float32)
+            pool = lgt.LightPool(
+                tag=jnp.full((1,), lgt.LIGHT_NONE, jnp.int32),
+                p=jnp.zeros((1, 3), jnp.float32), dir=jnp.zeros((1, 3), jnp.float32),
+                spec_idx=jnp.zeros((1,), jnp.int32), scale=jnp.asarray(z),
+                tri=jnp.zeros((1,), jnp.int32),
+                two_sided=jnp.zeros((1,), bool), cos_falloff_start=jnp.asarray(z),
+                cos_falloff_end=jnp.asarray(z), power=jnp.asarray(z),
+                is_delta=jnp.zeros((1,), bool))
+        powers = np.asarray([r["power"] for r in rows], np.float64) if rows else np.zeros(0)
+        ls = lsamp.make_light_sampler(light_sampler, powers)
+        spectra_pool = jnp.asarray(
+            np.stack(self.spectra) if self.spectra else np.zeros((1, spc.N_CIE)),
+            jnp.float32)
+        inf_indices = tuple(i for i, r in enumerate(rows)
+                            if r["tag"] == lgt.LIGHT_UNIFORM_INFINITE)
+        n_inf = len(inf_indices)
+        return Scene(
+            tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
+            tri_n0=jnp.asarray(np.stack(self.n0)),
+            tri_n1=jnp.asarray(np.stack(self.n1)),
+            tri_n2=jnp.asarray(np.stack(self.n2)),
+            tri_uv0=jnp.asarray(np.stack(self.uv0)),
+            tri_uv1=jnp.asarray(np.stack(self.uv1)),
+            tri_uv2=jnp.asarray(np.stack(self.uv2)),
+            tri_mat=jnp.asarray(self.t_mat, jnp.int32),
+            tri_light=jnp.asarray(self.t_light, jnp.int32),
+            bvh=bvh, materials=self.materials.build(), lights=pool,
+            light_sampler=ls, spectra_pool=spectra_pool,
+            scene_radius=jnp.asarray(radius, jnp.float32),
+            use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices)
+
+
+# ---------------------------------------------------------------------------
+# Device intersection entry points
+
+def intersect(scene: Scene, o, d, t_max):
+    """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo)."""
+    if scene.use_bvh:
+        r = bvh_mod.bvh_intersect_triangles(
+            scene.bvh, scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
+    else:
+        r = bvh_mod.brute_force_intersect_triangles(
+            scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
+    prim = jnp.maximum(r["prim"], 0)
+    b0, b1, b2 = r["b0"], r["b1"], r["b2"]
+    p0 = scene.tri_p0[prim]
+    p1 = scene.tri_p1[prim]
+    p2 = scene.tri_p2[prim]
+    p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
+    ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
+    ns = vm.normalize(b0[..., None] * scene.tri_n0[prim] +
+                      b1[..., None] * scene.tri_n1[prim] +
+                      b2[..., None] * scene.tri_n2[prim])
+    # orient ns into same hemisphere as ng convention: flip ng toward ns
+    ng = jnp.where(vm.dot(ng, ns)[..., None] < 0, -ng, ng)
+    uv = b0[..., None] * scene.tri_uv0[prim] + \
+        b1[..., None] * scene.tri_uv1[prim] + b2[..., None] * scene.tri_uv2[prim]
+    return dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
+                mat=scene.tri_mat[prim], light=scene.tri_light[prim], wo=-d)
+
+
+def intersect_p(scene: Scene, o, d, t_max):
+    """Any-hit (shadow) query. Returns bool occluded (N,)."""
+    if scene.use_bvh:
+        r = bvh_mod.bvh_intersect_triangles(
+            scene.bvh, scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max,
+            any_hit=True)
+    else:
+        r = bvh_mod.brute_force_intersect_triangles(
+            scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
+    return r["hit"]
+
+
+def offset_ray_origin(p, ng, w):
+    """Offset ray origin along the normal to avoid self-intersection
+    (reference interaction.h OffsetRayOrigin / util/float.h error bounds;
+    we use a scaled-epsilon heuristic pending interval-arithmetic bounds)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1.0)
+    eps = 1e-4 * scale
+    sign = jnp.where(vm.dot(w, ng) > 0, 1.0, -1.0)
+    return p + (sign * eps)[..., None] * ng

@@ -1,0 +1,132 @@
+"""Built-in test scenes (the analogue of the hand-built scenes in the
+reference's integrators_test.cpp:66-120 and the pbrt-v4-scenes cornell box).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import scene_core as sc
+from . import cameras as cam_mod
+from .utils import color as pcolor
+from .utils import spectrum as spc
+from .utils import transform as tfm
+
+
+def _quad(builder, corners, material, **kw):
+    """Add a quad as two triangles. corners: 4x3 CCW."""
+    v = np.asarray(corners, np.float32)
+    return builder.add_mesh(v, [[0, 1, 2], [0, 2, 3]], material, **kw)
+
+
+def make_cornell_box(width=400, height=400, light_scale=1.0):
+    """The Cornell box (original Cornell measurement geometry, public data),
+    matching the role of pbrt-v4-scenes/cornell-box. Returns (scene, camera)."""
+    b = sc.SceneBuilder()
+    cs = b.cs
+    white = b.materials.add_diffuse((0.725, 0.71, 0.68))
+    red = b.materials.add_diffuse((0.63, 0.065, 0.05))
+    green = b.materials.add_diffuse((0.14, 0.45, 0.091))
+
+    # original Cornell data (mm), y-up, camera looks +z
+    _quad(b, [(552.8, 0, 0), (0, 0, 0), (0, 0, 559.2), (549.6, 0, 559.2)], white)      # floor
+    _quad(b, [(556, 548.8, 0), (556, 548.8, 559.2), (0, 548.8, 559.2), (0, 548.8, 0)], white)  # ceiling
+    _quad(b, [(549.6, 0, 559.2), (0, 0, 559.2), (0, 548.8, 559.2), (556, 548.8, 559.2)], white)  # back
+    # camera-right is +x (pbrt LookAt convention): red wall at x=0 (image
+    # left), green wall at x~556 (image right), matching the iconic render
+    _quad(b, [(0, 0, 559.2), (0, 0, 0), (0, 548.8, 0), (0, 548.8, 559.2)], red)
+    _quad(b, [(552.8, 0, 0), (549.6, 0, 559.2), (556, 548.8, 559.2), (556, 548.8, 0)], green)
+    # short block
+    short = [(130, 165, 65), (82, 165, 225), (240, 165, 272), (290, 165, 114)]
+    _quad(b, short, white)
+    for i in range(4):
+        a = short[i]
+        c = short[(i + 1) % 4]
+        _quad(b, [(a[0], 0, a[2]), (a[0], a[1], a[2]), (c[0], c[1], c[2]), (c[0], 0, c[2])], white)
+    # tall block
+    tall = [(423, 330, 247), (265, 330, 296), (314, 330, 456), (472, 330, 406)]
+    _quad(b, tall, white)
+    for i in range(4):
+        a = tall[i]
+        c = tall[(i + 1) % 4]
+        _quad(b, [(a[0], 0, a[2]), (a[0], a[1], a[2]), (c[0], c[1], c[2]), (c[0], 0, c[2])], white)
+    # light (slightly below ceiling), emission ~ classic cornell lamp
+    emit = pcolor.RGBIlluminantSpectrum((17.0, 12.0, 4.0), cs)
+    # winding chosen so the geometric normal points down (-y) into the box
+    _quad(b, [(343, 548.75, 227), (343, 548.75, 332), (213, 548.75, 332), (213, 548.75, 227)],
+          white, emission=emit, emission_scale=light_scale)
+
+    scene = b.build(light_sampler="power", force_bvh=False)
+    cam = cam_mod.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((278, 273, -800), (278, 273, 0), (0, 1, 0)).inverse(),
+        width=width, height=height, fov=38.5)
+    return scene, cam
+
+
+def make_furnace_plane(albedo=0.5, env_radiance=1.0, width=64, height=64):
+    """Infinite-plane white furnace: a large diffuse quad under a uniform
+    environment light. Looking straight down at the plane, the exact answer is
+    L = albedo * L_env (one bounce; reflected rays escape to the env)."""
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((albedo, albedo, albedo))
+    s = 1000.0
+    _quad(b, [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)], m)
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(env_radiance))
+    scene = b.build(light_sampler="uniform", force_bvh=False)
+    cam = cam_mod.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 10, 0), (0, 0, 0.0001), (0, 0, 1)).inverse(),
+        width=width, height=height, fov=30.0)
+    return scene, cam
+
+
+def make_sphere_mesh(center, radius, subdiv=3):
+    """Icosphere triangle mesh (host)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
+    for _ in range(subdiv):
+        vlist = list(verts)
+        cache = {}
+        nf = []
+        def midpoint(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = vlist[i] + vlist[j]
+                m /= np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m)
+            return cache[key]
+        for (a, b_, c) in faces:
+            ab, bc, ca = midpoint(a, b_), midpoint(b_, c), midpoint(c, a)
+            nf += [[a, ab, ca], [ab, b_, bc], [ca, bc, c], [ab, bc, ca]]
+        verts = np.asarray(vlist)
+        faces = np.asarray(nf, np.int64)
+    normals = verts.copy()
+    verts = verts * radius + np.asarray(center, np.float64)
+    return verts.astype(np.float32), faces, normals.astype(np.float32)
+
+
+def make_furnace_sphere(albedo=1.0, env_radiance=1.0, width=64, height=64,
+                        subdiv=3):
+    """Classic white furnace: unit diffuse sphere, uniform env. With albedo 1
+    and enough bounces, every pixel (sphere or not) must equal env radiance."""
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((albedo, albedo, albedo))
+    v, f, n = make_sphere_mesh((0, 0, 0), 1.0, subdiv)
+    b.add_mesh(v, f, m, normals=n)
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(env_radiance))
+    scene = b.build(light_sampler="uniform", force_bvh=True)
+    cam = cam_mod.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 0, -4), (0, 0, 0), (0, 1, 0)).inverse(),
+        width=width, height=height, fov=40.0)
+    return scene, cam

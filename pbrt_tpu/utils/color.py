@@ -207,6 +207,48 @@ def get_colorspace(name: str) -> RGBColorSpace:
             "aces2065-1": aces2065_1}[name]()
 
 
+# ---------------------------------------------------------------------------
+# Host-side RGB-derived spectra (reference util/spectrum.h RGBAlbedoSpectrum,
+# RGBUnboundedSpectrum, RGBIlluminantSpectrum)
+
+class RGBAlbedoSpectrum(spc.Spectrum):
+    """Reflectance spectrum from RGB in [0,1] via sigmoid polynomial."""
+
+    def __init__(self, rgb, cs: "RGBColorSpace" = None):
+        cs = cs or srgb()
+        self.coeffs = np.asarray(cs.to_spectrum_coeffs(np.asarray(rgb)), np.float64)
+
+    def __call__(self, lam):
+        lam = np.asarray(lam, np.float64)
+        x = (self.coeffs[0] * lam + self.coeffs[1]) * lam + self.coeffs[2]
+        return 0.5 + x / (2.0 * np.sqrt(1.0 + x * x))
+
+
+class RGBUnboundedSpectrum(spc.Spectrum):
+    """RGB with components > 1: scale to max 2, fold scale back in."""
+
+    def __init__(self, rgb, cs: "RGBColorSpace" = None):
+        rgb = np.asarray(rgb, np.float64)
+        m = max(float(rgb.max()), 1e-9)
+        self.scale = 2.0 * m
+        self.albedo = RGBAlbedoSpectrum(rgb / self.scale if self.scale > 0 else rgb, cs)
+
+    def __call__(self, lam):
+        return self.scale * self.albedo(lam)
+
+
+class RGBIlluminantSpectrum(spc.Spectrum):
+    """Emission spectrum: albedo-shaped modulation of the space's illuminant."""
+
+    def __init__(self, rgb, cs: "RGBColorSpace" = None):
+        cs = cs or srgb()
+        self.unbounded = RGBUnboundedSpectrum(rgb, cs)
+        self.illum = cs.illuminant
+
+    def __call__(self, lam):
+        return self.unbounded(lam) * self.illum(lam)
+
+
 # White balance: von Kries in LMS (reference util/color.cpp WhiteBalance)
 _LMS_FROM_XYZ = np.array([[0.8951, 0.2664, -0.1614],
                           [-0.7502, 1.7135, 0.0367],

@@ -1,0 +1,256 @@
+"""Image I/O (reference util/image.{h,cpp}: EXR/PNG/PFM/QOI).
+
+Pure-python writers/readers with no external deps: PFM (float), PNG (8/16-bit
+via zlib), and a minimal scanline float EXR (uncompressed + zip) for
+interchange with the reference's output format.
+"""
+from __future__ import annotations
+
+import struct as pystruct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# PFM
+
+def write_pfm(path, img: np.ndarray):
+    """img: (H, W, 3) or (H, W) float32."""
+    img = np.asarray(img, np.float32)
+    color = img.ndim == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        h, w = img.shape[:2]
+        f.write(f"{w} {h}\n".encode())
+        f.write(b"-1.0\n")  # little-endian
+        f.write(np.flipud(img).tobytes())
+
+
+def read_pfm(path) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.readline().strip()
+        color = header == b"PF"
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
+        img = data.reshape(h, w, 3) if color else data.reshape(h, w)
+        return np.flipud(img).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (true-color 8/16 bit, zlib)
+
+def write_png(path, img: np.ndarray):
+    """img: (H, W, 3) uint8 or uint16, or float in [0,1] (converted to 8-bit)."""
+    img = np.asarray(img)
+    if img.dtype in (np.float32, np.float64):
+        img = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    h, w = img.shape[:2]
+    depth = 16 if img.dtype == np.uint16 else 8
+    raw = img.astype(">u2" if depth == 16 else "u1").tobytes()
+    stride = w * 3 * (depth // 8)
+    scan = b"".join(b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(h))
+
+    def chunk(tag, data):
+        c = tag + data
+        return pystruct.pack(">I", len(data)) + c + pystruct.pack(">I", zlib.crc32(c))
+
+    ihdr = pystruct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+           chunk(b"IDAT", zlib.compress(scan, 6)) + chunk(b"IEND", b""))
+    Path(path).write_bytes(png)
+
+
+def read_png(path) -> np.ndarray:
+    data = Path(path).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    idat = b""
+    w = h = depth = ctype = None
+    while pos < len(data):
+        ln = pystruct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = pystruct.unpack(">IIBB", body[:10])
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    assert ctype == 2, "only truecolor supported"
+    raw = zlib.decompress(idat)
+    bpp = 3 * (depth // 8)
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8).copy()
+        pos += 1 + stride
+        if ft == 1:  # sub
+            for i in range(bpp, stride):
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ft == 2:  # up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ft == 3:  # average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pr) & 0xFF
+        out[y] = line
+        prev = line
+    if depth == 16:
+        img = out.reshape(h, w, 3, 2)
+        return (img[..., 0].astype(np.uint16) << 8) | img[..., 1]
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# Minimal EXR (float32 scanline, zip-compressed, RGB)
+
+def write_exr(path, img: np.ndarray):
+    """Minimal single-part scanline EXR, float32 RGB, zip compression (16-line
+    blocks would be 'ZIP'; we use per-scanline 'ZIPS' for simplicity)."""
+    img = np.asarray(img, np.float32)
+    h, w = img.shape[:2]
+
+    def attr(name, typ, data):
+        return name.encode() + b"\x00" + typ.encode() + b"\x00" + \
+            pystruct.pack("<I", len(data)) + data
+
+    def chan(name):
+        return name.encode() + b"\x00" + pystruct.pack("<iiii", 2, 0, 1, 1)
+
+    chans = chan("B") + chan("G") + chan("R") + b"\x00"
+    hdr = b"\x76\x2f\x31\x01" + pystruct.pack("<I", 2)
+    hdr += attr("channels", "chlist", chans)
+    hdr += attr("compression", "compression", bytes([4]))  # ZIPS
+    box = pystruct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr += attr("dataWindow", "box2i", box)
+    hdr += attr("displayWindow", "box2i", box)
+    hdr += attr("lineOrder", "lineOrder", bytes([0]))
+    hdr += attr("pixelAspectRatio", "float", pystruct.pack("<f", 1.0))
+    hdr += attr("screenWindowCenter", "v2f", pystruct.pack("<ff", 0, 0))
+    hdr += attr("screenWindowWidth", "float", pystruct.pack("<f", 1.0))
+    hdr += b"\x00"
+
+    # scanline blocks: one line each, channels in alphabetical order B, G, R
+    blocks = []
+    for y in range(h):
+        raw = np.concatenate([img[y, :, 2], img[y, :, 1], img[y, :, 0]]).astype("<f4").tobytes()
+        # EXR zip predictor: reorder + delta
+        rb = _exr_predictor_encode(raw)
+        comp = zlib.compress(rb)
+        if len(comp) >= len(raw):
+            comp = raw
+        blocks.append(pystruct.pack("<iI", y, len(comp)) + comp)
+
+    offset_table_size = 8 * h
+    base = len(hdr) + offset_table_size
+    offsets = []
+    pos = base
+    for b in blocks:
+        offsets.append(pos)
+        pos += len(b)
+    out = hdr + b"".join(pystruct.pack("<Q", o) for o in offsets) + b"".join(blocks)
+    Path(path).write_bytes(out)
+
+
+def _exr_predictor_encode(data: bytes) -> bytes:
+    """OpenEXR zip pre-pass: byte reorder (even/odd split) THEN delta."""
+    d = np.frombuffer(data, np.uint8)
+    n = len(d)
+    half = (n + 1) // 2
+    t = np.empty(n, np.uint8)
+    t[:half] = d[0::2]
+    t[half:] = d[1::2]
+    out = t.astype(np.int32)
+    out[1:] = (out[1:] - t[:-1].astype(np.int32) + 384) % 256
+    return out.astype(np.uint8).tobytes()
+
+
+def read_exr(path) -> np.ndarray:
+    """Reader for the subset written above + uncompressed/ZIPS float RGB files."""
+    data = Path(path).read_bytes()
+    assert data[:4] == b"\x76\x2f\x31\x01"
+    pos = 8
+    attrs = {}
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode()
+        pos = e + 1
+        e = data.index(b"\x00", pos)
+        typ = data[pos:e].decode()
+        pos = e + 1
+        ln = pystruct.unpack("<I", data[pos:pos + 4])[0]
+        pos += 4
+        attrs[name] = (typ, data[pos:pos + ln])
+        pos += ln
+    pos += 1
+    x0, y0, x1, y1 = pystruct.unpack("<iiii", attrs["dataWindow"][1])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    comp = attrs["compression"][1][0]
+    # parse channel names in order
+    ch = []
+    cdata = attrs["channels"][1]
+    cpos = 0
+    while cdata[cpos] != 0:
+        e = cdata.index(b"\x00", cpos)
+        ch.append(cdata[cpos:e].decode())
+        cpos = e + 1 + 16
+    offsets = pystruct.unpack(f"<{h}Q", data[pos:pos + 8 * h])
+    img = np.zeros((h, w, len(ch)), np.float32)
+    for yi, off in enumerate(offsets):
+        y, ln = pystruct.unpack("<iI", data[off:off + 8])
+        raw = data[off + 8:off + 8 + ln]
+        expect = w * 4 * len(ch)
+        if comp in (2, 3) and ln != expect:  # ZIPS/ZIP
+            raw = zlib.decompress(raw)
+            raw = _exr_predictor_decode(raw)
+        vals = np.frombuffer(raw, "<f4").reshape(len(ch), w)
+        img[y - y0] = vals.T
+    order = {c: i for i, c in enumerate(ch)}
+    if set("RGB") <= set(ch):
+        img = img[:, :, [order["R"], order["G"], order["B"]]]
+    return img
+
+
+def _exr_predictor_decode(data: bytes) -> bytes:
+    """Inverse of _exr_predictor_encode: un-delta THEN un-reorder."""
+    d = np.frombuffer(data, np.uint8).astype(np.int64)
+    n = len(d)
+    t = np.empty(n, np.int64)
+    t[0] = d[0]
+    t[1:] = d[1:] - 128
+    t = np.cumsum(t) % 256
+    half = (n + 1) // 2
+    out = np.empty(n, np.uint8)
+    out[0::2] = t[:half]
+    out[1::2] = t[half:]
+    return out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Metrics (reference cmd/imgtool.cpp diff: MAE/MSE/MRSE)
+
+def image_mae(a, b):
+    return float(np.mean(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def image_mse(a, b):
+    return float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+
+
+def image_mrse(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(np.mean((a - b) ** 2 / (b * b + 0.01)))

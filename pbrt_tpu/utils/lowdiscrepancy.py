@@ -122,20 +122,24 @@ def radical_inverse_host(prime_index: int, a) -> np.ndarray:
 def radical_inverse(prime_index_static: int, a, max_digits=None):
     """Device radical inverse, base = primes[prime_index_static] (static int).
 
-    a: int32/uint32 arrays. Fixed digit count = ceil(log_base(2^32)).
+    a: int32/uint32 arrays. Accumulates in float32 (digit i gets weight
+    base^-(i+1)); digits beyond float32 precision are sub-ULP and skipped
+    (the reference accumulates in uint64+double, util/lowdiscrepancy.h:86 —
+    TPUs have no 64-bit ints, and the output is float32 regardless).
     """
     base = int(primes_table()[prime_index_static])
     if max_digits is None:
-        max_digits = int(np.ceil(32 / np.log2(base)))
+        max_digits = int(np.ceil(26 / np.log2(base))) + 1
     a = jnp.asarray(a).astype(jnp.uint32)
-    rev = jnp.zeros_like(a)
+    v = jnp.zeros(a.shape, jnp.float32)
+    mult = np.float32(1.0 / base)
     for _ in range(max_digits):
         next_a = a // np.uint32(base)
         digit = a - next_a * np.uint32(base)
-        rev = rev * np.uint32(base) + digit
+        v = v + digit.astype(jnp.float32) * mult
+        mult = np.float32(mult / base)
         a = next_a
-    inv = np.float32(base ** -max_digits)
-    return jnp.minimum(rev.astype(jnp.float32) * inv, _ONE_MINUS_EPS)
+    return jnp.minimum(v, _ONE_MINUS_EPS)
 
 
 def scrambled_radical_inverse(prime_index_static: int, a, perm):
@@ -144,17 +148,18 @@ def scrambled_radical_inverse(prime_index_static: int, a, perm):
     permutation for all digit positions + per-digit xor of position hash is
     left to the Halton sampler)."""
     base = int(primes_table()[prime_index_static])
-    max_digits = int(np.ceil(32 / np.log2(base)))
+    max_digits = int(np.ceil(26 / np.log2(base))) + 1
     a = jnp.asarray(a).astype(jnp.uint32)
-    rev = jnp.zeros_like(a)
+    v = jnp.zeros(a.shape, jnp.float32)
+    mult = np.float32(1.0 / base)
     for _ in range(max_digits):
         next_a = a // np.uint32(base)
         digit = (a - next_a * np.uint32(base)).astype(jnp.int32)
-        pdigit = perm[digit].astype(jnp.uint32)
-        rev = rev * np.uint32(base) + pdigit
+        pdigit = perm[digit].astype(jnp.float32)
+        v = v + pdigit * mult
+        mult = np.float32(mult / base)
         a = next_a
-    inv = np.float32(base ** -max_digits)
-    return jnp.minimum(rev.astype(jnp.float32) * inv, _ONE_MINUS_EPS)
+    return jnp.minimum(v, _ONE_MINUS_EPS)
 
 
 def compute_radical_inverse_permutations(seed: int) -> list[np.ndarray]:

@@ -48,9 +48,10 @@ def hash_u32(*words):
     Not bit-identical to the reference (which is 64-bit); serves the same role
     of per-pixel/per-dimension seed decorrelation.
     """
-    h = np.uint32(0x9E3779B9)
-    for w in words:
-        h = fmix32(_u32(w) ^ (h * np.uint32(0x01000193) + np.uint32(0x517CC1B7)))
+    with np.errstate(over="ignore"):
+        h = np.uint32(0x9E3779B9)
+        for w in words:
+            h = fmix32(_u32(w) ^ (h * np.uint32(0x01000193) + np.uint32(0x517CC1B7)))
     return h
 
 

@@ -1,11 +1,20 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh so
-multi-chip sharding logic is exercised without TPU hardware."""
+multi-chip sharding logic is exercised without TPU hardware.
+
+Note: the axon TPU plugin ignores JAX_PLATFORMS, so we must also force the
+platform through jax.config before any computation.
+"""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
