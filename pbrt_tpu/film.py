@@ -81,13 +81,19 @@ def _solve_sensor_matrix(response, colorspace, white_balance_temp):
 
 def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
     """MC projection of sampled radiance onto the sensor response (reference
-    PixelSensor::ToSensorRGB, film.h:74). L: (..., 4) -> (..., 3)."""
+    PixelSensor::ToSensorRGB, film.h:74). L: (..., 4) -> (..., 3).
+
+    One fused gather for all 3 curves x 2 interpolation taps."""
     w = spc.safe_div_spectrum(L, swl.pdf) / CIE_Y_INTEGRAL
-    r = spc.eval_dense(sensor.response[0], swl.lam)
-    g = spc.eval_dense(sensor.response[1], swl.lam)
-    b = spc.eval_dense(sensor.response[2], swl.lam)
-    rgb = jnp.stack([jnp.mean(r * w, -1), jnp.mean(g * w, -1),
-                     jnp.mean(b * w, -1)], axis=-1)
+    lam = swl.lam
+    x = jnp.clip(lam - spc.LAMBDA_MIN, 0.0, spc.N_CIE - 1.000001)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
+    frac = (x - i0.astype(jnp.float32))[..., None]
+    resp_t = sensor.response.T  # (471, 3)
+    idx = jnp.stack([i0, i0 + 1], axis=-1)          # (..., 4, 2)
+    v = resp_t[idx]                                  # ONE gather (..., 4, 2, 3)
+    curves = v[..., 0, :] * (1.0 - frac) + v[..., 1, :] * frac  # (..., 4, 3)
+    rgb = jnp.mean(curves * w[..., None], axis=-2)   # (..., 3)
     return sensor.imaging_ratio * rgb
 
 

@@ -93,7 +93,7 @@ def make_filter(kind="gaussian", xradius=None, yradius=None, sigma=0.5,
     rx = default_r if xradius is None else xradius
     ry = default_r if yradius is None else yradius
     f = Filter(kind=k, radius=(rx, ry), sigma=sigma, b=b, c=c, tau=tau)
-    if k in (FILTER_MITCHELL, FILTER_LANCZOS, FILTER_GAUSSIAN):
+    if k in (FILTER_MITCHELL, FILTER_LANCZOS):
         # tabulate |f| on a 32x32 grid for importance sampling (reference
         # FilterSampler ctor, filters.cpp)
         n = 32
@@ -117,6 +117,30 @@ def sample(f: Filter, u):
     if f.kind == FILTER_TRIANGLE:
         p = jnp.stack([sp.sample_tent(u[..., 0], rx), sp.sample_tent(u[..., 1], ry)], -1)
         return p, jnp.ones(u.shape[:-1], jnp.float32)
+    if f.kind == FILTER_GAUSSIAN:
+        # analytic truncated-gaussian inverse CDF per axis (gather-free;
+        # the reference tabulates via FilterSampler — equivalent up to the
+        # g(r) offset, which the f/pdf weight accounts for exactly)
+        import jax
+
+        def samp_axis(uu, r):
+            # x ~ gaussian truncated to [-r, r]: inverse CDF via erfinv.
+            import math
+            s2 = f.sigma * np.sqrt(2.0)
+            z = math.erf(r / s2)
+            x = s2 * jax.scipy.special.erfinv(
+                jnp.clip((2.0 * uu - 1.0) * z, -0.999999, 0.999999))
+            x = jnp.clip(x, -r, r)
+            pdf = jnp.exp(-x * x / (2 * f.sigma ** 2)) / \
+                (f.sigma * np.sqrt(2 * np.pi)) / z
+            return x, pdf
+
+        x, pdf_x = samp_axis(u[..., 0], rx)
+        y, pdf_y = samp_axis(u[..., 1], ry)
+        p = jnp.stack([x, y], -1)
+        fv = evaluate(f, p)
+        w = fv / jnp.maximum(pdf_x * pdf_y, 1e-12)
+        return p, w
     # tabulated: sample uv in [0,1]^2 ~ |f|, weight = f/pdf (may be negative)
     uv, pdf_uv = f.table.sample(u)
     p = jnp.stack([(uv[..., 0] * 2 - 1) * rx, (uv[..., 1] * 2 - 1) * ry], -1)

@@ -65,8 +65,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler, u_pick)
         li_idx = jnp.maximum(li_idx, 0)
         ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
-                           scene.spectra_pool, scene.tri_p0, scene.tri_p1,
-                           scene.tri_p2, scene.scene_radius)
+                           scene.spectra_pool, scene.tri_geo,
+                           scene.scene_radius)
         wi = ls["wi"]
         wi_local = _to_local(ns, t1, t2, wi)
         f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
@@ -90,18 +90,22 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         hit = isect["hit"] & active
 
         # --- emitted radiance at hits of emissive triangles ---
-        light_idx = isect["light"]
-        is_emitter = hit & (light_idx >= 0)
-        li_safe = jnp.maximum(light_idx, 0)
-        Le = lgt.area_light_radiance(scene.lights, li_safe, isect["ng"],
-                                     isect["wo"], lam, scene.spectra_pool)
-        pdf_light = lgt.pdf_li_area_tri(
-            scene.lights, li_safe, o, d, isect["p"], isect["ng"],
-            scene.tri_p0, scene.tri_p1, scene.tri_p2) * \
-            lsamp.light_pmf(scene.light_sampler, li_safe)
-        w_emit = jnp.where((depth == 0) | spec_bounce, 1.0,
-                           power_heuristic(1.0, prev_pdf, 1.0, pdf_light))
-        L = L + jnp.where(is_emitter[..., None], beta * Le * w_emit[..., None], 0.0)
+        if scene.has_area_lights:
+            light_idx = isect["light"]
+            is_emitter = hit & (light_idx >= 0)
+            li_safe = jnp.maximum(light_idx, 0)
+            lrow = lgt.LightRow(scene.lights.packed[li_safe])  # ONE gather
+            Le = lgt.area_light_radiance(lrow, isect["ng"], isect["wo"], lam,
+                                         scene.spectra_pool)
+            # the hit triangle IS the light's triangle: reuse intersect's verts
+            tri_rows = jnp.concatenate([isect["p0"], isect["p1"], isect["p2"]],
+                                       axis=-1)
+            pdf_light = lgt.pdf_li_area_tri(lrow, o, d, isect["p"], tri_rows) * \
+                lrow.pmf
+            w_emit = jnp.where((depth == 0) | spec_bounce, 1.0,
+                               power_heuristic(1.0, prev_pdf, 1.0, pdf_light))
+            L = L + jnp.where(is_emitter[..., None],
+                              beta * Le * w_emit[..., None], 0.0)
 
         # --- escaped rays: infinite lights ---
         if scene.n_infinite > 0:
@@ -109,10 +113,9 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
                                                  scene.spectra_pool, d,
                                                  scene.inf_indices)
-            # MIS vs uniform-sphere light sampling
+            # MIS vs uniform-sphere light sampling (static index: no gather)
             inf_idx = scene.inf_indices[0]
-            pmf_inf = lsamp.light_pmf(scene.light_sampler,
-                                      jnp.full((N,), inf_idx, jnp.int32))
+            pmf_inf = scene.light_sampler.pmf_table[int(inf_idx)]
             pdf_inf = pmf_inf * (1.0 / (4.0 * np.pi))
             w_inf = jnp.where((depth == 0) | spec_bounce, 1.0,
                               power_heuristic(1.0, prev_pdf, 1.0, pdf_inf))

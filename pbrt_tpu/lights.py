@@ -30,54 +30,92 @@ LIGHT_IMAGE_INFINITE = 5
 
 @struct.dataclass
 class LightPool:
+    """SoA light pool. Device code reads the PACKED row matrix (one gather
+    per light lookup — XLA gathers cost ~1ms flat on TPU); the per-field
+    arrays exist for host-side inspection and pool construction.
+
+    packed columns: [bits(tag), p(3), dir(3), bits(spec_idx), scale,
+                     bits(tri), two_sided, cfs, cfe, is_delta, pmf] = 15
+    """
+    packed: jnp.ndarray     # (L, 15) f32
     tag: jnp.ndarray        # (L,) int32
-    p: jnp.ndarray          # (L, 3) position (point/spot) or direction-from (distant)
-    dir: jnp.ndarray        # (L, 3) direction (distant/spot axis)
-    spec_idx: jnp.ndarray   # (L,) int32 row in spectrum pool
-    scale: jnp.ndarray      # (L,)
-    tri: jnp.ndarray        # (L,) int32 triangle index for area lights
-    two_sided: jnp.ndarray  # (L,) bool
-    cos_falloff_start: jnp.ndarray  # (L,) spot
-    cos_falloff_end: jnp.ndarray    # (L,)
     power: jnp.ndarray      # (L,) scalar photometric-ish power for samplers
-    # world radius for infinite lights
-    is_delta: jnp.ndarray   # (L,) bool (delta position/direction)
+    scale: jnp.ndarray      # (L,)
+    spec_idx: jnp.ndarray   # (L,) int32
 
 
-def empty_light_pool() -> LightPool:
-    z3 = jnp.zeros((0, 3), jnp.float32)
-    z = jnp.zeros((0,), jnp.float32)
-    zi = jnp.zeros((0,), jnp.int32)
-    zb = jnp.zeros((0,), bool)
-    return LightPool(tag=zi, p=z3, dir=z3, spec_idx=zi, scale=z, tri=zi,
-                     two_sided=zb, cos_falloff_start=z, cos_falloff_end=z,
-                     power=z, is_delta=zb)
+def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
+                    is_delta, pmf, power) -> LightPool:
+    tag = np.asarray(tag, np.int32)
+    packed = np.concatenate([
+        tag[:, None].view(np.float32),
+        np.asarray(p, np.float32).reshape(-1, 3),
+        np.asarray(dir_, np.float32).reshape(-1, 3),
+        np.asarray(spec_idx, np.int32)[:, None].view(np.float32),
+        np.asarray(scale, np.float32)[:, None],
+        np.asarray(tri, np.int32)[:, None].view(np.float32),
+        np.asarray(two_sided, np.float32)[:, None],
+        np.asarray(cfs, np.float32)[:, None],
+        np.asarray(cfe, np.float32)[:, None],
+        np.asarray(is_delta, np.float32)[:, None],
+        np.asarray(pmf, np.float32)[:, None]], axis=1)
+    return LightPool(packed=jnp.asarray(packed), tag=jnp.asarray(tag),
+                     power=jnp.asarray(np.asarray(power, np.float32)),
+                     scale=jnp.asarray(np.asarray(scale, np.float32)),
+                     spec_idx=jnp.asarray(np.asarray(spec_idx, np.int32)))
+
+
+def _bits_i32(f):
+    import jax
+    return jax.lax.bitcast_convert_type(f, jnp.int32)
+
+
+class LightRow:
+    """View over gathered packed light rows (N, 15)."""
+
+    def __init__(self, rows):
+        self.tag = _bits_i32(rows[..., 0])
+        self.p = rows[..., 1:4]
+        self.dir = rows[..., 4:7]
+        self.spec_idx = _bits_i32(rows[..., 7])
+        self.scale = rows[..., 8]
+        self.tri = _bits_i32(rows[..., 9])
+        self.two_sided = rows[..., 10] > 0.5
+        self.cfs = rows[..., 11]
+        self.cfe = rows[..., 12]
+        self.is_delta = rows[..., 13] > 0.5
+        self.pmf = rows[..., 14]
 
 
 def eval_light_spectrum(spectra_pool, spec_idx, scale, lam):
-    """Gather + interpolate emission spectra. spec_idx: (N,), lam: (N,4)."""
+    """Gather + interpolate emission spectra. spec_idx: (N,), lam: (N,4).
+
+    Single fused gather over the flattened pool (gathers are ~1ms flat on
+    TPU, so one (N,4,2) gather beats two (N,4) gathers)."""
     x = jnp.clip(lam - spc.LAMBDA_MIN, 0.0, spc.N_CIE - 1.000001)
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
     frac = x - i0.astype(jnp.float32)
-    v0 = spectra_pool[spec_idx[..., None], i0]
-    v1 = spectra_pool[spec_idx[..., None], i0 + 1]
-    return scale[..., None] * (v0 * (1 - frac) + v1 * frac)
+    flat = spectra_pool.reshape(-1)
+    base = spec_idx[..., None, None] * spc.N_CIE + \
+        jnp.stack([i0, i0 + 1], axis=-1)       # (N, 4, 2)
+    v = flat[base]                              # ONE gather
+    return scale[..., None] * (v[..., 0] * (1 - frac) + v[..., 1] * frac)
 
 
 def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
-              spectra_pool, tri_p0, tri_p1, tri_p2, scene_radius):
+              spectra_pool, tri_geo, scene_radius):
     """Sample incident direction from light light_idx toward p_ref.
 
-    light_idx: (N,) into pool; p_ref: (N, 3); u2: (N, 2); lam: (N, 4).
+    light_idx: (N,) into pool; p_ref: (N, 3); u2: (N, 2); lam: (N, 4);
+    tri_geo: (T, 10) packed triangles (scene_core.Scene.tri_geo).
     Returns dict(wi (N,3), L (N,4), pdf (N,), p_light (N,3), is_delta (N,),
     valid (N,)). pdf is solid-angle measure (reference Light::SampleLi).
     """
-    tag = lights.tag[light_idx]
-    lp = lights.p[light_idx]
-    ldir = lights.dir[light_idx]
-    scale = lights.scale[light_idx]
-    sidx = lights.spec_idx[light_idx]
-    Lspec = eval_light_spectrum(spectra_pool, sidx, scale, lam)  # (N,4)
+    row = LightRow(lights.packed[light_idx])  # ONE gather
+    tag = row.tag
+    lp = row.p
+    ldir = row.dir
+    Lspec = eval_light_spectrum(spectra_pool, row.spec_idx, row.scale, lam)
 
     # --- point ---
     d_pt = lp - p_ref
@@ -88,8 +126,8 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
 
     # --- spot: like point with smooth falloff (reference SpotLight:~300) ---
     cos_theta = vm.dot(-wi_pt, ldir)
-    cfs = lights.cos_falloff_start[light_idx]
-    cfe = lights.cos_falloff_end[light_idx]
+    cfs = row.cfs
+    cfe = row.cfe
     t = jnp.clip(safe_div(cos_theta - cfe, cfs - cfe), 0.0, 1.0)
     falloff = sqr(sqr(t))  # smooth falloff (reference SmoothStep-based)
     falloff = jnp.where(cos_theta >= cfs, 1.0, falloff)
@@ -103,10 +141,11 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     pdf_dist = jnp.ones_like(dist2_pt)
 
     # --- area triangle: uniform-area sample + convert to solid angle ---
-    ti = jnp.clip(lights.tri[light_idx], 0, max(tri_p0.shape[0] - 1, 0))
-    a = tri_p0[ti]
-    b = tri_p1[ti]
-    c = tri_p2[ti]
+    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
+    geo = tri_geo[ti]  # ONE gather
+    a = geo[..., 0:3]
+    b = geo[..., 3:6]
+    c = geo[..., 6:9]
     bary = sp.sample_uniform_triangle(u2)
     p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
     ng = vm.cross(b - a, c - a)
@@ -116,7 +155,7 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     dist2_tri = jnp.maximum(vm.length_squared(d_tri), 1e-12)
     wi_tri = d_tri / jnp.sqrt(dist2_tri)[..., None]
     cos_l = vm.dot(ng, -wi_tri)
-    two = lights.two_sided[light_idx]
+    two = row.two_sided
     emit_ok = two | (cos_l > 0)
     # pdf_area -> pdf_solid_angle
     pdf_tri = safe_div(dist2_tri, jnp.abs(cos_l) * area)
@@ -144,19 +183,19 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
               jnp.where(t2 == LIGHT_SPOT, lp,
               jnp.where(t2 == LIGHT_DISTANT, p_dist,
               jnp.where(t2 == LIGHT_AREA_TRI, p_tri, p_inf))))
-    is_delta = lights.is_delta[light_idx]
+    is_delta = row.is_delta
     valid = (pdf > 0) & jnp.any(L > 0, axis=-1)
     return dict(wi=wi, L=L, pdf=pdf, p_light=p_light, is_delta=is_delta,
                 valid=valid)
 
 
-def pdf_li_area_tri(lights: LightPool, light_idx, p_ref, wi, p_hit, n_hit,
-                    tri_p0, tri_p1, tri_p2):
+def pdf_li_area_tri(row: "LightRow", p_ref, wi, p_hit, tri_geo_rows):
     """Solid-angle PDF that sample_li would have returned for direction wi
     hitting the area light at p_hit (reference Triangle::PDF from reference
-    point). Used for MIS on BSDF-sampled paths."""
-    ti = jnp.clip(lights.tri[light_idx], 0, max(tri_p0.shape[0] - 1, 0))
-    a, b, c = tri_p0[ti], tri_p1[ti], tri_p2[ti]
+    point). Used for MIS on BSDF-sampled paths. Takes pre-gathered rows."""
+    a = tri_geo_rows[..., 0:3]
+    b = tri_geo_rows[..., 3:6]
+    c = tri_geo_rows[..., 6:9]
     ng = vm.cross(b - a, c - a)
     area = 0.5 * vm.length(ng)
     ng = vm.normalize(ng)
@@ -165,15 +204,12 @@ def pdf_li_area_tri(lights: LightPool, light_idx, p_ref, wi, p_hit, n_hit,
     return safe_div(dist2, cos_l * area)
 
 
-def area_light_radiance(lights: LightPool, light_idx, ng, wo, lam, spectra_pool):
+def area_light_radiance(row: "LightRow", ng, wo, lam, spectra_pool):
     """L emitted from an area-light surface point toward wo (reference
-    DiffuseAreaLight::L, lights.h:445)."""
-    scale = lights.scale[light_idx]
-    sidx = lights.spec_idx[light_idx]
-    Lspec = eval_light_spectrum(spectra_pool, sidx, scale, lam)
-    two = lights.two_sided[light_idx]
+    DiffuseAreaLight::L, lights.h:445). Takes a pre-gathered LightRow."""
+    Lspec = eval_light_spectrum(spectra_pool, row.spec_idx, row.scale, lam)
     front = vm.dot(ng, wo) > 0
-    return jnp.where((two | front)[..., None], Lspec, 0.0)
+    return jnp.where((row.two_sided | front)[..., None], Lspec, 0.0)
 
 
 def infinite_light_radiance(lights: LightPool, lam, spectra_pool, ray_d,
@@ -185,8 +221,9 @@ def infinite_light_radiance(lights: LightPool, lam, spectra_pool, ray_d,
     total = jnp.zeros(lam.shape, jnp.float32)
     for i in inf_indices:
         idx = jnp.full(lam.shape[:-1], int(i), jnp.int32)
+        scale = lights.scale[int(i)]  # static index: no gather
         total = total + eval_light_spectrum(spectra_pool, idx,
-                                            lights.scale[idx], lam)
+                                            scale * jnp.ones(lam.shape[:-1]), lam)
     return total
 
 

@@ -1,11 +1,13 @@
 """Light samplers (reference lightsamplers.{h,cpp}; base/lightsampler.h:23:
 Uniform, Power, BVH, Exhaustive).
 
-Round 1: Uniform + Power (alias-table). The many-light BVH sampler
-(Conty-Kulla) follows once large scenes land.
+Round 1: Uniform + Power (alias-table). The alias table is packed into one
+row matrix so a light pick costs ONE gather (TPU gathers are ~1ms flat).
+The many-light BVH sampler (Conty-Kulla) follows once large scenes land.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -20,34 +22,65 @@ LS_POWER = 1
 class LightSampler:
     kind: int = struct.field(pytree_node=False, default=LS_UNIFORM)
     n_lights: int = struct.field(pytree_node=False, default=0)
-    alias: sp.AliasTable = None
-    pmf_table: jnp.ndarray = None  # (L,)
+    # packed alias rows: [q, bits(alias), pmf_self, pmf_alias]
+    rows: jnp.ndarray = None      # (L, 4) f32
+    pmf_table: jnp.ndarray = None  # (L,) host/reference use
 
 
 def make_light_sampler(kind: str, light_powers: np.ndarray) -> LightSampler:
     n = len(light_powers)
     if kind == "power" and n > 0 and np.sum(light_powers) > 0:
         at = sp.AliasTable.build(light_powers)
-        return LightSampler(kind=LS_POWER, n_lights=n, alias=at, pmf_table=at.pmf)
+        q = np.asarray(at.q, np.float32)
+        alias = np.asarray(at.alias, np.int32)
+        pmf = np.asarray(at.pmf, np.float32)
+        rows = np.concatenate([
+            q[:, None], alias[:, None].view(np.float32),
+            pmf[:, None], pmf[alias][:, None]], axis=1)
+        return LightSampler(kind=LS_POWER, n_lights=n,
+                            rows=jnp.asarray(rows), pmf_table=jnp.asarray(pmf))
     pmf = jnp.full((max(n, 1),), 1.0 / max(n, 1), jnp.float32)
     return LightSampler(kind=LS_UNIFORM, n_lights=n, pmf_table=pmf)
 
 
 def sample_light(ls: LightSampler, u):
-    """u: (N,) -> (light_idx (N,), pmf (N,), u_remapped (N,))."""
+    """u: (N,) -> (light_idx (N,), pmf (N,), u_remapped (N,)).
+
+    Power sampler: one packed gather (alias O(1) sampling, reference
+    sampling.h:804)."""
     if ls.n_lights == 0:
         z = jnp.zeros_like(u)
         return jnp.full(u.shape, -1, jnp.int32), z, u
-    if ls.kind == LS_POWER:
-        return ls.alias.sample(u)
     n = ls.n_lights
+    if ls.kind == LS_POWER:
+        up = u * n
+        i = jnp.clip(up.astype(jnp.int32), 0, n - 1)
+        frac = up - i.astype(jnp.float32)
+        rows = ls.rows[i]  # ONE gather
+        q = rows[..., 0]
+        alias = jax.lax.bitcast_convert_type(rows[..., 1], jnp.int32)
+        take_primary = frac < q
+        idx = jnp.where(take_primary, i, alias)
+        pmf = jnp.where(take_primary, rows[..., 2], rows[..., 3])
+        u_new = jnp.where(take_primary,
+                          frac / jnp.maximum(q, 1e-9),
+                          (frac - q) / jnp.maximum(1.0 - q, 1e-9))
+        return idx, pmf, jnp.clip(u_new, 0.0, 1.0 - 1e-7)
     idx = jnp.clip((u * n).astype(jnp.int32), 0, n - 1)
     u_new = jnp.clip(u * n - idx.astype(jnp.float32), 0.0, 1.0 - 1e-7)
     return idx, jnp.full(u.shape, 1.0 / n, jnp.float32), u_new
 
 
-def light_pmf(ls: LightSampler, light_idx):
-    """PMF of picking light_idx (for MIS on BSDF-sampled light hits)."""
+def light_pmf(ls: LightSampler, light_idx=None, light_row=None):
+    """PMF of picking a light (for MIS on BSDF-sampled light hits).
+
+    Prefer passing a pre-gathered lights.LightRow (its pmf column) to avoid
+    a gather; falls back to a table gather given indices."""
     if ls.n_lights == 0:
-        return jnp.zeros(light_idx.shape, jnp.float32)
+        shape = light_idx.shape if light_idx is not None else light_row.pmf.shape
+        return jnp.zeros(shape, jnp.float32)
+    if light_row is not None:
+        return light_row.pmf
+    if ls.kind == LS_UNIFORM:
+        return jnp.full(light_idx.shape, 1.0 / ls.n_lights, jnp.float32)
     return ls.pmf_table[jnp.clip(light_idx, 0, ls.n_lights - 1)]

@@ -20,16 +20,16 @@ from .utils import spectrum as spc
 
 @struct.dataclass
 class MaterialPool:
-    bxdf_tag: jnp.ndarray       # (M,) int32
-    albedo_coeffs: jnp.ndarray  # (M, 3) sigmoid-poly coeffs (reflectance)
-    trans_coeffs: jnp.ndarray   # (M, 3) transmittance (diffusetransmission)
-    uroughness: jnp.ndarray     # (M,)
-    vroughness: jnp.ndarray     # (M,)
-    eta_const: jnp.ndarray      # (M,) scalar IOR (dielectric)
-    eta_spec_idx: jnp.ndarray   # (M,) int32 into spectrum pool, -1 = constant
-    k_spec_idx: jnp.ndarray     # (M,) int32, -1 = none
-    albedo_tex: jnp.ndarray     # (M,) int32 texture id, -1 = constant
-    remap_roughness: jnp.ndarray  # (M,) bool
+    """Packed material rows: one gather per shading lookup (TPU gathers are
+    ~1ms flat; see ops/gather.py).
+
+    packed columns: [bits(tag), albedo_coeffs(3), trans_coeffs(3), ur, vr,
+                     eta_const, bits(eta_spec_idx), bits(k_spec_idx),
+                     bits(albedo_tex), remap] = 14
+    """
+    packed: jnp.ndarray         # (M, 14) f32
+    has_spectral_eta: bool = struct.field(pytree_node=False, default=False)
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
 
 class MaterialBuilder:
@@ -84,18 +84,25 @@ class MaterialBuilder:
     def build(self) -> MaterialPool:
         if not self.rows:
             self.add_diffuse()
+
         def col(k, dtype=np.float32):
-            return jnp.asarray(np.stack([np.asarray(r[k]) for r in self.rows]).astype(dtype))
+            return np.stack([np.asarray(r[k]) for r in self.rows]).astype(dtype)
+
+        packed = np.concatenate([
+            col("bxdf_tag", np.int32)[:, None].view(np.float32),
+            col("albedo_coeffs").reshape(-1, 3),
+            col("trans_coeffs").reshape(-1, 3),
+            col("uroughness")[:, None], col("vroughness")[:, None],
+            col("eta_const")[:, None],
+            col("eta_spec_idx", np.int32)[:, None].view(np.float32),
+            col("k_spec_idx", np.int32)[:, None].view(np.float32),
+            col("albedo_tex", np.int32)[:, None].view(np.float32),
+            col("remap_roughness", np.float32)[:, None]], axis=1)
         return MaterialPool(
-            bxdf_tag=col("bxdf_tag", np.int32),
-            albedo_coeffs=col("albedo_coeffs"),
-            trans_coeffs=col("trans_coeffs"),
-            uroughness=col("uroughness"), vroughness=col("vroughness"),
-            eta_const=col("eta_const"),
-            eta_spec_idx=col("eta_spec_idx", np.int32),
-            k_spec_idx=col("k_spec_idx", np.int32),
-            albedo_tex=col("albedo_tex", np.int32),
-            remap_roughness=col("remap_roughness", bool))
+            packed=jnp.asarray(packed),
+            has_spectral_eta=bool((col("eta_spec_idx", np.int32) >= 0).any() or
+                                  (col("k_spec_idx", np.int32) >= 0).any()),
+            has_textures=bool((col("albedo_tex", np.int32) >= 0).any()))
 
 
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
@@ -106,31 +113,38 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
 
     mat_idx: (N,) int32; lam: (N, 4). albedo_override: optional (N, 4) from
     image-texture evaluation (applied where albedo_tex >= 0).
+
+    One packed-row gather + (only if the scene has spectral eta/k) one fused
+    spectrum-pool gather each for eta and k.
     """
-    tag = pool.bxdf_tag[mat_idx]
-    coeffs = pool.albedo_coeffs[mat_idx]
+    import jax
+    rows = pool.packed[mat_idx]  # ONE gather (N, 14)
+    tag = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
+    coeffs = rows[..., 1:4]
     albedo = pcolor.eval_rgb_sigmoid_polynomial(coeffs, lam)
-    if albedo_override is not None:
-        has_tex = pool.albedo_tex[mat_idx] >= 0
+    if albedo_override is not None and pool.has_textures:
+        has_tex = jax.lax.bitcast_convert_type(rows[..., 12], jnp.int32) >= 0
         albedo = jnp.where(has_tex[..., None], albedo_override, albedo)
-    trans = pcolor.eval_rgb_sigmoid_polynomial(pool.trans_coeffs[mat_idx], lam)
-    ur = pool.uroughness[mat_idx]
-    vr = pool.vroughness[mat_idx]
-    remap = pool.remap_roughness[mat_idx]
+    trans = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 4:7], lam)
+    ur = rows[..., 7]
+    vr = rows[..., 8]
+    remap = rows[..., 13] > 0.5
     ax = jnp.where(remap, bxdfs.roughness_to_alpha(ur), ur)
     ay = jnp.where(remap, bxdfs.roughness_to_alpha(vr), vr)
-    # eta/k: spectral where a named spectrum is set, else constant
-    from .lights import eval_light_spectrum
-    eidx = pool.eta_spec_idx[mat_idx]
-    kidx = pool.k_spec_idx[mat_idx]
+    eta_const = rows[..., 9]
     ones = jnp.ones_like(lam)
-    eta_dense = eval_light_spectrum(spectra_pool, jnp.maximum(eidx, 0),
-                                    jnp.ones_like(ur), lam)
-    k_dense = eval_light_spectrum(spectra_pool, jnp.maximum(kidx, 0),
-                                  jnp.ones_like(ur), lam)
-    eta = jnp.where((eidx >= 0)[..., None], eta_dense,
-                    pool.eta_const[mat_idx][..., None] * ones)
-    k = jnp.where((kidx >= 0)[..., None], k_dense, ones)
+    if pool.has_spectral_eta:
+        from .lights import eval_light_spectrum
+        eidx = jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32)
+        kidx = jax.lax.bitcast_convert_type(rows[..., 11], jnp.int32)
+        one = jnp.ones_like(ur)
+        eta_dense = eval_light_spectrum(spectra_pool, jnp.maximum(eidx, 0), one, lam)
+        k_dense = eval_light_spectrum(spectra_pool, jnp.maximum(kidx, 0), one, lam)
+        eta = jnp.where((eidx >= 0)[..., None], eta_dense, eta_const[..., None] * ones)
+        k = jnp.where((kidx >= 0)[..., None], k_dense, ones)
+    else:
+        eta = eta_const[..., None] * ones
+        k = ones
     # diffuse-transmission stores transmittance in the k slot (see bxdfs)
     k = jnp.where((tag == bxdfs.BXDF_DIFFUSE_TRANSMISSION)[..., None], trans, k)
     return bxdfs.BSDFParams(tag=tag, albedo=albedo, alpha_x=ax, alpha_y=ay,

@@ -26,12 +26,13 @@ STACK_DEPTH = 40
 
 @struct.dataclass
 class BVH:
-    # flattened depth-first nodes
-    bounds_lo: jnp.ndarray   # (M, 3)
-    bounds_hi: jnp.ndarray   # (M, 3)
-    right_or_offset: jnp.ndarray  # (M,) int32: interior -> 2nd child; leaf -> prim offset
-    n_prims: jnp.ndarray     # (M,) int32: 0 for interior
-    axis: jnp.ndarray        # (M,) int32 split axis
+    """Flattened depth-first nodes, PACKED into one row matrix so traversal
+    costs ONE gather per visited node (XLA gathers are ~1ms flat on TPU).
+
+    nodes columns: [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z,
+                    bits(right_child | prim_offset), bits(n_prims << 2 | axis)]
+    """
+    nodes: jnp.ndarray       # (M, 8) f32 (2 int columns bitcast)
     prim_indices: jnp.ndarray  # (P,) int32 permutation into original prims
 
 
@@ -162,22 +163,53 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
             right_or_offset[i] = flat_index[nd["right"]]
             n_prims[i] = 0
 
-    return BVH(bounds_lo=jnp.asarray(lo), bounds_hi=jnp.asarray(hi),
-               right_or_offset=jnp.asarray(right_or_offset),
-               n_prims=jnp.asarray(n_prims), axis=jnp.asarray(axis),
+    packed = np.concatenate([
+        lo, hi,
+        right_or_offset[:, None].view(np.float32),
+        ((n_prims << 2) | axis)[:, None].view(np.float32)], axis=1)
+    return BVH(nodes=jnp.asarray(packed),
                prim_indices=jnp.asarray(ordered.astype(np.int32)))
 
 
 # ---------------------------------------------------------------------------
 # Device traversal over a triangle pool
 
-def bvh_intersect_triangles(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
+def pack_tri_geo(tri_p0, tri_p1, tri_p2, order=None):
+    """Pack triangle vertices (+ original index) into one (T, 10) row matrix:
+    [p0(3), p1(3), p2(3), bits(orig_index)]. If `order` is given, rows are
+    permuted into that order (BVH leaf order) so leaf tests index directly."""
+    p0 = np.asarray(tri_p0, np.float32)
+    p1 = np.asarray(tri_p1, np.float32)
+    p2 = np.asarray(tri_p2, np.float32)
+    t = len(p0)
+    orig = np.arange(t, dtype=np.int32)
+    if order is not None:
+        order = np.asarray(order)
+        p0, p1, p2, orig = p0[order], p1[order], p2[order], orig[order]
+    packed = np.concatenate([p0, p1, p2, orig[:, None].view(np.float32)], axis=1)
+    return jnp.asarray(packed)
+
+
+def _unpack_node(rows):
+    """rows: (N, 8) packed node rows -> (lo, hi, roff, nprims, axis)."""
+    lo = rows[:, 0:3]
+    hi = rows[:, 3:6]
+    roff = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
+    meta = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
+    return lo, hi, roff, meta >> 2, meta & 3
+
+
+def bvh_intersect_triangles(bvh: BVH, tri_geo_ordered, o, d, t_max,
                             any_hit=False):
     """Closest-hit (or any-hit) traversal of rays against BVH'd triangles.
 
-    tri_p*: (T, 3) triangle vertices in BVH prim order-independent storage —
-    indexed through bvh.prim_indices; o, d: (N, 3); t_max: (N,).
-    Returns dict(hit, t, prim (original triangle index), b0, b1, b2).
+    tri_geo_ordered: (T, 10) packed triangles in BVH leaf order (from
+    pack_tri_geo(..., order=bvh.prim_indices)); o, d: (N, 3); t_max: (N,).
+    Returns dict(hit, t, prim (ORIGINAL triangle index), b0, b1, b2).
+
+    Gather budget per loop iteration: 1 node row + MAX_LEAF_PRIMS triangle
+    rows (leaf lanes only) + stack push/pop — the packed layout exists
+    because each gather costs ~1ms flat on this TPU.
     """
     N = o.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
@@ -192,18 +224,14 @@ def bvh_intersect_triangles(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
     b_best = jnp.zeros((N, 3), jnp.float32)
     rows = jnp.arange(N)
 
-    ordered_idx = bvh.prim_indices  # (P,)
+    from .gather import pick3
 
     def cond(state):
         return jnp.any(state[0])
 
     def body(state):
         active, current, sp, stack, t_best, prim_best, b_best = state
-        node_lo = bvh.bounds_lo[current]
-        node_hi = bvh.bounds_hi[current]
-        nprim = bvh.n_prims[current]
-        roff = bvh.right_or_offset[current]
-        axis = bvh.axis[current]
+        node_lo, node_hi, roff, nprim, axis = _unpack_node(bvh.nodes[current])
 
         box_hit, _ = vm.ray_bounds_intersect_p(o, inv_d, t_best, node_lo, node_hi)
         box_hit = box_hit & active
@@ -212,12 +240,14 @@ def bvh_intersect_triangles(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
         # --- leaf: test up to MAX_LEAF_PRIMS triangles ---
         leaf_hit = box_hit & is_leaf
         for k in range(MAX_LEAF_PRIMS):
-            pk = jnp.clip(roff + k, 0, ordered_idx.shape[0] - 1)
-            tri = ordered_idx[pk]
+            pk = jnp.clip(roff + k, 0, tri_geo_ordered.shape[0] - 1)
+            geo = tri_geo_ordered[pk]  # one packed gather
             do_test = leaf_hit & (k < nprim)
-            r = isect.ray_triangle(o, d, t_best, tri_p0[tri], tri_p1[tri], tri_p2[tri])
+            r = isect.ray_triangle(o, d, t_best, geo[:, 0:3], geo[:, 3:6],
+                                   geo[:, 6:9])
             better = do_test & r["hit"] & (r["t"] < t_best)
             t_best = jnp.where(better, r["t"], t_best)
+            tri = jax.lax.bitcast_convert_type(geo[:, 9], jnp.int32)
             prim_best = jnp.where(better, tri, prim_best)
             b_best = jnp.where(better[:, None],
                                jnp.stack([r["b0"], r["b1"], r["b2"]], axis=-1), b_best)
@@ -226,7 +256,7 @@ def bvh_intersect_triangles(bvh: BVH, tri_p0, tri_p1, tri_p2, o, d, t_max,
             active = active & (prim_best < 0)
 
         # --- interior: descend near child, push far child ---
-        neg = jnp.take_along_axis(dir_neg, axis[:, None], axis=-1)[:, 0]
+        neg = pick3(dir_neg, axis)
         near = jnp.where(neg, roff, current + 1)
         far = jnp.where(neg, current + 1, roff)
         descend = box_hit & ~is_leaf & active
@@ -267,15 +297,19 @@ def brute_force_intersect_triangles(tri_p0, tri_p1, tri_p2, o, d, t_max,
         r = isect.ray_triangle(o[:, None, :], d[:, None, :], t_best[:, None],
                                tri_p0[None, s:e], tri_p1[None, s:e], tri_p2[None, s:e])
         t = jnp.where(r["hit"], r["t"], jnp.inf)  # (N, chunk)
-        k = jnp.argmin(t, axis=1)
-        tk = jnp.take_along_axis(t, k[:, None], axis=1)[:, 0]
+        tk = jnp.min(t, axis=1)
+        # one-hot argmin extraction (no take_along_axis -> no gather)
+        oh = (t == tk[:, None]) & jnp.isfinite(t)
+        # break ties: keep only the first minimal entry
+        first = jnp.cumsum(oh.astype(jnp.int32), axis=1) == 1
+        oh = (oh & first).astype(jnp.float32)
+        k = jnp.sum(oh * jnp.arange(e - s, dtype=jnp.float32)[None, :], axis=1)
         better = tk < t_best
         t_best = jnp.where(better, tk, t_best)
-        prim_best = jnp.where(better, (s + k).astype(jnp.int32), prim_best)
-        bk = jnp.stack([
-            jnp.take_along_axis(r["b0"], k[:, None], axis=1)[:, 0],
-            jnp.take_along_axis(r["b1"], k[:, None], axis=1)[:, 0],
-            jnp.take_along_axis(r["b2"], k[:, None], axis=1)[:, 0]], axis=-1)
+        prim_best = jnp.where(better, s + k.astype(jnp.int32), prim_best)
+        bk = jnp.stack([jnp.sum(r["b0"] * oh, axis=1),
+                        jnp.sum(r["b1"] * oh, axis=1),
+                        jnp.sum(r["b2"] * oh, axis=1)], axis=-1)
         b_best = jnp.where(better[:, None], bk, b_best)
     hit = prim_best >= 0
     return dict(hit=hit, t=jnp.where(hit, t_best, jnp.inf), prim=prim_best,

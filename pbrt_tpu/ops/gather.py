@@ -1,0 +1,77 @@
+"""Gather-avoidance primitives for TPU.
+
+Measured on the target TPU (v5e via axon): every XLA gather/scatter op costs
+~0.5-1ms regardless of size, while elementwise ops and small matmuls are
+effectively free. Design rules encoded here:
+
+- tiny tables (< ~64 rows): one-hot compare + reduce (VPU/MXU, no gather)
+- per-entity attribute pools: pack ALL attributes into one (n, C) row matrix
+  so each entity lookup is ONE gather, with int fields bitcast through f32
+- component picks (xyz by index): arithmetic select, never take_along_axis
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def onehot_lookup(table, idx, axis_size=None):
+    """Gather-free lookup for small tables.
+
+    table: (K,) or (K, C) f32/int32-safe-in-f32; idx: (...) int32.
+    Returns (...,) or (..., C). Uses one-hot compare + sum (never a gather).
+    """
+    table = jnp.asarray(table, jnp.float32)
+    K = table.shape[0] if axis_size is None else axis_size
+    oh = (idx[..., None] == jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
+    if table.ndim == 1:
+        return oh @ table
+    return jnp.tensordot(oh, table, axes=([-1], [0]))
+
+
+def pick3(v, k):
+    """v[..., k] for k in {0,1,2} without a gather. v: (..., 3); k: (...)."""
+    return jnp.where(k == 0, v[..., 0], jnp.where(k == 1, v[..., 1], v[..., 2]))
+
+
+def f32_bits(i):
+    """int32 -> f32 bit pattern (for packing int columns in f32 row matrices)."""
+    return jax.lax.bitcast_convert_type(jnp.asarray(i, jnp.int32), jnp.float32)
+
+
+def i32_bits(f):
+    return jax.lax.bitcast_convert_type(jnp.asarray(f, jnp.float32), jnp.int32)
+
+
+def pack_rows(*cols):
+    """Pack columns (each (n,) f32/int32 or (n, k)) into one (n, C) f32 matrix.
+    Int columns are bitcast. Returns (matrix, unpack_spec) where unpack_spec
+    records (offset, width, is_int) per column for unpack_row."""
+    parts = []
+    spec = []
+    off = 0
+    for c in cols:
+        c = np.asarray(c)
+        is_int = np.issubdtype(c.dtype, np.integer) or c.dtype == bool
+        if c.ndim == 1:
+            c = c[:, None]
+        w = c.shape[1]
+        if is_int:
+            parts.append(c.astype(np.int32).view(np.float32))
+        else:
+            parts.append(c.astype(np.float32))
+        spec.append((off, w, bool(is_int)))
+        off += w
+    return np.concatenate(parts, axis=1), tuple(spec)
+
+
+def unpack_col(rows, spec_entry):
+    """rows: (..., C) gathered packed rows; spec_entry from pack_rows."""
+    off, w, is_int = spec_entry
+    v = rows[..., off:off + w]
+    if is_int:
+        v = i32_bits(v)
+    if w == 1:
+        v = v[..., 0]
+    return v

@@ -25,13 +25,13 @@ def ray_triangle(o, d, t_max, p0, p1, p2):
     p0t = p0 - o
     p1t = p1 - o
     p2t = p2 - o
-    # permute so |d| is largest along z
+    # permute so |d| is largest along z (arithmetic select, no gather —
+    # take_along_axis lowers to an XLA gather which costs ~1ms flat on TPU)
     kz = jnp.argmax(jnp.abs(d), axis=-1)
     kx = (kz + 1) % 3
     ky = (kx + 1) % 3
 
-    def pick(v, k):
-        return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    from .gather import pick3 as pick
 
     dx, dy, dz = pick(d, kx), pick(d, ky), pick(d, kz)
     # shear to align d with +z

@@ -77,9 +77,17 @@ _PERMUTATIONS = np.array([
     [3, 2, 1, 0], [3, 2, 0, 1], [3, 0, 2, 1], [3, 0, 1, 2]], np.int32)
 
 
+# permutation rows bit-packed as 2-bit fields so the per-digit lookup is a
+# gather-free one-hot (XLA gathers cost ~1ms flat on TPU; see ops/gather.py)
+_PERMS_PACKED = np.asarray(
+    [p[0] | (p[1] << 2) | (p[2] << 4) | (p[3] << 6) for p in _PERMUTATIONS],
+    np.float32)
+
+
 def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
     """Blue-noise shuffled sample index (reference samplers.h:258-316)."""
-    perms = jnp.asarray(_PERMUTATIONS)
+    from .ops.gather import onehot_lookup
+    packed_perms = jnp.asarray(_PERMS_PACKED)
     morton = prng.encode_morton_2(px.astype(_U32), py.astype(_U32))
     morton_index = (morton << np.uint32(params.log2_spp)) | sample_index.astype(_U32)
 
@@ -94,7 +102,8 @@ def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
         p = (prng.hash_u32(higher, jnp.asarray(dim_pair, _U32),
                            _U32(np.uint32(params.seed)),
                            np.uint32(0x9dbf6d7c)) >> 24) % np.uint32(24)
-        digit = perms[p.astype(jnp.int32), digit.astype(jnp.int32)].astype(_U32)
+        packed = onehot_lookup(packed_perms, p.astype(jnp.int32)).astype(jnp.uint32)
+        digit = (packed >> (np.uint32(2) * digit)) & np.uint32(3)
         sample_idx = sample_idx | (digit << digit_shift)
     if pow2_spp:
         digit = morton_index & np.uint32(1)

@@ -1,0 +1,605 @@
+"""pbrt scene-description parser (reference parser.{h,cpp}, scene.{h,cpp}).
+
+Keeps the reference's .pbrt format: tokenizer -> directive loop ->
+graphics-state builder -> compiled Scene. The parse product feeds
+scene_core.SceneBuilder, which compiles to flat device arrays
+(the reference's BasicScene -> RenderCPU pipeline, SURVEY.md §2.4).
+
+Reference directive surface (parser.h:25-110): this implements the subset
+needed by the benchmark scene family — transforms (Identity/Translate/Scale/
+Rotate/LookAt/Transform/ConcatTransform/CoordinateSystem/CoordSysTransform),
+Camera/Sampler/Film/PixelFilter/Integrator/Accelerator/Option, WorldBegin,
+Attribute(Begin/End), Object(Begin/End/Instance), Shape (trianglemesh,
+plymesh, sphere, disk, cylinder, bilinearmesh->triangles), Material /
+MakeNamedMaterial / NamedMaterial, Texture (constant/scale; image textures
+pending), LightSource (point/distant/spot/infinite uniform), AreaLightSource,
+ReverseOrientation, Include/Import.
+"""
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+
+from .. import scene_core as sc
+from .. import cameras as cam_mod
+from .. import filters as flt
+from .. import samplers as smp
+from ..utils import transform as tfm
+from ..utils import spectrum as spc
+from ..utils import color as pcolor
+from . import plyio
+
+_TOKEN_RE = re.compile(rb'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
+
+
+def tokenize(text: bytes):
+    """pbrt tokens: quoted strings, brackets, atoms; # comments stripped
+    (reference Tokenizer, parser.cpp:130-266)."""
+    out = []
+    for m in _TOKEN_RE.finditer(text):
+        t = m.group(0)
+        if t.startswith(b"#"):
+            continue
+        out.append(t.decode("utf-8"))
+    return out
+
+
+_DIRECTIVES = {
+    "Integrator", "Transform", "ConcatTransform", "Identity", "Translate",
+    "Scale", "Rotate", "LookAt", "CoordinateSystem", "CoordSysTransform",
+    "Camera", "Sampler", "Film", "Filter", "PixelFilter", "Accelerator",
+    "WorldBegin", "WorldEnd", "AttributeBegin", "AttributeEnd",
+    "TransformBegin", "TransformEnd", "ObjectBegin", "ObjectEnd",
+    "ObjectInstance", "Shape", "Material", "MakeNamedMaterial",
+    "NamedMaterial", "Texture", "LightSource", "AreaLightSource",
+    "ReverseOrientation", "MediumInterface", "MakeNamedMedium", "Include",
+    "Import", "Option", "Attribute", "ColorSpace", "ActiveTransform",
+    "TransformTimes", "StartTime", "EndTime",
+}
+
+
+class ParamSet:
+    """Typed parameter dictionary (reference paramdict.h ParameterDictionary)."""
+
+    def __init__(self, pairs):
+        self.d = {}  # name -> (type, values)
+        for (ty, name), vals in pairs:
+            self.d[name] = (ty, vals)
+
+    def _get(self, name, types=None):
+        if name not in self.d:
+            return None
+        ty, vals = self.d[name]
+        if types and ty not in types:
+            return None
+        return vals
+
+    def floats(self, name, default=None):
+        v = self._get(name, ("float", "integer"))
+        return np.asarray(v, np.float64) if v is not None else default
+
+    def float(self, name, default=None):
+        v = self._get(name, ("float", "integer"))
+        return float(v[0]) if v else default
+
+    def int(self, name, default=None):
+        v = self._get(name, ("integer", "float"))
+        return int(v[0]) if v else default
+
+    def ints(self, name, default=None):
+        v = self._get(name, ("integer",))
+        return np.asarray(v, np.int64) if v is not None else default
+
+    def bool(self, name, default=None):
+        v = self._get(name, ("bool",))
+        if v is None:
+            return default
+        return v[0] in (True, "true", "\"true\"")
+
+    def string(self, name, default=None):
+        v = self._get(name, ("string", "texture"))
+        return v[0] if v else default
+
+    def point3s(self, name, default=None):
+        v = self._get(name, ("point3", "point", "vector3", "vector", "normal",
+                             "normal3"))
+        return np.asarray(v, np.float64).reshape(-1, 3) if v is not None else default
+
+    def point2s(self, name, default=None):
+        v = self._get(name, ("point2", "float"))
+        return np.asarray(v, np.float64).reshape(-1, 2) if v is not None else default
+
+    def rgb(self, name, default=None):
+        v = self._get(name, ("rgb", "color"))
+        return np.asarray(v, np.float64) if v is not None else default
+
+    def texture_name(self, name):
+        ty_v = self.d.get(name)
+        if ty_v and ty_v[0] == "texture":
+            return ty_v[1][0]
+        return None
+
+    def spectrum(self, name, cs, kind="albedo", default=None):
+        """Resolve a spectral parameter: rgb / blackbody / named spectrum /
+        spectrum file / float list [(lam, v)...] (reference paramdict.cpp)."""
+        if name not in self.d:
+            return default
+        ty, vals = self.d[name]
+        if ty in ("rgb", "color"):
+            rgb = np.asarray(vals, np.float64)
+            if kind == "illuminant":
+                return pcolor.RGBIlluminantSpectrum(rgb, cs)
+            if kind == "unbounded":
+                return pcolor.RGBUnboundedSpectrum(rgb, cs)
+            return pcolor.RGBAlbedoSpectrum(np.clip(rgb, 0, 1), cs)
+        if ty == "blackbody":
+            return spc.BlackbodySpectrum(float(vals[0]))
+        if ty == "spectrum":
+            if isinstance(vals[0], str):
+                s = spc.get_named_spectrum(vals[0])
+                if s is None and os.path.exists(vals[0]):
+                    data = np.loadtxt(vals[0])
+                    s = spc.PiecewiseLinearSpectrum(data[:, 0], data[:, 1])
+                return s
+            arr = np.asarray(vals, np.float64)
+            return spc.PiecewiseLinearSpectrum(arr[0::2], arr[1::2])
+        if ty in ("float", "integer"):
+            return spc.ConstantSpectrum(float(vals[0]))
+        return default
+
+
+def _parse_value(tok):
+    if tok.startswith('"'):
+        return tok[1:-1]
+    if tok == "true":
+        return True
+    if tok == "false":
+        return False
+    return float(tok)
+
+
+class Parser:
+    def __init__(self, tokens, base_dir="."):
+        self.toks = tokens
+        self.pos = 0
+        self.base_dir = Path(base_dir)
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def parse_params(self) -> ParamSet:
+        """Parse '"type name" [values...]' pairs until the next directive."""
+        pairs = []
+        while True:
+            t = self.peek()
+            if t is None or not t.startswith('"'):
+                break
+            decl = self.next()[1:-1].split()
+            if len(decl) == 1:
+                # a bare string argument, not a parameter: put back
+                self.pos -= 1
+                break
+            ty, name = decl[0], " ".join(decl[1:])
+            vals = []
+            if self.peek() == "[":
+                self.next()
+                while self.peek() != "]":
+                    vals.append(_parse_value(self.next()))
+                self.next()
+            else:
+                vals.append(_parse_value(self.next()))
+            pairs.append(((ty, name), vals))
+        return ParamSet(pairs)
+
+    def parse_args(self, n):
+        return [_parse_value(self.next()) for _ in range(n)]
+
+    def parse_string(self):
+        return self.next()[1:-1]
+
+
+class GraphicsState:
+    def __init__(self):
+        self.ctm = tfm.identity()
+        self.reverse_orientation = False
+        self.material = 0
+        self.area_light = None  # (Spectrum, scale, two_sided)
+        self.named_material = None
+
+
+class PbrtSceneDescription:
+    """Everything a .pbrt file defines: compiled scene + camera + render opts."""
+
+    def __init__(self, scene, camera, sampler, filter_, integrator, film_params):
+        self.scene = scene
+        self.camera = camera
+        self.sampler = sampler
+        self.filter = filter_
+        self.integrator = integrator  # dict(name, max_depth, ...)
+        self.film_params = film_params  # dict(filename, xres, yres)
+
+
+def parse_file(path, **overrides) -> PbrtSceneDescription:
+    text = Path(path).read_bytes()
+    return parse_string(text, base_dir=Path(path).parent, **overrides)
+
+
+def parse_string(text, base_dir=".", light_sampler="power",
+                 force_bvh=None, sphere_subdiv=4) -> PbrtSceneDescription:
+    if isinstance(text, str):
+        text = text.encode()
+    p = Parser(tokenize(text), base_dir)
+    b = sc.SceneBuilder()
+    cs = b.cs
+
+    gs = GraphicsState()
+    stack = []
+    named_transforms = {}
+    named_materials = {}
+    named_textures = {}   # name -> ("constant", value) | ("scale", ...) etc.
+    objects = {}          # name -> list of deferred shape records
+    current_object = None
+
+    cam_params = dict(kind="perspective", fov=90.0,
+                      camera_from_world=tfm.identity())
+    film_params = dict(xres=1280, yres=720, filename="out.exr")
+    sampler_params = dict(kind="zsobol", spp=16)
+    filter_params = dict(kind="gaussian")
+    integrator = dict(name="path", max_depth=5)
+    default_mat_added = False
+
+    def cur_material():
+        nonlocal default_mat_added
+        if gs.material is None or (gs.material == 0 and not b.materials.rows):
+            if not b.materials.rows:
+                b.materials.add_diffuse((0.5, 0.5, 0.5))
+            default_mat_added = True
+            return 0
+        return gs.material
+
+    def resolve_float_or_texture(ps, name, default):
+        tex = ps.texture_name(name)
+        if tex is not None and tex in named_textures:
+            t = named_textures[tex]
+            if t[0] == "constant":
+                return float(t[1])
+        return ps.float(name, default)
+
+    def make_material(name, ps: ParamSet) -> int:
+        rough = resolve_float_or_texture(ps, "roughness", 0.0)
+        urough = resolve_float_or_texture(ps, "uroughness", None)
+        vrough = resolve_float_or_texture(ps, "vroughness", None)
+        remap = ps.bool("remaproughness", True)
+        if name in ("diffuse", "matte"):
+            refl = ps.rgb("reflectance", None)
+            if refl is None:
+                s = ps.spectrum("reflectance", cs)
+                if s is not None:
+                    refl = np.clip(cs.to_rgb(np.asarray(s.to_xyz())), 0, 1)
+                else:
+                    refl = (0.5, 0.5, 0.5)
+            return b.materials.add_diffuse(tuple(np.clip(refl, 0, 1)))
+        if name == "conductor":
+            eta_s = ps.spectrum("eta", cs, kind="unbounded")
+            k_s = ps.spectrum("k", cs, kind="unbounded")
+            if eta_s is None:
+                eta_s = spc.get_named_spectrum("metal-Cu-eta")
+            if k_s is None:
+                k_s = spc.get_named_spectrum("metal-Cu-k")
+            ei = b.add_spectrum(eta_s, key=("mat-eta", id(eta_s)))
+            ki = b.add_spectrum(k_s, key=("mat-k", id(k_s)))
+            return b.materials.add_conductor(
+                eta_spec_idx=ei, k_spec_idx=ki, roughness=rough,
+                uroughness=urough, vroughness=vrough, remap=remap)
+        if name == "dielectric" or name == "glass":
+            eta = ps.float("eta", 1.5)
+            return b.materials.add_dielectric(eta=eta, roughness=rough,
+                                              uroughness=urough,
+                                              vroughness=vrough, remap=remap)
+        if name == "thindielectric":
+            return b.materials.add_dielectric(eta=ps.float("eta", 1.5), thin=True)
+        if name == "diffusetransmission":
+            r = ps.rgb("reflectance", (0.25,) * 3)
+            t = ps.rgb("transmittance", (0.25,) * 3)
+            return b.materials.add_diffuse_transmission(tuple(r), tuple(t))
+        # unknown material: warn-and-diffuse (reference errors with location)
+        import warnings
+        warnings.warn(f"material '{name}' not yet supported; using diffuse")
+        return b.materials.add_diffuse((0.5, 0.5, 0.5))
+
+    def add_shape(name, ps: ParamSet, gs: GraphicsState):
+        mat = gs.material if gs.material is not None else cur_material()
+        emission = None
+        escale = 1.0
+        two_sided = False
+        if gs.area_light is not None:
+            emission, escale, two_sided = gs.area_light
+        record = dict(name=name, ps=ps, ctm=gs.ctm, mat=mat,
+                      reverse=gs.reverse_orientation, emission=emission,
+                      escale=escale, two_sided=two_sided)
+        if current_object is not None:
+            objects[current_object].append(record)
+        else:
+            instantiate_shape(record, tfm.identity())
+
+    def instantiate_shape(rec, instance_xf):
+        name, ps, ctm = rec["name"], rec["ps"], rec["ctm"]
+        xf = instance_xf @ ctm
+        emission, escale, two = rec["emission"], rec["escale"], rec["two_sided"]
+        reverse = rec["reverse"]
+        mat = rec["mat"]
+        if name == "trianglemesh":
+            P = ps.point3s("P")
+            idx = ps.ints("indices").reshape(-1, 3)
+            N = ps.point3s("N", None)
+            uv = ps.point2s("uv", ps.point2s("st", None))
+        elif name == "plymesh":
+            fn = ps.string("filename")
+            mesh = plyio.read_ply(Path(base_dir) / fn)
+            P, idx, N, uv = (mesh["vertices"], mesh["indices"],
+                             mesh["normals"], mesh["uvs"])
+        elif name == "sphere":
+            from ..scenes import make_sphere_mesh
+            radius = ps.float("radius", 1.0)
+            P, idx, N = make_sphere_mesh((0, 0, 0), radius, subdiv=sphere_subdiv)
+            uv = None
+        elif name == "disk":
+            radius = ps.float("radius", 1.0)
+            h = ps.float("height", 0.0)
+            n = 64
+            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            ring = np.stack([radius * np.cos(ang), radius * np.sin(ang),
+                             np.full(n, h)], 1)
+            P = np.concatenate([[[0, 0, h]], ring])
+            idx = np.stack([np.zeros(n, np.int64),
+                            np.arange(1, n + 1),
+                            np.roll(np.arange(1, n + 1), -1)], 1)
+            N = None
+            uv = None
+        elif name == "cylinder":
+            radius = ps.float("radius", 1.0)
+            z0 = ps.float("zmin", -1.0)
+            z1 = ps.float("zmax", 1.0)
+            n = 64
+            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            lo = np.stack([radius * np.cos(ang), radius * np.sin(ang), np.full(n, z0)], 1)
+            hi = np.stack([radius * np.cos(ang), radius * np.sin(ang), np.full(n, z1)], 1)
+            P = np.concatenate([lo, hi])
+            i0 = np.arange(n)
+            i1 = (i0 + 1) % n
+            idx = np.concatenate([
+                np.stack([i0, i1, i0 + n], 1),
+                np.stack([i1, i1 + n, i0 + n], 1)])
+            N = None
+            uv = None
+        elif name == "bilinearmesh":
+            P = ps.point3s("P")
+            qidx = ps.ints("indices").reshape(-1, 4)
+            idx = np.concatenate([qidx[:, [0, 1, 3]], qidx[:, [0, 3, 2]]])
+            N = ps.point3s("N", None)
+            uv = ps.point2s("uv", None)
+        else:
+            import warnings
+            warnings.warn(f"shape '{name}' not yet supported; skipped")
+            return
+        P = np.asarray(xf.apply_point(np.asarray(P, np.float32)))
+        if N is not None:
+            N = np.asarray(xf.apply_normal(np.asarray(N, np.float32)))
+            N = N / np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
+        if reverse ^ xf.swaps_handedness():
+            idx = np.asarray(idx)[:, ::-1]
+        alpha = ps.float("alpha", 1.0)
+        if alpha == 0.0:
+            return  # fully cut-away shape
+        b.add_mesh(P, idx, mat, normals=N, uvs=uv, emission=emission,
+                   emission_scale=escale, two_sided=two)
+
+    while p.peek() is not None:
+        tok = p.next()
+        if tok == "Include" or tok == "Import":
+            fn = p.parse_string()
+            sub = Path(base_dir) / fn
+            subtoks = tokenize(sub.read_bytes())
+            p.toks = p.toks[:p.pos] + subtoks + p.toks[p.pos:]
+        elif tok == "Identity":
+            gs.ctm = tfm.identity()
+        elif tok == "Translate":
+            gs.ctm = gs.ctm @ tfm.translate(p.parse_args(3))
+        elif tok == "Scale":
+            a = p.parse_args(3)
+            gs.ctm = gs.ctm @ tfm.scale(*a)
+        elif tok == "Rotate":
+            a = p.parse_args(4)
+            gs.ctm = gs.ctm @ tfm.rotate(a[0], a[1:])
+        elif tok == "LookAt":
+            a = p.parse_args(9)
+            gs.ctm = gs.ctm @ tfm.look_at(a[0:3], a[3:6], a[6:9]).inverse()
+        elif tok == "Transform":
+            assert p.next() == "["
+            m = [float(p.next()) for _ in range(16)]
+            assert p.next() == "]"
+            gs.ctm = tfm.from_matrix(np.asarray(m).reshape(4, 4).T)
+        elif tok == "ConcatTransform":
+            assert p.next() == "["
+            m = [float(p.next()) for _ in range(16)]
+            assert p.next() == "]"
+            gs.ctm = gs.ctm @ tfm.from_matrix(np.asarray(m).reshape(4, 4).T)
+        elif tok == "CoordinateSystem":
+            named_transforms[p.parse_string()] = gs.ctm
+        elif tok == "CoordSysTransform":
+            gs.ctm = named_transforms.get(p.parse_string(), gs.ctm)
+        elif tok == "Camera":
+            kind = p.parse_string()
+            ps = p.parse_params()
+            cam_params = dict(kind=kind, fov=ps.float("fov", 90.0),
+                              camera_from_world=gs.ctm,
+                              lens_radius=ps.float("lensradius", 0.0),
+                              focal_distance=ps.float("focaldistance", 1e6))
+            named_transforms["camera"] = gs.ctm.inverse()
+        elif tok == "Sampler":
+            kind = p.parse_string()
+            ps = p.parse_params()
+            kind_map = {"zsobol": "zsobol", "halton": "halton", "sobol": "sobol",
+                        "paddedsobol": "paddedsobol", "independent": "independent",
+                        "stratified": "stratified", "pmj02bn": "zsobol"}
+            sampler_params = dict(kind=kind_map.get(kind, "zsobol"),
+                                  spp=ps.int("pixelsamples", 16))
+        elif tok == "Film":
+            _kind = p.parse_string()
+            ps = p.parse_params()
+            film_params = dict(xres=ps.int("xresolution", 1280),
+                               yres=ps.int("yresolution", 720),
+                               filename=ps.string("filename", "out.exr"))
+        elif tok in ("Filter", "PixelFilter"):
+            kind = p.parse_string()
+            ps = p.parse_params()
+            filter_params = dict(kind=kind,
+                                 xradius=ps.float("xradius", None),
+                                 yradius=ps.float("yradius", None))
+        elif tok == "Integrator":
+            name = p.parse_string()
+            ps = p.parse_params()
+            integrator = dict(name=name, max_depth=ps.int("maxdepth", 5))
+        elif tok == "Accelerator":
+            p.parse_string()
+            p.parse_params()
+        elif tok in ("Option", "ColorSpace", "MediumInterface",
+                     "MakeNamedMedium", "Attribute", "ActiveTransform",
+                     "TransformTimes", "StartTime", "EndTime"):
+            # consume arguments conservatively
+            if tok in ("Option", "MakeNamedMedium", "Attribute"):
+                if p.peek() and p.peek().startswith('"'):
+                    p.parse_string()
+                p.parse_params()
+            elif tok == "ColorSpace":
+                p.parse_string()
+            elif tok == "MediumInterface":
+                p.parse_string()
+                if p.peek() and p.peek().startswith('"'):
+                    p.parse_string()
+            elif tok == "TransformTimes":
+                p.parse_args(2)
+        elif tok == "WorldBegin":
+            gs.ctm = tfm.identity()
+        elif tok == "WorldEnd":
+            pass
+        elif tok == "AttributeBegin" or tok == "TransformBegin":
+            import copy
+            stack.append(copy.copy(gs.__dict__))
+        elif tok == "AttributeEnd" or tok == "TransformEnd":
+            gs.__dict__.update(stack.pop())
+        elif tok == "ObjectBegin":
+            name = p.parse_string()
+            objects[name] = []
+            current_object = name
+            import copy
+            stack.append(copy.copy(gs.__dict__))
+        elif tok == "ObjectEnd":
+            current_object = None
+            gs.__dict__.update(stack.pop())
+        elif tok == "ObjectInstance":
+            name = p.parse_string()
+            for rec in objects.get(name, []):
+                instantiate_shape(rec, gs.ctm)
+        elif tok == "ReverseOrientation":
+            gs.reverse_orientation = not gs.reverse_orientation
+        elif tok == "Shape":
+            name = p.parse_string()
+            ps = p.parse_params()
+            add_shape(name, ps, gs)
+        elif tok == "Material":
+            name = p.parse_string()
+            ps = p.parse_params()
+            gs.material = make_material(name, ps)
+        elif tok == "MakeNamedMaterial":
+            nm = p.parse_string()
+            ps = p.parse_params()
+            ty = ps.string("type", "diffuse")
+            named_materials[nm] = make_material(ty, ps)
+        elif tok == "NamedMaterial":
+            nm = p.parse_string()
+            gs.material = named_materials.get(nm, 0)
+        elif tok == "Texture":
+            nm = p.parse_string()
+            _ty = p.parse_string()
+            cls = p.parse_string()
+            ps = p.parse_params()
+            if cls == "constant":
+                named_textures[nm] = ("constant", ps.float("value", 1.0))
+            else:
+                named_textures[nm] = ("unsupported", cls)
+        elif tok == "LightSource":
+            name = p.parse_string()
+            ps = p.parse_params()
+            scale = ps.float("scale", 1.0)
+            if name == "point":
+                s = ps.spectrum("I", cs, kind="illuminant",
+                                default=spc.d65_spectrum())
+                from_p = ps.point3s("from", np.zeros((1, 3)))[0]
+                pos = np.asarray(gs.ctm.apply_point(
+                    np.asarray(from_p, np.float32)))
+                b.add_point_light(pos, s, scale)
+            elif name == "distant":
+                s = ps.spectrum("L", cs, kind="illuminant",
+                                default=spc.d65_spectrum())
+                fr = ps.point3s("from", np.zeros((1, 3)))[0]
+                to = ps.point3s("to", np.asarray([[0, 0, 1.0]]))[0]
+                d = np.asarray(gs.ctm.apply_vector(
+                    np.asarray(to - fr, np.float32)))
+                b.add_distant_light(d, s, scale)
+            elif name == "spot":
+                s = ps.spectrum("I", cs, kind="illuminant",
+                                default=spc.d65_spectrum())
+                fr = ps.point3s("from", np.zeros((1, 3)))[0]
+                to = ps.point3s("to", np.asarray([[0, 0, 1.0]]))[0]
+                pos = np.asarray(gs.ctm.apply_point(np.asarray(fr, np.float32)))
+                d = np.asarray(gs.ctm.apply_vector(np.asarray(to - fr, np.float32)))
+                b.add_spot_light(pos, d, s, scale,
+                                 cone_angle=ps.float("coneangle", 30.0),
+                                 cone_delta=ps.float("conedeltaangle", 5.0))
+            elif name == "infinite":
+                fn = ps.string("filename", None)
+                if fn is None:
+                    s = ps.spectrum("L", cs, kind="illuminant",
+                                    default=spc.d65_spectrum())
+                    b.add_uniform_infinite_light(s, scale)
+                else:
+                    import warnings
+                    warnings.warn("image infinite light pending; uniform used")
+                    b.add_uniform_infinite_light(spc.d65_spectrum(), scale)
+            else:
+                import warnings
+                warnings.warn(f"light '{name}' not yet supported; skipped")
+        elif tok == "AreaLightSource":
+            _name = p.parse_string()
+            ps = p.parse_params()
+            s = ps.spectrum("L", cs, kind="illuminant",
+                            default=spc.d65_spectrum())
+            gs.area_light = (s, ps.float("scale", 1.0),
+                             ps.bool("twosided", False))
+        else:
+            raise ValueError(f"unknown directive {tok!r} at token {p.pos}")
+
+    scene = b.build(light_sampler=light_sampler, force_bvh=force_bvh)
+    camera = cam_mod.make_camera(
+        cam_params["kind"], camera_from_world=cam_params["camera_from_world"],
+        width=film_params["xres"], height=film_params["yres"],
+        fov=cam_params.get("fov", 90.0),
+        lens_radius=cam_params.get("lens_radius", 0.0),
+        focal_distance=cam_params.get("focal_distance", 1e6))
+    sampler = smp.make_sampler(sampler_params["kind"], spp=sampler_params["spp"],
+                               full_resolution=(film_params["xres"],
+                                                film_params["yres"]))
+    filter_ = flt.make_filter(filter_params.get("kind", "gaussian"),
+                              xradius=filter_params.get("xradius"),
+                              yradius=filter_params.get("yradius"))
+    return PbrtSceneDescription(scene, camera, sampler, filter_, integrator,
+                                film_params)

@@ -8,6 +8,7 @@ the BVH traversal (ops/bvh.py) or brute force for tiny scenes (the
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -22,18 +23,21 @@ from .utils import spectrum as spc
 
 @struct.dataclass
 class Scene:
-    # triangle pool (pre-gathered vertices)
+    """Compiled scene. Per-entity data is PACKED into row matrices so every
+    device-side lookup is one gather (TPU gathers are ~1ms flat, see
+    ops/gather.py).
+
+    tri_geo columns: [p0(3), p1(3), p2(3), bits(orig_idx)] = 10
+    tri_shade columns: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2),
+                        bits(mat), bits(light)] = 17
+    """
+    # triangle pool: split arrays for gather-free brute-force broadcasts
     tri_p0: jnp.ndarray   # (T, 3)
     tri_p1: jnp.ndarray
     tri_p2: jnp.ndarray
-    tri_n0: jnp.ndarray   # (T, 3) shading normals (geometric if absent)
-    tri_n1: jnp.ndarray
-    tri_n2: jnp.ndarray
-    tri_uv0: jnp.ndarray  # (T, 2)
-    tri_uv1: jnp.ndarray
-    tri_uv2: jnp.ndarray
-    tri_mat: jnp.ndarray    # (T,) int32
-    tri_light: jnp.ndarray  # (T,) int32, -1 if not emissive
+    tri_geo: jnp.ndarray       # (T, 10) packed, original order
+    tri_geo_bvh: jnp.ndarray   # (T, 10) packed, BVH leaf order
+    tri_shade: jnp.ndarray     # (T, 17) packed, original order
     bvh: bvh_mod.BVH
     materials: mtl.MaterialPool
     lights: lgt.LightPool
@@ -43,6 +47,7 @@ class Scene:
     use_bvh: bool = struct.field(pytree_node=False, default=True)
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
+    has_area_lights: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -182,97 +187,102 @@ class SceneBuilder:
 
         # finalize scene_radius-dependent light powers
         rows = self.light_rows
+        for r in rows:
+            if r["tag"] in (lgt.LIGHT_DISTANT, lgt.LIGHT_UNIFORM_INFINITE):
+                base = spc.DenselySampledSpectrum(
+                    self.spectra[r["spec_idx"]].astype(np.float64))
+                r["power"] = lgt.compute_light_power(
+                    r["tag"], r["scale"], base, scene_radius=radius)
+        powers = np.asarray([r["power"] for r in rows], np.float64) \
+            if rows else np.zeros(0)
+        ls = lsamp.make_light_sampler(light_sampler, powers)
+        pmfs = np.asarray(ls.pmf_table, np.float32)
         if rows:
-            for r in rows:
-                if r["tag"] in (lgt.LIGHT_DISTANT, lgt.LIGHT_UNIFORM_INFINITE):
-                    base = spc.DenselySampledSpectrum(
-                        self.spectra[r["spec_idx"]].astype(np.float64))
-                    r["power"] = lgt.compute_light_power(
-                        r["tag"], r["scale"], base, scene_radius=radius)
-            pool = lgt.LightPool(
-                tag=jnp.asarray([r["tag"] for r in rows], jnp.int32),
-                p=jnp.asarray(np.stack([r["p"] for r in rows]), jnp.float32),
-                dir=jnp.asarray(np.stack([r["dir"] for r in rows]), jnp.float32),
-                spec_idx=jnp.asarray([r["spec_idx"] for r in rows], jnp.int32),
-                scale=jnp.asarray([r["scale"] for r in rows], jnp.float32),
-                tri=jnp.asarray([r["tri"] for r in rows], jnp.int32),
-                two_sided=jnp.asarray([r["two_sided"] for r in rows], bool),
-                cos_falloff_start=jnp.asarray([r["cfs"] for r in rows], jnp.float32),
-                cos_falloff_end=jnp.asarray([r["cfe"] for r in rows], jnp.float32),
-                power=jnp.asarray([r["power"] for r in rows], jnp.float32),
-                is_delta=jnp.asarray([r["is_delta"] for r in rows], bool))
+            pool = lgt.pack_light_pool(
+                tag=[r["tag"] for r in rows],
+                p=np.stack([r["p"] for r in rows]),
+                dir_=np.stack([r["dir"] for r in rows]),
+                spec_idx=[r["spec_idx"] for r in rows],
+                scale=[r["scale"] for r in rows],
+                tri=[r["tri"] for r in rows],
+                two_sided=np.asarray([r["two_sided"] for r in rows], np.float32),
+                cfs=[r["cfs"] for r in rows], cfe=[r["cfe"] for r in rows],
+                is_delta=np.asarray([r["is_delta"] for r in rows], np.float32),
+                pmf=pmfs[:len(rows)], power=[r["power"] for r in rows])
         else:
             # size-1 dummy pool so device gathers stay in-bounds; the light
             # sampler's n_lights == 0 (static) disables NEE, and tri_light
             # == -1 everywhere disables emission lookups semantically.
-            z = np.zeros(1, np.float32)
-            pool = lgt.LightPool(
-                tag=jnp.full((1,), lgt.LIGHT_NONE, jnp.int32),
-                p=jnp.zeros((1, 3), jnp.float32), dir=jnp.zeros((1, 3), jnp.float32),
-                spec_idx=jnp.zeros((1,), jnp.int32), scale=jnp.asarray(z),
-                tri=jnp.zeros((1,), jnp.int32),
-                two_sided=jnp.zeros((1,), bool), cos_falloff_start=jnp.asarray(z),
-                cos_falloff_end=jnp.asarray(z), power=jnp.asarray(z),
-                is_delta=jnp.zeros((1,), bool))
-        powers = np.asarray([r["power"] for r in rows], np.float64) if rows else np.zeros(0)
-        ls = lsamp.make_light_sampler(light_sampler, powers)
+            pool = lgt.pack_light_pool(
+                tag=[lgt.LIGHT_NONE], p=np.zeros((1, 3)), dir_=np.zeros((1, 3)),
+                spec_idx=[0], scale=[0.0], tri=[0], two_sided=[0.0],
+                cfs=[1.0], cfe=[1.0], is_delta=[0.0], pmf=[0.0], power=[0.0])
         spectra_pool = jnp.asarray(
             np.stack(self.spectra) if self.spectra else np.zeros((1, spc.N_CIE)),
             jnp.float32)
         inf_indices = tuple(i for i, r in enumerate(rows)
                             if r["tag"] == lgt.LIGHT_UNIFORM_INFINITE)
         n_inf = len(inf_indices)
+        tri_geo = bvh_mod.pack_tri_geo(p0, p1, p2)
+        tri_geo_bvh = bvh_mod.pack_tri_geo(p0, p1, p2,
+                                           order=np.asarray(bvh.prim_indices))
+        tri_shade = np.concatenate([
+            np.stack(self.n0), np.stack(self.n1), np.stack(self.n2),
+            np.stack(self.uv0), np.stack(self.uv1), np.stack(self.uv2),
+            np.asarray(self.t_mat, np.int32)[:, None].view(np.float32),
+            np.asarray(self.t_light, np.int32)[:, None].view(np.float32)],
+            axis=1).astype(np.float32)
         return Scene(
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
-            tri_n0=jnp.asarray(np.stack(self.n0)),
-            tri_n1=jnp.asarray(np.stack(self.n1)),
-            tri_n2=jnp.asarray(np.stack(self.n2)),
-            tri_uv0=jnp.asarray(np.stack(self.uv0)),
-            tri_uv1=jnp.asarray(np.stack(self.uv1)),
-            tri_uv2=jnp.asarray(np.stack(self.uv2)),
-            tri_mat=jnp.asarray(self.t_mat, jnp.int32),
-            tri_light=jnp.asarray(self.t_light, jnp.int32),
+            tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
+            tri_shade=jnp.asarray(tri_shade),
             bvh=bvh, materials=self.materials.build(), lights=pool,
             light_sampler=ls, spectra_pool=spectra_pool,
             scene_radius=jnp.asarray(radius, jnp.float32),
-            use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices)
+            use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
+            has_area_lights=any(r["tag"] == lgt.LIGHT_AREA_TRI for r in rows))
 
 
 # ---------------------------------------------------------------------------
 # Device intersection entry points
 
 def intersect(scene: Scene, o, d, t_max):
-    """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo)."""
+    """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
+
+    Gather budget after traversal: 2 packed rows (geo + shade)."""
     if scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
-            scene.bvh, scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
+            scene.bvh, scene.tri_geo_bvh, o, d, t_max)
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
     prim = jnp.maximum(r["prim"], 0)
     b0, b1, b2 = r["b0"], r["b1"], r["b2"]
-    p0 = scene.tri_p0[prim]
-    p1 = scene.tri_p1[prim]
-    p2 = scene.tri_p2[prim]
+    geo = scene.tri_geo[prim]        # ONE gather
+    shade = scene.tri_shade[prim]    # ONE gather
+    p0 = geo[..., 0:3]
+    p1 = geo[..., 3:6]
+    p2 = geo[..., 6:9]
     p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-    ns = vm.normalize(b0[..., None] * scene.tri_n0[prim] +
-                      b1[..., None] * scene.tri_n1[prim] +
-                      b2[..., None] * scene.tri_n2[prim])
+    ns = vm.normalize(b0[..., None] * shade[..., 0:3] +
+                      b1[..., None] * shade[..., 3:6] +
+                      b2[..., None] * shade[..., 6:9])
     # orient ns into same hemisphere as ng convention: flip ng toward ns
     ng = jnp.where(vm.dot(ng, ns)[..., None] < 0, -ng, ng)
-    uv = b0[..., None] * scene.tri_uv0[prim] + \
-        b1[..., None] * scene.tri_uv1[prim] + b2[..., None] * scene.tri_uv2[prim]
+    uv = b0[..., None] * shade[..., 9:11] + b1[..., None] * shade[..., 11:13] + \
+        b2[..., None] * shade[..., 13:15]
+    mat = jax.lax.bitcast_convert_type(shade[..., 15], jnp.int32)
+    light = jax.lax.bitcast_convert_type(shade[..., 16], jnp.int32)
     return dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
-                mat=scene.tri_mat[prim], light=scene.tri_light[prim], wo=-d)
+                mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
 
 
 def intersect_p(scene: Scene, o, d, t_max):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
     if scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
-            scene.bvh, scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max,
-            any_hit=True)
+            scene.bvh, scene.tri_geo_bvh, o, d, t_max, any_hit=True)
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)

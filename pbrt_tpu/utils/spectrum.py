@@ -113,9 +113,10 @@ def eval_dense(table, lam):
     x = jnp.clip(lam - LAMBDA_MIN, 0.0, N_CIE - 1.000001)
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, N_CIE - 2)
     frac = x - i0.astype(jnp.float32)
-    v0 = jnp.take(table, i0, axis=-1, mode="clip")
-    v1 = jnp.take(table, i0 + 1, axis=-1, mode="clip")
-    out = v0 * (1.0 - frac) + v1 * frac
+    # one fused gather for both interpolation taps (TPU gathers ~1ms flat)
+    idx = jnp.stack([i0, i0 + 1], axis=-1)
+    v = jnp.take(table, idx, axis=-1, mode="clip")
+    out = v[..., 0] * (1.0 - frac) + v[..., 1] * frac
     return jnp.where((lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX), out, 0.0)
 
 

@@ -140,7 +140,8 @@ def test_bvh_matches_brute_force():
     t_max = jnp.full((n_rays,), 1e30, jnp.float32)
     tp0, tp1, tp2 = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
     rb = bvh_mod.brute_force_intersect_triangles(tp0, tp1, tp2, o, d, t_max)
-    rv = bvh_mod.bvh_intersect_triangles(bvh, tp0, tp1, tp2, o, d, t_max)
+    geo = bvh_mod.pack_tri_geo(p0, p1, p2, order=np.asarray(bvh.prim_indices))
+    rv = bvh_mod.bvh_intersect_triangles(bvh, geo, o, d, t_max)
     hit_b, hit_v = np.asarray(rb["hit"]), np.asarray(rv["hit"])
     np.testing.assert_array_equal(hit_b, hit_v)
     tb, tv = np.asarray(rb["t"]), np.asarray(rv["t"])
@@ -163,7 +164,8 @@ def test_bvh_any_hit():
     t_max = jnp.full((n_rays,), 1e30, jnp.float32)
     tp0, tp1, tp2 = jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2)
     rb = bvh_mod.brute_force_intersect_triangles(tp0, tp1, tp2, o, d, t_max)
-    rv = bvh_mod.bvh_intersect_triangles(bvh, tp0, tp1, tp2, o, d, t_max, any_hit=True)
+    geo = bvh_mod.pack_tri_geo(p0, p1, p2, order=np.asarray(bvh.prim_indices))
+    rv = bvh_mod.bvh_intersect_triangles(bvh, geo, o, d, t_max, any_hit=True)
     np.testing.assert_array_equal(np.asarray(rb["hit"]), np.asarray(rv["hit"]))
 
 
@@ -175,8 +177,8 @@ def test_bvh_single_triangle():
                             np.maximum(np.maximum(p0, p1), p2))
     o = jnp.asarray([[0.2, 0.2, 1.0]])
     d = jnp.asarray([[0.0, 0.0, -1.0]])
-    r = bvh_mod.bvh_intersect_triangles(bvh, jnp.asarray(p0), jnp.asarray(p1),
-                                        jnp.asarray(p2), o, d,
+    geo = bvh_mod.pack_tri_geo(p0, p1, p2, order=np.asarray(bvh.prim_indices))
+    r = bvh_mod.bvh_intersect_triangles(bvh, geo, o, d,
                                         jnp.full((1,), 1e30, jnp.float32))
     assert bool(r["hit"][0])
     np.testing.assert_allclose(float(r["t"][0]), 1.0, rtol=1e-5)

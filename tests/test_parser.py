@@ -1,0 +1,137 @@
+"""Scene parser tests (reference parser_test.cpp patterns + end-to-end)."""
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pbrt_tpu.scene import parser as pp
+from pbrt_tpu.scene import plyio
+
+DATA = Path(__file__).parent / "data"
+
+
+def test_tokenizer():
+    toks = pp.tokenize(b'Shape "trianglemesh" # comment\n "point3 P" [ 0 1 2.5 ]')
+    assert toks == ['Shape', '"trianglemesh"', '"point3 P"', '[', '0', '1', '2.5', ']']
+
+
+def test_tokenizer_strings_with_spaces():
+    toks = pp.tokenize(b'"string filename" "my file.exr"')
+    assert toks == ['"string filename"', '"my file.exr"']
+
+
+def test_parse_cornell():
+    desc = pp.parse_file(DATA / "cornell-box.pbrt")
+    assert desc.scene.tri_p0.shape[0] == 14  # 7 quads
+    assert desc.camera.width == 64
+    assert desc.integrator["max_depth"] == 5
+    assert desc.sampler.spp == 16
+    assert desc.scene.lights.packed.shape[0] == 2  # area light split per tri
+    assert desc.film_params["filename"] == "cornell.exr"
+
+
+def test_parse_and_render_cornell():
+    import jax
+    desc = pp.parse_file(DATA / "cornell-box.pbrt")
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    from pbrt_tpu import samplers as smp
+    img, _ = rdr.render(desc.scene, desc.camera, spp=4,
+                        sampler=smp.make_sampler("zsobol", spp=4,
+                                                 full_resolution=(64, 64)),
+                        opts=PathOptions(max_depth=4))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.5
+    # red wall left, green right (as in scenes.make_cornell_box)
+    left = img[:, :10].mean(axis=(0, 1))
+    right = img[:, -10:].mean(axis=(0, 1))
+    assert left[0] / max(left[1], 1e-6) > right[0] / max(right[1], 1e-6)
+
+
+def test_parse_transforms_compose():
+    scene_txt = b'''
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective"
+    WorldBegin
+    Material "diffuse" "rgb reflectance" [.5 .5 .5]
+    Translate 10 0 0
+    Scale 2 2 2
+    Shape "trianglemesh" "integer indices" [0 1 2]
+        "point3 P" [0 0 0  1 0 0  0 1 0]
+    '''
+    desc = pp.parse_string(scene_txt)
+    p0 = np.asarray(desc.scene.tri_p0[0])
+    p1 = np.asarray(desc.scene.tri_p1[0])
+    np.testing.assert_allclose(p0, [10, 0, 0], atol=1e-5)
+    np.testing.assert_allclose(p1, [12, 0, 0], atol=1e-5)
+
+
+def test_parse_object_instancing():
+    scene_txt = b'''
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective"
+    WorldBegin
+    Material "diffuse"
+    ObjectBegin "tri"
+    Shape "trianglemesh" "integer indices" [0 1 2]
+        "point3 P" [0 0 0  1 0 0  0 1 0]
+    ObjectEnd
+    ObjectInstance "tri"
+    Translate 5 0 0
+    ObjectInstance "tri"
+    '''
+    desc = pp.parse_string(scene_txt)
+    assert desc.scene.tri_p0.shape[0] == 2
+    np.testing.assert_allclose(np.asarray(desc.scene.tri_p0[1]), [5, 0, 0], atol=1e-5)
+
+
+def test_parse_sphere_tessellation():
+    scene_txt = b'''
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective"
+    WorldBegin
+    Material "conductor" "float roughness" [0.1]
+    Translate 0 0 5
+    Shape "sphere" "float radius" [2.0]
+    '''
+    desc = pp.parse_string(scene_txt, sphere_subdiv=2)
+    p = np.asarray(desc.scene.tri_p0)
+    # all vertices on radius-2 sphere centered at (0,0,5)
+    r = np.linalg.norm(p - np.array([0, 0, 5]), axis=-1)
+    np.testing.assert_allclose(r, 2.0, atol=1e-4)
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    v = rng.rand(10, 3).astype(np.float32)
+    f = np.asarray([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+    n = rng.rand(10, 3).astype(np.float32)
+    uv = rng.rand(10, 2).astype(np.float32)
+    plyio.write_ply(tmp_path / "t.ply", v, f, normals=n, uvs=uv)
+    m = plyio.read_ply(tmp_path / "t.ply")
+    np.testing.assert_allclose(m["vertices"], v, rtol=1e-6)
+    np.testing.assert_array_equal(m["indices"], f)
+    np.testing.assert_allclose(m["normals"], n, rtol=1e-6)
+    np.testing.assert_allclose(m["uvs"], uv, rtol=1e-6)
+
+
+def test_ply_quads_split(tmp_path):
+    # hand-written ascii PLY with a quad
+    txt = """ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+4 0 1 2 3
+"""
+    (tmp_path / "q.ply").write_text(txt)
+    m = plyio.read_ply(tmp_path / "q.ply")
+    assert m["indices"].shape == (2, 3)
