@@ -27,6 +27,8 @@ class PixelSensor:
     # output RGB = xyz_from_sensor_rgb @ sensor_rgb (includes white balance)
     xyz_from_sensor_rgb: jnp.ndarray  # (3, 3)
     imaging_ratio: jnp.ndarray        # scalar
+    # cie1931 default sensor: evaluate analytic CIE fits (gather-free)
+    analytic_cie: bool = struct.field(pytree_node=False, default=False)
 
 
 def make_pixel_sensor(colorspace=None, sensor_name="cie1931", iso=100.0,
@@ -58,7 +60,8 @@ def make_pixel_sensor(colorspace=None, sensor_name="cie1931", iso=100.0,
                                                white_balance_temp)
     return PixelSensor(response=jnp.asarray(response, jnp.float32),
                        xyz_from_sensor_rgb=jnp.asarray(xyz_from_sensor, jnp.float32),
-                       imaging_ratio=jnp.asarray(imaging_ratio, jnp.float32))
+                       imaging_ratio=jnp.asarray(imaging_ratio, jnp.float32),
+                       analytic_cie=(sensor_name == "cie1931"))
 
 
 def _solve_sensor_matrix(response, colorspace, white_balance_temp):
@@ -83,9 +86,15 @@ def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
     """MC projection of sampled radiance onto the sensor response (reference
     PixelSensor::ToSensorRGB, film.h:74). L: (..., 4) -> (..., 3).
 
-    One fused gather for all 3 curves x 2 interpolation taps."""
+    Default cie1931 sensor: analytic CIE fits (gather-free); named sensors:
+    one fused gather for all 3 curves x 2 interpolation taps."""
     w = spc.safe_div_spectrum(L, swl.pdf) / CIE_Y_INTEGRAL
     lam = swl.lam
+    if sensor.analytic_cie:
+        X, Y, Z = spc.eval_cie_xyz_analytic(lam)
+        rgb = jnp.stack([jnp.mean(X * w, -1), jnp.mean(Y * w, -1),
+                         jnp.mean(Z * w, -1)], axis=-1)
+        return sensor.imaging_ratio * rgb
     x = jnp.clip(lam - spc.LAMBDA_MIN, 0.0, spc.N_CIE - 1.000001)
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
     frac = (x - i0.astype(jnp.float32))[..., None]

@@ -66,7 +66,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         li_idx = jnp.maximum(li_idx, 0)
         ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
                            scene.spectra_pool, scene.tri_geo,
-                           scene.scene_radius)
+                           scene.scene_radius, env=scene.env)
         wi = ls["wi"]
         wi_local = _to_local(ns, t1, t2, wi)
         f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
@@ -94,7 +94,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             light_idx = isect["light"]
             is_emitter = hit & (light_idx >= 0)
             li_safe = jnp.maximum(light_idx, 0)
-            lrow = lgt.LightRow(scene.lights.packed[li_safe])  # ONE gather
+            from ..ops.gather import pool_lookup
+            lrow = lgt.LightRow(pool_lookup(scene.lights.packed, li_safe))
             Le = lgt.area_light_radiance(lrow, isect["ng"], isect["wo"], lam,
                                          scene.spectra_pool)
             # the hit triangle IS the light's triangle: reuse intersect's verts
@@ -107,7 +108,18 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             L = L + jnp.where(is_emitter[..., None],
                               beta * Le * w_emit[..., None], 0.0)
 
-        # --- escaped rays: infinite lights ---
+        # --- escaped rays: image infinite light (env map) ---
+        if scene.env is not None:
+            escaped = active & ~isect["hit"]
+            Le_env = lgt.env_radiance(scene.env, d, lam)
+            pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
+            pdf_env = lgt.env_pdf_li(scene.env, d) * pmf_env
+            w_env = jnp.where((depth == 0) | spec_bounce, 1.0,
+                              power_heuristic(1.0, prev_pdf, 1.0, pdf_env))
+            L = L + jnp.where(escaped[..., None],
+                              beta * Le_env * w_env[..., None], 0.0)
+
+        # --- escaped rays: uniform infinite lights ---
         if scene.n_infinite > 0:
             escaped = active & ~isect["hit"]
             Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
@@ -130,7 +142,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         # lanes where wo is below the shading surface: treat as inactive
         # (reference handles via shading-normal adjustments)
         bp = mtl.get_bsdf_params(scene.materials, isect["mat"], lam,
-                                 scene.spectra_pool)
+                                 scene.spectra_pool, textures=scene.textures,
+                                 uv=isect["uv"], p_world=isect["p"])
 
         # --- NEE ---
         if scene.light_sampler.n_lights > 0:

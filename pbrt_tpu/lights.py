@@ -48,12 +48,12 @@ def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
                     is_delta, pmf, power) -> LightPool:
     tag = np.asarray(tag, np.int32)
     packed = np.concatenate([
-        tag[:, None].view(np.float32),
+        tag[:, None].astype(np.float32),                  # value-encoded ints
         np.asarray(p, np.float32).reshape(-1, 3),
         np.asarray(dir_, np.float32).reshape(-1, 3),
-        np.asarray(spec_idx, np.int32)[:, None].view(np.float32),
+        np.asarray(spec_idx, np.float32)[:, None],
         np.asarray(scale, np.float32)[:, None],
-        np.asarray(tri, np.int32)[:, None].view(np.float32),
+        np.asarray(tri, np.float32)[:, None],
         np.asarray(two_sided, np.float32)[:, None],
         np.asarray(cfs, np.float32)[:, None],
         np.asarray(cfe, np.float32)[:, None],
@@ -65,21 +65,21 @@ def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
                      spec_idx=jnp.asarray(np.asarray(spec_idx, np.int32)))
 
 
-def _bits_i32(f):
-    import jax
-    return jax.lax.bitcast_convert_type(f, jnp.int32)
+def _val_i32(f):
+    from .ops.gather import f32_to_i32
+    return f32_to_i32(f)
 
 
 class LightRow:
     """View over gathered packed light rows (N, 15)."""
 
     def __init__(self, rows):
-        self.tag = _bits_i32(rows[..., 0])
+        self.tag = _val_i32(rows[..., 0])
         self.p = rows[..., 1:4]
         self.dir = rows[..., 4:7]
-        self.spec_idx = _bits_i32(rows[..., 7])
+        self.spec_idx = _val_i32(rows[..., 7])
         self.scale = rows[..., 8]
-        self.tri = _bits_i32(rows[..., 9])
+        self.tri = _val_i32(rows[..., 9])
         self.two_sided = rows[..., 10] > 0.5
         self.cfs = rows[..., 11]
         self.cfe = rows[..., 12]
@@ -103,7 +103,7 @@ def eval_light_spectrum(spectra_pool, spec_idx, scale, lam):
 
 
 def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
-              spectra_pool, tri_geo, scene_radius):
+              spectra_pool, tri_geo, scene_radius, env: "EnvLight" = None):
     """Sample incident direction from light light_idx toward p_ref.
 
     light_idx: (N,) into pool; p_ref: (N, 3); u2: (N, 2); lam: (N, 4);
@@ -111,7 +111,8 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     Returns dict(wi (N,3), L (N,4), pdf (N,), p_light (N,3), is_delta (N,),
     valid (N,)). pdf is solid-angle measure (reference Light::SampleLi).
     """
-    row = LightRow(lights.packed[light_idx])  # ONE gather
+    from .ops.gather import pool_lookup
+    row = LightRow(pool_lookup(lights.packed, light_idx))
     tag = row.tag
     lp = row.p
     ldir = row.dir
@@ -141,8 +142,9 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     pdf_dist = jnp.ones_like(dist2_pt)
 
     # --- area triangle: uniform-area sample + convert to solid angle ---
+    from .ops.gather import pool_lookup
     ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-    geo = tri_geo[ti]  # ONE gather
+    geo = pool_lookup(tri_geo, ti)
     a = geo[..., 0:3]
     b = geo[..., 3:6]
     c = geo[..., 6:9]
@@ -166,6 +168,11 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     pdf_inf = jnp.full_like(dist2_pt, INV_4PI)
     p_inf = p_ref + wi_inf * (2.0 * scene_radius)
 
+    # --- image infinite (env map) ---
+    if env is not None:
+        wi_env, L_env, pdf_env, p_env = env_sample_li(env, p_ref, u2, lam,
+                                                      scene_radius)
+
     t2 = tag[..., None]
     wi = jnp.where(t2 == LIGHT_POINT, wi_pt,
          jnp.where(t2 == LIGHT_SPOT, wi_pt,
@@ -183,6 +190,12 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
               jnp.where(t2 == LIGHT_SPOT, lp,
               jnp.where(t2 == LIGHT_DISTANT, p_dist,
               jnp.where(t2 == LIGHT_AREA_TRI, p_tri, p_inf))))
+    if env is not None:
+        is_env = tag == LIGHT_IMAGE_INFINITE
+        wi = jnp.where(is_env[..., None], wi_env, wi)
+        L = jnp.where(is_env[..., None], L_env, L)
+        pdf = jnp.where(is_env, pdf_env, pdf)
+        p_light = jnp.where(is_env[..., None], p_env, p_light)
     is_delta = row.is_delta
     valid = (pdf > 0) & jnp.any(L > 0, axis=-1)
     return dict(wi=wi, L=L, pdf=pdf, p_light=p_light, is_delta=is_delta,
@@ -228,6 +241,107 @@ def infinite_light_radiance(lights: LightPool, lam, spectra_pool, ray_d,
 
 
 # Host-side power computation for light samplers (reference Light::Phi)
+# ---------------------------------------------------------------------------
+# ImageInfiniteLight (reference lights.h:544): equal-area octahedral radiance
+# map. TPU design: texels store baked sigmoid coeffs + scale (like textures);
+# directional sampling is an ALIAS TABLE over all texels — with the
+# equal-area parameterization every texel covers solid angle 4pi/(W*H), so
+# pdf(texel) = pmf * W * H / (4pi). This replaces the reference's
+# PiecewiseConstant2D (whose row-CDF searches would gather megabytes per
+# sample on TPU).
+
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class EnvLight:
+    texels: jnp.ndarray      # (H*W, 4): [c0, c1, c2, scale]
+    alias_rows: jnp.ndarray  # (H*W, 4): [q, alias, pmf_self, pmf_alias]
+    pmf: jnp.ndarray         # (H*W,)
+    illum: jnp.ndarray       # (471,) illuminant curve modulating RGB texels
+    scale: jnp.ndarray       # scalar
+    width: int = _struct.field(pytree_node=False, default=0)
+    height: int = _struct.field(pytree_node=False, default=0)
+    light_index: int = _struct.field(pytree_node=False, default=0)
+
+
+def make_env_light(image_rgb, colorspace, scale=1.0, light_index=0) -> EnvLight:
+    """image_rgb: (H, W, 3) linear RGB in EQUAL-AREA octahedral layout."""
+    from .utils import sampling as usamp
+    img = np.asarray(image_rgb, np.float32)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    m = np.maximum(flat.max(axis=-1), 1e-9)
+    tex_scale = np.where(flat.max(axis=-1) > 1.0, 2.0 * m, 1.0).astype(np.float32)
+    coeffs = colorspace.to_spectrum_coeffs(flat / tex_scale[:, None])
+    texels = np.concatenate([coeffs, tex_scale[:, None]], 1)
+    lum = 0.2126 * flat[:, 0] + 0.7152 * flat[:, 1] + 0.0722 * flat[:, 2]
+    lum = np.maximum(lum, 1e-9 * lum.max() if lum.max() > 0 else 1e-9)
+    at = usamp.AliasTable.build(lum)
+    q = np.asarray(at.q, np.float32)
+    alias = np.asarray(at.alias, np.int32)
+    pmf = np.asarray(at.pmf, np.float32)
+    alias_rows = np.concatenate([q[:, None], alias[:, None].astype(np.float32),
+                                 pmf[:, None], pmf[alias][:, None]], 1)
+    return EnvLight(texels=jnp.asarray(texels), alias_rows=jnp.asarray(alias_rows),
+                    pmf=jnp.asarray(pmf),
+                    illum=jnp.asarray(colorspace.illuminant_dense),
+                    scale=jnp.asarray(scale, jnp.float32),
+                    width=w, height=h, light_index=light_index)
+
+
+def _env_texel_radiance(env: EnvLight, texel_idx, lam):
+    """Spectral radiance of texel texel_idx at wavelengths lam (N, 4)."""
+    from .utils import color as pcolor
+    rows = env.texels[texel_idx]                  # gather (N, 4)
+    refl = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 0:3], lam)
+    illum = spc.eval_dense(env.illum, lam)
+    return refl * rows[..., 3:4] * illum * env.scale
+
+
+def env_radiance(env: EnvLight, d, lam):
+    """Le for escaped rays (nearest-texel; reference uses bilinear)."""
+    uv = vm.equal_area_sphere_to_square(d)
+    x = jnp.clip((uv[..., 0] * env.width).astype(jnp.int32), 0, env.width - 1)
+    y = jnp.clip((uv[..., 1] * env.height).astype(jnp.int32), 0, env.height - 1)
+    return _env_texel_radiance(env, y * env.width + x, lam)
+
+
+def env_sample_li(env: EnvLight, p_ref, u2, lam, scene_radius):
+    """Importance-sample a direction toward the env map.
+
+    Returns (wi, L, pdf_solid_angle, p_light)."""
+    n = env.width * env.height
+    up = u2[..., 0] * n
+    i = jnp.clip(up.astype(jnp.int32), 0, n - 1)
+    frac = up - i.astype(jnp.float32)
+    rows = env.alias_rows[i]                      # gather (N, 4)
+    take = frac < rows[..., 0]
+    texel = jnp.where(take, i, rows[..., 1].astype(jnp.int32))
+    pmf = jnp.where(take, rows[..., 2], rows[..., 3])
+    # jitter inside the texel with the remaining dimensions
+    u_in = jnp.where(take, frac / jnp.maximum(rows[..., 0], 1e-9),
+                     (frac - rows[..., 0]) / jnp.maximum(1.0 - rows[..., 0], 1e-9))
+    tx = (texel % env.width).astype(jnp.float32)
+    ty = (texel // env.width).astype(jnp.float32)
+    uv = jnp.stack([(tx + jnp.clip(u_in, 0, 0.9999)) / env.width,
+                    (ty + u2[..., 1]) / env.height], -1)
+    wi = vm.equal_area_square_to_sphere(uv)
+    pdf = pmf * (n / (4.0 * np.pi))
+    L = _env_texel_radiance(env, texel, lam)
+    p_light = p_ref + wi * (2.0 * scene_radius)
+    return wi, L, pdf, p_light
+
+
+def env_pdf_li(env: EnvLight, d):
+    """Solid-angle pdf that env_sample_li picks direction d (for MIS)."""
+    uv = vm.equal_area_sphere_to_square(d)
+    x = jnp.clip((uv[..., 0] * env.width).astype(jnp.int32), 0, env.width - 1)
+    y = jnp.clip((uv[..., 1] * env.height).astype(jnp.int32), 0, env.height - 1)
+    pmf = env.pmf[y * env.width + x]
+    return pmf * (env.width * env.height / (4.0 * np.pi))
+
+
 def compute_light_power(tag, scale, spectrum: spc.Spectrum, area=None,
                         two_sided=False, cos_falloff_start=1, cos_falloff_end=1,
                         scene_radius=1.0) -> float:

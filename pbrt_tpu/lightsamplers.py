@@ -35,7 +35,7 @@ def make_light_sampler(kind: str, light_powers: np.ndarray) -> LightSampler:
         alias = np.asarray(at.alias, np.int32)
         pmf = np.asarray(at.pmf, np.float32)
         rows = np.concatenate([
-            q[:, None], alias[:, None].view(np.float32),
+            q[:, None], alias[:, None].astype(np.float32),
             pmf[:, None], pmf[alias][:, None]], axis=1)
         return LightSampler(kind=LS_POWER, n_lights=n,
                             rows=jnp.asarray(rows), pmf_table=jnp.asarray(pmf))
@@ -56,9 +56,11 @@ def sample_light(ls: LightSampler, u):
         up = u * n
         i = jnp.clip(up.astype(jnp.int32), 0, n - 1)
         frac = up - i.astype(jnp.float32)
-        rows = ls.rows[i]  # ONE gather
+        from .ops.gather import pool_lookup
+        rows = pool_lookup(ls.rows, i)
         q = rows[..., 0]
-        alias = jax.lax.bitcast_convert_type(rows[..., 1], jnp.int32)
+        from .ops.gather import f32_to_i32
+        alias = f32_to_i32(rows[..., 1])
         take_primary = frac < q
         idx = jnp.where(take_primary, i, alias)
         pmf = jnp.where(take_primary, rows[..., 2], rows[..., 3])

@@ -89,14 +89,14 @@ class MaterialBuilder:
             return np.stack([np.asarray(r[k]) for r in self.rows]).astype(dtype)
 
         packed = np.concatenate([
-            col("bxdf_tag", np.int32)[:, None].view(np.float32),
+            col("bxdf_tag", np.float32)[:, None],         # value-encoded ints
             col("albedo_coeffs").reshape(-1, 3),
             col("trans_coeffs").reshape(-1, 3),
             col("uroughness")[:, None], col("vroughness")[:, None],
             col("eta_const")[:, None],
-            col("eta_spec_idx", np.int32)[:, None].view(np.float32),
-            col("k_spec_idx", np.int32)[:, None].view(np.float32),
-            col("albedo_tex", np.int32)[:, None].view(np.float32),
+            col("eta_spec_idx", np.float32)[:, None],
+            col("k_spec_idx", np.float32)[:, None],
+            col("albedo_tex", np.float32)[:, None],
             col("remap_roughness", np.float32)[:, None]], axis=1)
         return MaterialPool(
             packed=jnp.asarray(packed),
@@ -108,23 +108,27 @@ class MaterialBuilder:
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
 
 def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
-                    albedo_override=None) -> bxdfs.BSDFParams:
+                    textures=None, uv=None, p_world=None) -> bxdfs.BSDFParams:
     """Evaluate material textures at the hit -> per-lane BSDFParams.
 
-    mat_idx: (N,) int32; lam: (N, 4). albedo_override: optional (N, 4) from
-    image-texture evaluation (applied where albedo_tex >= 0).
+    mat_idx: (N,) int32; lam: (N, 4). textures: optional TexturePool;
+    uv: (N, 2) hit uv for texture evaluation (used where albedo_tex >= 0).
 
-    One packed-row gather + (only if the scene has spectral eta/k) one fused
-    spectrum-pool gather each for eta and k.
+    One packed-row lookup + (only if the scene has spectral eta/k) one fused
+    spectrum-pool gather each for eta and k + (only if textured) one texture
+    evaluation (coeffs baked at compile; see textures.py).
     """
-    import jax
-    rows = pool.packed[mat_idx]  # ONE gather (N, 14)
-    tag = jax.lax.bitcast_convert_type(rows[..., 0], jnp.int32)
+    from .ops.gather import pool_lookup, f32_to_i32
+    rows = pool_lookup(pool.packed, mat_idx)
+    tag = f32_to_i32(rows[..., 0])
     coeffs = rows[..., 1:4]
     albedo = pcolor.eval_rgb_sigmoid_polynomial(coeffs, lam)
-    if albedo_override is not None and pool.has_textures:
-        has_tex = jax.lax.bitcast_convert_type(rows[..., 12], jnp.int32) >= 0
-        albedo = jnp.where(has_tex[..., None], albedo_override, albedo)
+    if textures is not None and pool.has_textures and uv is not None:
+        from . import textures as tex_mod
+        tex_idx = f32_to_i32(rows[..., 12])
+        tc, tscale = tex_mod.eval_texture(textures, tex_idx, uv, p_world)
+        tex_albedo = pcolor.eval_rgb_sigmoid_polynomial(tc, lam) * tscale[..., None]
+        albedo = jnp.where((tex_idx >= 0)[..., None], tex_albedo, albedo)
     trans = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 4:7], lam)
     ur = rows[..., 7]
     vr = rows[..., 8]
@@ -135,8 +139,8 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
     ones = jnp.ones_like(lam)
     if pool.has_spectral_eta:
         from .lights import eval_light_spectrum
-        eidx = jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32)
-        kidx = jax.lax.bitcast_convert_type(rows[..., 11], jnp.int32)
+        eidx = f32_to_i32(rows[..., 10])
+        kidx = f32_to_i32(rows[..., 11])
         one = jnp.ones_like(ur)
         eta_dense = eval_light_spectrum(spectra_pool, jnp.maximum(eidx, 0), one, lam)
         k_dense = eval_light_spectrum(spectra_pool, jnp.maximum(kidx, 0), one, lam)

@@ -18,6 +18,7 @@ from flax import struct
 
 from ..utils import vecmath as vm
 from . import intersect as isect
+from .gather import f32_to_i32, pick3, pool_lookup
 
 MAX_LEAF_PRIMS = 4
 N_BUCKETS = 12
@@ -165,8 +166,8 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
 
     packed = np.concatenate([
         lo, hi,
-        right_or_offset[:, None].view(np.float32),
-        ((n_prims << 2) | axis)[:, None].view(np.float32)], axis=1)
+        right_or_offset[:, None].astype(np.float32),      # value-encoded int
+        ((n_prims << 2) | axis)[:, None].astype(np.float32)], axis=1)
     return BVH(nodes=jnp.asarray(packed),
                prim_indices=jnp.asarray(ordered.astype(np.int32)))
 
@@ -186,7 +187,7 @@ def pack_tri_geo(tri_p0, tri_p1, tri_p2, order=None):
     if order is not None:
         order = np.asarray(order)
         p0, p1, p2, orig = p0[order], p1[order], p2[order], orig[order]
-    packed = np.concatenate([p0, p1, p2, orig[:, None].view(np.float32)], axis=1)
+    packed = np.concatenate([p0, p1, p2, orig[:, None].astype(np.float32)], axis=1)
     return jnp.asarray(packed)
 
 
@@ -194,8 +195,8 @@ def _unpack_node(rows):
     """rows: (N, 8) packed node rows -> (lo, hi, roff, nprims, axis)."""
     lo = rows[:, 0:3]
     hi = rows[:, 3:6]
-    roff = jax.lax.bitcast_convert_type(rows[:, 6], jnp.int32)
-    meta = jax.lax.bitcast_convert_type(rows[:, 7], jnp.int32)
+    roff = f32_to_i32(rows[:, 6])
+    meta = f32_to_i32(rows[:, 7])
     return lo, hi, roff, meta >> 2, meta & 3
 
 
@@ -247,7 +248,7 @@ def bvh_intersect_triangles(bvh: BVH, tri_geo_ordered, o, d, t_max,
                                    geo[:, 6:9])
             better = do_test & r["hit"] & (r["t"] < t_best)
             t_best = jnp.where(better, r["t"], t_best)
-            tri = jax.lax.bitcast_convert_type(geo[:, 9], jnp.int32)
+            tri = f32_to_i32(geo[:, 9])
             prim_best = jnp.where(better, tri, prim_best)
             b_best = jnp.where(better[:, None],
                                jnp.stack([r["b0"], r["b1"], r["b2"]], axis=-1), b_best)

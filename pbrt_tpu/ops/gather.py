@@ -16,6 +16,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+ONEHOT_MAX_ROWS = 512  # below this, one-hot matmul beats a gather decisively
+
+
+def pool_lookup(table, idx):
+    """Row lookup from an entity pool: one-hot matmul for small pools
+    (MXU, effectively free), gather for large ones (~1 GB/s on this TPU).
+
+    table: (K, C) f32 — int columns must be VALUE-encoded f32 (ints < 2^24),
+    never bitcast (0 * NaN-pattern would poison the one-hot sum).
+    idx: (...,) int32, already clipped to [0, K).
+    """
+    if table.shape[0] <= ONEHOT_MAX_ROWS:
+        return onehot_lookup(table, idx)
+    return table[idx]
+
+
 def onehot_lookup(table, idx, axis_size=None):
     """Gather-free lookup for small tables.
 
@@ -25,9 +41,18 @@ def onehot_lookup(table, idx, axis_size=None):
     table = jnp.asarray(table, jnp.float32)
     K = table.shape[0] if axis_size is None else axis_size
     oh = (idx[..., None] == jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls default to one-pass bf16, which
+    # would corrupt value-encoded int columns > 256
     if table.ndim == 1:
-        return oh @ table
-    return jnp.tensordot(oh, table, axes=([-1], [0]))
+        return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+    return jnp.tensordot(oh, table, axes=([-1], [0]),
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def f32_to_i32(v):
+    """Decode a value-encoded int column (exact for |v| < 2^24; round guards
+    the ~1ulp error of bf16x3 matmul recovery)."""
+    return jnp.round(v).astype(jnp.int32)
 
 
 def pick3(v, k):

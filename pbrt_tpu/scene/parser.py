@@ -572,9 +572,19 @@ def parse_string(text, base_dir=".", light_sampler="power",
                                     default=spc.d65_spectrum())
                     b.add_uniform_infinite_light(s, scale)
                 else:
-                    import warnings
-                    warnings.warn("image infinite light pending; uniform used")
-                    b.add_uniform_infinite_light(spc.d65_spectrum(), scale)
+                    from ..utils import image as pimg
+                    from ..utils import image_env
+                    fp = Path(base_dir) / fn
+                    if fn.endswith(".exr"):
+                        img = pimg.read_exr(fp)
+                    elif fn.endswith(".pfm"):
+                        img = pimg.read_pfm(fp)
+                    else:
+                        img = pimg.read_png(fp).astype(np.float32) / 255.0
+                    if img.shape[0] != img.shape[1]:
+                        # lat-long: resample to equal-area octahedral
+                        img = image_env.equalarea_from_latlong(img)
+                    b.add_image_infinite_light(img, scale)
             else:
                 import warnings
                 warnings.warn(f"light '{name}' not yet supported; skipped")

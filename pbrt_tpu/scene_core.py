@@ -40,10 +40,12 @@ class Scene:
     tri_shade: jnp.ndarray     # (T, 17) packed, original order
     bvh: bvh_mod.BVH
     materials: mtl.MaterialPool
+    textures: object  # textures.TexturePool
     lights: lgt.LightPool
     light_sampler: lsamp.LightSampler
     spectra_pool: jnp.ndarray  # (S, 471)
     scene_radius: jnp.ndarray  # scalar
+    env: object = None  # lights.EnvLight | None (image infinite light)
     use_bvh: bool = struct.field(pytree_node=False, default=True)
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
@@ -56,8 +58,10 @@ class SceneBuilder:
 
     def __init__(self, colorspace=None):
         from .utils import color as pcolor
+        from . import textures as tex_mod
         self.cs = colorspace or pcolor.srgb()
         self.materials = mtl.MaterialBuilder(self.cs)
+        self.textures = tex_mod.TextureBuilder(self.cs)
         self.v0 = []
         self.v1 = []
         self.v2 = []
@@ -166,6 +170,19 @@ class SceneBuilder:
             is_delta=True))
         return len(self.light_rows) - 1
 
+    def add_image_infinite_light(self, image_rgb, scale=1.0):
+        """image_rgb: (H, W, 3) linear RGB, EQUAL-AREA octahedral layout
+        (use utils.image_env.equalarea_from_latlong for lat-long maps)."""
+        image_rgb = np.asarray(image_rgb, np.float32)
+        lum = (0.2126 * image_rgb[..., 0] + 0.7152 * image_rgb[..., 1] +
+               0.0722 * image_rgb[..., 2]).mean()
+        self._env_image = (image_rgb, scale)
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_IMAGE_INFINITE, p=np.zeros(3), dir=np.zeros(3),
+            spec_idx=0, scale=scale, tri=0, two_sided=False, cfs=1.0,
+            cfe=1.0, power=float(lum) * scale, is_delta=False))
+        return len(self.light_rows) - 1
+
     def add_uniform_infinite_light(self, spectrum: spc.Spectrum, scale=1.0):
         sidx = self.add_spectrum(spectrum, key=("inf", id(spectrum)))
         self.light_rows.append(dict(
@@ -188,6 +205,8 @@ class SceneBuilder:
         # finalize scene_radius-dependent light powers
         rows = self.light_rows
         for r in rows:
+            if r["tag"] == lgt.LIGHT_IMAGE_INFINITE:
+                r["power"] = r["power"] * 4 * np.pi * np.pi * radius ** 2
             if r["tag"] in (lgt.LIGHT_DISTANT, lgt.LIGHT_UNIFORM_INFINITE):
                 base = spc.DenselySampledSpectrum(
                     self.spectra[r["spec_idx"]].astype(np.float64))
@@ -223,22 +242,30 @@ class SceneBuilder:
         inf_indices = tuple(i for i, r in enumerate(rows)
                             if r["tag"] == lgt.LIGHT_UNIFORM_INFINITE)
         n_inf = len(inf_indices)
+        env = None
+        if getattr(self, "_env_image", None) is not None:
+            img, esc = self._env_image
+            env_idx = next(i for i, r in enumerate(rows)
+                           if r["tag"] == lgt.LIGHT_IMAGE_INFINITE)
+            env = lgt.make_env_light(img, self.cs, scale=esc,
+                                     light_index=env_idx)
         tri_geo = bvh_mod.pack_tri_geo(p0, p1, p2)
         tri_geo_bvh = bvh_mod.pack_tri_geo(p0, p1, p2,
                                            order=np.asarray(bvh.prim_indices))
         tri_shade = np.concatenate([
             np.stack(self.n0), np.stack(self.n1), np.stack(self.n2),
             np.stack(self.uv0), np.stack(self.uv1), np.stack(self.uv2),
-            np.asarray(self.t_mat, np.int32)[:, None].view(np.float32),
-            np.asarray(self.t_light, np.int32)[:, None].view(np.float32)],
+            np.asarray(self.t_mat, np.float32)[:, None],
+            np.asarray(self.t_light, np.float32)[:, None]],
             axis=1).astype(np.float32)
         return Scene(
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
             tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
             tri_shade=jnp.asarray(tri_shade),
-            bvh=bvh, materials=self.materials.build(), lights=pool,
+            bvh=bvh, materials=self.materials.build(),
+            textures=self.textures.build(), lights=pool,
             light_sampler=ls, spectra_pool=spectra_pool,
-            scene_radius=jnp.asarray(radius, jnp.float32),
+            env=env, scene_radius=jnp.asarray(radius, jnp.float32),
             use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] == lgt.LIGHT_AREA_TRI for r in rows))
 
@@ -258,8 +285,9 @@ def intersect(scene: Scene, o, d, t_max):
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
     prim = jnp.maximum(r["prim"], 0)
     b0, b1, b2 = r["b0"], r["b1"], r["b2"]
-    geo = scene.tri_geo[prim]        # ONE gather
-    shade = scene.tri_shade[prim]    # ONE gather
+    from .ops.gather import pool_lookup
+    geo = pool_lookup(scene.tri_geo, prim)
+    shade = pool_lookup(scene.tri_shade, prim)
     p0 = geo[..., 0:3]
     p1 = geo[..., 3:6]
     p2 = geo[..., 6:9]
@@ -272,8 +300,9 @@ def intersect(scene: Scene, o, d, t_max):
     ng = jnp.where(vm.dot(ng, ns)[..., None] < 0, -ng, ng)
     uv = b0[..., None] * shade[..., 9:11] + b1[..., None] * shade[..., 11:13] + \
         b2[..., None] * shade[..., 13:15]
-    mat = jax.lax.bitcast_convert_type(shade[..., 15], jnp.int32)
-    light = jax.lax.bitcast_convert_type(shade[..., 16], jnp.int32)
+    from .ops.gather import f32_to_i32
+    mat = f32_to_i32(shade[..., 15])
+    light = f32_to_i32(shade[..., 16])
     return dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
                 mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
 

@@ -1,0 +1,246 @@
+"""Textures (reference textures.{h,cpp}: 28 concrete types, base/texture.h).
+
+TPU design: all images live in ONE flat atlas array whose texels are
+PRE-CONVERTED sigmoid-polynomial coefficients + scale (RGB->spectrum
+conversion runs at scene compile on host, so the device never touches the
+64^3 conversion table); each texture is a descriptor row. Procedural
+textures (checker, noise family) are elementwise. Evaluation is
+select-over-tags with at most one atlas gather, returning
+(coeffs (N,3), scale (N,)) — spectral albedo = sigmoid(coeffs, lam) * scale.
+
+Round-1 texture set: constant, scale, image (bilinear, repeat/clamp),
+checkerboard (2 constant/image children pre-resolved), UV mapping with
+scale/offset, fbm/turbulence/marble via Perlin noise.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .ops.gather import pool_lookup, f32_to_i32
+
+TEX_CONSTANT = 0
+TEX_IMAGE = 1
+TEX_CHECKER = 2
+TEX_SCALE = 3
+TEX_FBM = 4
+TEX_MARBLE = 5
+
+# descriptor columns
+# [0]=tag [1]=img_offset [2]=width [3]=height [4:7]=value_a(rgb)
+# [7:10]=value_b(rgb) [10]=su [11]=sv [12]=du [13]=dv [14]=octaves [15]=omega/roughness
+TEX_COLS = 16
+
+
+@struct.dataclass
+class TexturePool:
+    desc: jnp.ndarray    # (K, TEX_COLS) f32 descriptor rows
+    atlas: jnp.ndarray   # (A, 4) flat texel pool: [c0, c1, c2, scale]
+    has_image: bool = struct.field(pytree_node=False, default=False)
+    has_procedural: bool = struct.field(pytree_node=False, default=False)
+
+
+class TextureBuilder:
+    def __init__(self, colorspace=None):
+        from .utils import color as pcolor
+        self.cs = colorspace or pcolor.srgb()
+        self.rows = []
+        self.atlas = [np.zeros((1, 4), np.float32)]
+        self.atlas_size = 1
+
+    def _rgb_to_coeffs_scale(self, rgb):
+        """RGB (any positive range) -> (coeffs (...,3), scale (...)) such that
+        sigmoid(coeffs) * scale reproduces rgb (RGBUnboundedSpectrum logic)."""
+        rgb = np.asarray(rgb, np.float32).reshape(-1, 3)
+        m = np.maximum(rgb.max(axis=-1), 1e-9)
+        scale = np.where(rgb.max(axis=-1) > 1.0, 2.0 * m, 1.0).astype(np.float32)
+        coeffs = self.cs.to_spectrum_coeffs(rgb / scale[:, None])
+        return coeffs, scale
+
+    def _add_row(self, **kw):
+        row = np.zeros(TEX_COLS, np.float32)
+        row[0] = kw.get("tag", TEX_CONSTANT)
+        row[1] = kw.get("img_offset", 0)
+        row[2] = kw.get("width", 0)
+        row[3] = kw.get("height", 0)
+        row[4:7] = kw.get("value_a", (0, 0, 0))
+        row[7:10] = kw.get("value_b", (0, 0, 0))
+        row[10] = kw.get("su", 1.0)
+        row[11] = kw.get("sv", 1.0)
+        row[12] = kw.get("du", 0.0)
+        row[13] = kw.get("dv", 0.0)
+        row[14] = kw.get("octaves", 6)
+        row[15] = kw.get("omega", 0.5)
+        self.rows.append(row)
+        return len(self.rows) - 1
+
+    def add_constant(self, rgb):
+        c, s = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb, np.float32), (1, 3)))
+        return self._add_row(tag=TEX_CONSTANT, value_a=c[0], value_b=(s[0], 0, 0))
+
+    def add_image(self, img, su=1.0, sv=1.0, du=0.0, dv=0.0, scale=1.0):
+        """img: (H, W, 3) float32 linear RGB (texels baked to coeffs)."""
+        img = np.asarray(img, np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        h, w = img.shape[:2]
+        c, s = self._rgb_to_coeffs_scale(img.reshape(-1, 3) * scale)
+        off = self.atlas_size
+        self.atlas.append(np.concatenate([c, s[:, None]], 1))
+        self.atlas_size += h * w
+        return self._add_row(tag=TEX_IMAGE, img_offset=off, width=w, height=h,
+                             su=su, sv=sv, du=du, dv=dv)
+
+    def add_checker(self, rgb1, rgb2, su=1.0, sv=1.0):
+        c1, s1 = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb1, np.float32), (1, 3)))
+        c2, s2 = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb2, np.float32), (1, 3)))
+        r = self._add_row(tag=TEX_CHECKER, value_a=c1[0], value_b=c2[0],
+                          su=su, sv=sv)
+        self.rows[-1][14] = s1[0]
+        self.rows[-1][15] = s2[0]
+        return r
+
+    def add_scale(self, rgb, scale):
+        c, s = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb, np.float32), (1, 3)))
+        return self._add_row(tag=TEX_SCALE, value_a=c[0],
+                             value_b=(s[0] * scale, 0, 0))
+
+    def add_fbm(self, octaves=6, omega=0.5, scale=1.0):
+        # fbm modulates a flat 0.5 reflectance by the noise value
+        c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
+        return self._add_row(tag=TEX_FBM, octaves=octaves, omega=omega,
+                             value_a=c[0], value_b=(s[0] * scale, 0, 0))
+
+    def build(self) -> TexturePool:
+        if not self.rows:
+            self._add_row(tag=TEX_CONSTANT, value_a=(0.5, 0.5, 0.5))
+        tags = {int(r[0]) for r in self.rows}
+        return TexturePool(desc=jnp.asarray(np.stack(self.rows)),
+                           atlas=jnp.asarray(np.concatenate(self.atlas)),
+                           has_image=TEX_IMAGE in tags,
+                           has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE}))
+
+
+# ---------------------------------------------------------------------------
+# Perlin noise (reference util/noise.cpp) — hash-based gradient noise so it
+# needs no permutation-table gathers.
+
+def _grad(ix, iy, iz, fx, fy, fz):
+    from .utils.rng import hash_u32
+    h = hash_u32(ix.astype(jnp.uint32), iy.astype(jnp.uint32),
+                 iz.astype(jnp.uint32)) & jnp.uint32(15)
+    h = h.astype(jnp.int32)
+    u = jnp.where(h < 8, fx, fy)
+    v = jnp.where(h < 4, fy, jnp.where((h == 12) | (h == 14), fx, fz))
+    return jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v)
+
+
+def perlin_noise(p):
+    """p: (..., 3) -> (...) in about [-1, 1]."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    ix = pi[..., 0].astype(jnp.int32)
+    iy = pi[..., 1].astype(jnp.int32)
+    iz = pi[..., 2].astype(jnp.int32)
+    fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+
+    def fade(t):
+        return t * t * t * (t * (t * 6 - 15) + 10)
+
+    u, v, w = fade(fx), fade(fy), fade(fz)
+    n = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                g = _grad(ix + dx, iy + dy, iz + dz,
+                          fx - dx, fy - dy, fz - dz)
+                wt = (u if dx else (1 - u)) * (v if dy else (1 - v)) * \
+                     (w if dz else (1 - w))
+                n = n + wt * g
+    return n
+
+
+def fbm(p, octaves, omega):
+    """Fractional Brownian motion (reference util/noise.cpp FBm)."""
+    total = jnp.zeros(p.shape[:-1], jnp.float32)
+    lam = 1.0
+    o = 1.0
+    for _ in range(int(octaves)):
+        total = total + o * perlin_noise(p * lam)
+        lam *= 1.99
+        o *= omega
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+
+def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None):
+    """Evaluate texture tex_idx (N,) at uv (N, 2).
+
+    Returns (coeffs (N, 3), scale (N,)): spectral albedo at the hit is
+    sigmoid(coeffs, lam) * scale. One descriptor lookup (one-hot for small
+    pools) + at most one fused bilinear atlas gather."""
+    row = pool_lookup(pool.desc, jnp.maximum(tex_idx, 0))
+    tag = f32_to_i32(row[..., 0])
+    u = uv[..., 0] * row[..., 10] + row[..., 12]
+    v = uv[..., 1] * row[..., 11] + row[..., 13]
+
+    # constant & scale share the same layout: coeffs in value_a, scale in [7]
+    c_const = row[..., 4:7]
+    s_const = row[..., 7]
+
+    # checker: select between value_a/value_b coeffs (scales in cols 14/15)
+    check = (jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) & 1
+    is_a = (check == 0)
+    c_check = jnp.where(is_a[..., None], row[..., 4:7], row[..., 7:10])
+    s_check = jnp.where(is_a, row[..., 14], row[..., 15])
+
+    # image: bilinear over (coeffs, scale) texels; ONE fused 4-tap gather
+    if pool.has_image:
+        w_img = jnp.maximum(row[..., 2], 1.0)
+        h_img = jnp.maximum(row[..., 3], 1.0)
+        uu = (u - jnp.floor(u)) * w_img - 0.5
+        vv = (v - jnp.floor(v)) * h_img - 0.5
+        x0 = jnp.floor(uu)
+        y0 = jnp.floor(vv)
+        fx = (uu - x0)[..., None]
+        fy = (vv - y0)[..., None]
+
+        def wrap(x, n):
+            return jnp.mod(x, jnp.maximum(n, 1.0))
+
+        xs = jnp.stack([wrap(x0, w_img), wrap(x0 + 1, w_img)], -1)  # (N, 2)
+        ys = jnp.stack([wrap(y0, h_img), wrap(y0 + 1, h_img)], -1)
+        base = row[..., 1]
+        idx = (base[..., None, None] + ys[..., :, None] * w_img[..., None, None] +
+               xs[..., None, :])                            # (N, 2, 2)
+        texels = pool.atlas[f32_to_i32(idx)]                # ONE gather (N,2,2,4)
+        c00, c01 = texels[..., 0, 0, :], texels[..., 0, 1, :]
+        c10, c11 = texels[..., 1, 0, :], texels[..., 1, 1, :]
+        blend = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
+                 c10 * (1 - fx) * fy + c11 * fx * fy)
+        c_img, s_img = blend[..., 0:3], blend[..., 3]
+    else:
+        c_img, s_img = c_const, s_const
+
+    if pool.has_procedural:
+        pp = p_world if p_world is not None else jnp.stack(
+            [u, v, jnp.zeros_like(u)], -1)
+        n_fbm = fbm(pp, 6, 0.5)
+        s_fbm = row[..., 7] * jnp.abs(n_fbm)
+        marble = jnp.sin(pp[..., 2] * 4.0 + 2.0 * n_fbm) * 0.5 + 0.5
+        s_marble = row[..., 7] * marble
+    else:
+        s_fbm = s_marble = s_const
+
+    t = tag[..., None]
+    coeffs = jnp.where(t == TEX_IMAGE, c_img,
+             jnp.where(t == TEX_CHECKER, c_check, c_const))
+    scale = jnp.where(tag == TEX_IMAGE, s_img,
+            jnp.where(tag == TEX_CHECKER, s_check,
+            jnp.where(tag == TEX_FBM, s_fbm,
+            jnp.where(tag == TEX_MARBLE, s_marble, s_const))))
+    return coeffs, scale

@@ -1,0 +1,159 @@
+"""Texture + image-infinite-light tests."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pbrt_tpu import textures as tex_mod
+from pbrt_tpu import lights as lgt
+from pbrt_tpu import scene_core as sc
+from pbrt_tpu import cameras as cm
+from pbrt_tpu import samplers as smp
+from pbrt_tpu.utils import color as pcolor
+from pbrt_tpu.utils import transform as tfm
+from pbrt_tpu.utils import image_env
+
+
+def _albedo_of(pool, idx, uv, lam):
+    c, s = tex_mod.eval_texture(pool, idx, uv)
+    return np.asarray(pcolor.eval_rgb_sigmoid_polynomial(c, lam) * s[..., None])
+
+
+def test_constant_texture():
+    tb = tex_mod.TextureBuilder()
+    t = tb.add_constant((0.25, 0.25, 0.25))
+    pool = tb.build()
+    lam = jnp.full((4, 4), 550.0)
+    a = _albedo_of(pool, jnp.full(4, t, jnp.int32), jnp.zeros((4, 2)), lam)
+    np.testing.assert_allclose(a, 0.25, atol=0.01)
+
+
+def test_checker_texture():
+    tb = tex_mod.TextureBuilder()
+    t = tb.add_checker((0.9, 0.9, 0.9), (0.1, 0.1, 0.1))
+    pool = tb.build()
+    lam = jnp.full((2, 4), 550.0)
+    uv = jnp.asarray([[0.5, 0.5], [1.5, 0.5]])
+    a = _albedo_of(pool, jnp.full(2, t, jnp.int32), uv, lam)
+    assert a[0].mean() > 0.7
+    assert a[1].mean() < 0.2
+
+
+def test_image_texture_bilinear():
+    img = np.zeros((2, 2, 3), np.float32)
+    img[0, 0] = 1.0  # one bright texel
+    tb = tex_mod.TextureBuilder()
+    t = tb.add_image(img)
+    pool = tb.build()
+    lam = jnp.full((2, 4), 550.0)
+    # uv (0.25, 0.25) = center of texel (0,0); (0.75, 0.75) = texel (1,1)
+    uv = jnp.asarray([[0.25, 0.25], [0.75, 0.75]])
+    a = _albedo_of(pool, jnp.full(2, t, jnp.int32), uv, lam)
+    assert a[0].mean() > 0.8
+    assert a[1].mean() < 0.1
+
+
+def test_perlin_noise_range_and_smoothness():
+    p = jnp.asarray(np.random.RandomState(0).rand(256, 3) * 10, jnp.float32)
+    n = np.asarray(tex_mod.perlin_noise(p))
+    assert np.abs(n).max() <= 1.5
+    # continuity: nearby points have nearby noise
+    n2 = np.asarray(tex_mod.perlin_noise(p + 1e-3))
+    assert np.abs(n - n2).max() < 0.05
+
+
+def test_textured_material_renders():
+    """Checkerboard floor seen by the camera shows contrast."""
+    b = sc.SceneBuilder()
+    t = b.textures.add_checker((0.9, 0.9, 0.9), (0.05, 0.05, 0.05), su=8, sv=8)
+    m = b.materials.add_diffuse((0.5, 0.5, 0.5), albedo_tex=t)
+    b.add_mesh([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+               [[0, 1, 2], [0, 2, 3]], m,
+               uvs=[[0, 0], [1, 0], [1, 1], [0, 1]])
+    from pbrt_tpu.utils import spectrum as spc
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(1.0))
+    scene = b.build(light_sampler="uniform", force_bvh=False)
+    cam = cm.make_camera("perspective",
+                         camera_from_world=tfm.look_at((0, 3, 0), (0, 0, 0.001),
+                                                       (0, 0, 1)).inverse(),
+                         width=32, height=32, fov=50)
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    img, _ = rdr.render(scene, cam, spp=16,
+                        sampler=smp.make_sampler("independent", spp=16),
+                        opts=PathOptions(max_depth=2))
+    lum = img.mean(axis=-1)
+    assert lum.max() > 2.5 * max(lum.min(), 0.01)  # visible checker contrast
+
+
+def test_env_light_mean_radiance():
+    """Constant equal-area env map: every escaped ray sees L; a camera in an
+    empty scene (tiny far-away tri) integrates to L."""
+    img = np.full((16, 16, 3), 0.7, np.float32)
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.5, 0.5, 0.5))
+    b.add_mesh([[1000, 1000, 1000], [1001, 1000, 1000], [1000, 1001, 1000]],
+               [[0, 1, 2]], m)
+    b.add_image_infinite_light(img)
+    scene = b.build(light_sampler="power", force_bvh=False)
+    cam = cm.make_camera("perspective",
+                         camera_from_world=tfm.identity(), width=16, height=16)
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    img_out, _ = rdr.render(scene, cam, spp=32,
+                            sampler=smp.make_sampler("independent", spp=32),
+                            opts=PathOptions(max_depth=2))
+    mean = img_out.mean(axis=(0, 1))
+    np.testing.assert_allclose(mean, 0.7, rtol=0.05)
+
+
+def test_env_light_importance_sampling_direction():
+    """Env with one bright texel: NEE should find it; furnace plane lit from
+    a single direction behaves like a distant light."""
+    img = np.full((16, 16, 3), 0.01, np.float32)
+    # bright texel near map center -> some specific direction
+    img[4, 4] = 100.0
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.8, 0.8, 0.8))
+    b.add_mesh([[-5, 0, -5], [5, 0, -5], [5, 0, 5], [-5, 0, 5]],
+               [[0, 1, 2], [0, 2, 3]], m)
+    b.add_image_infinite_light(img)
+    scene = b.build(light_sampler="power", force_bvh=False)
+    cam = cm.make_camera("perspective",
+                         camera_from_world=tfm.look_at((0, 3, 0), (0, 0, 0.001),
+                                                       (0, 0, 1)).inverse(),
+                         width=16, height=16, fov=40)
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    img_out, _ = rdr.render(scene, cam, spp=64,
+                            sampler=smp.make_sampler("independent", spp=64),
+                            opts=PathOptions(max_depth=2))
+    assert np.isfinite(img_out).all()
+    assert img_out.mean() > 0.0
+
+
+def test_env_pdf_consistency():
+    """env_pdf_li must match the alias sampler's actual density."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 8, 3).astype(np.float32)
+    env = lgt.make_env_light(img, pcolor.srgb())
+    u2 = jnp.asarray(rng.rand(4096, 2), jnp.float32)
+    lam = jnp.full((4096, 4), 550.0)
+    p_ref = jnp.zeros((4096, 3))
+    wi, L, pdf, _ = lgt.env_sample_li(env, p_ref, u2, lam, jnp.float32(1.0))
+    pdf2 = np.asarray(lgt.env_pdf_li(env, wi))
+    np.testing.assert_allclose(np.asarray(pdf), pdf2, rtol=1e-3)
+    # integral check: E[1/pdf] over samples = 4pi (solid angle of sphere)
+    est = (1.0 / np.asarray(pdf)).mean()
+    np.testing.assert_allclose(est, 4 * np.pi, rtol=0.05)
+
+
+def test_latlong_to_equalarea_preserves_energy():
+    rng = np.random.RandomState(1)
+    latlong = rng.rand(32, 64, 3).astype(np.float32)
+    ea = image_env.equalarea_from_latlong(latlong, res=32)
+    # equal-area resampling preserves the mean over the sphere (latlong mean
+    # must be sin-theta weighted)
+    theta = (np.arange(32) + 0.5) / 32 * np.pi
+    w = np.sin(theta)[:, None, None]
+    ll_mean = (latlong * w).sum() / (w.sum() * 64 * 3)
+    np.testing.assert_allclose(ea.mean(), ll_mean, rtol=0.05)
