@@ -471,11 +471,41 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "Accelerator":
             p.parse_string()
             p.parse_params()
+        elif tok == "MakeNamedMedium":
+            nm = p.parse_string()
+            ps = p.parse_params()
+            mtype = ps.string("type", "homogeneous")
+            g = ps.float("g", 0.0)
+            sig_a = ps.rgb("sigma_a", (1.0,) * 3)
+            sig_s = ps.rgb("sigma_s", (1.0,) * 3)
+            mscale = ps.float("scale", 1.0)
+            if mtype == "homogeneous":
+                # participate in a box around the whole scene (media are
+                # box-bounded in this framework; see media.py)
+                b.media.add_homogeneous(sigma_a=tuple(sig_a),
+                                        sigma_s=tuple(sig_s), g=g, scale=mscale)
+            elif mtype in ("uniformgrid", "rgbgrid"):
+                nx = ps.int("nx", 1)
+                ny = ps.int("ny", 1)
+                nz = ps.int("nz", 1)
+                dens = ps.floats("density", np.ones(nx * ny * nz))
+                p0 = ps.point3s("p0", np.zeros((1, 3)))[0]
+                p1 = ps.point3s("p1", np.ones((1, 3)))[0]
+                corners = np.array([[p0[0], p0[1], p0[2]], [p1[0], p1[1], p1[2]]],
+                                   np.float32)
+                wc = np.asarray(gs.ctm.apply_point(corners))
+                b.media.add_grid(np.asarray(dens, np.float32).reshape(nz, ny, nx),
+                                 np.minimum(wc[0], wc[1]), np.maximum(wc[0], wc[1]),
+                                 sigma_a=tuple(sig_a), sigma_s=tuple(sig_s),
+                                 g=g, scale=mscale)
+            else:
+                import warnings
+                warnings.warn(f"medium type '{mtype}' not supported; skipped")
         elif tok in ("Option", "ColorSpace", "MediumInterface",
-                     "MakeNamedMedium", "Attribute", "ActiveTransform",
+                     "Attribute", "ActiveTransform",
                      "TransformTimes", "StartTime", "EndTime"):
             # consume arguments conservatively
-            if tok in ("Option", "MakeNamedMedium", "Attribute"):
+            if tok in ("Option", "Attribute"):
                 if p.peek() and p.peek().startswith('"'):
                     p.parse_string()
                 p.parse_params()

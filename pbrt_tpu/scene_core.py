@@ -18,6 +18,7 @@ from .utils import vecmath as vm
 from . import materials as mtl
 from . import lights as lgt
 from . import lightsamplers as lsamp
+from . import media as med_mod
 from .utils import spectrum as spc
 
 
@@ -46,6 +47,8 @@ class Scene:
     spectra_pool: jnp.ndarray  # (S, 471)
     scene_radius: jnp.ndarray  # scalar
     env: object = None  # lights.EnvLight | None (image infinite light)
+    media: object = None  # media.MediumPool
+    has_media: bool = struct.field(pytree_node=False, default=False)
     use_bvh: bool = struct.field(pytree_node=False, default=True)
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
@@ -62,6 +65,7 @@ class SceneBuilder:
         self.cs = colorspace or pcolor.srgb()
         self.materials = mtl.MaterialBuilder(self.cs)
         self.textures = tex_mod.TextureBuilder(self.cs)
+        self.media = med_mod.MediumBuilder(self.cs)
         self.v0 = []
         self.v1 = []
         self.v2 = []
@@ -198,6 +202,11 @@ class SceneBuilder:
         lo = np.minimum(np.minimum(p0, p1), p2)
         hi = np.maximum(np.maximum(p0, p1), p2)
         world_lo, world_hi = lo.min(axis=0), hi.max(axis=0)
+        # include media boxes: infinite-light "distant point" construction and
+        # shadow-ray lengths must clear every participating region
+        for r in self.media.rows:
+            world_lo = np.minimum(world_lo, np.asarray(r[15:18]))
+            world_hi = np.maximum(world_hi, np.asarray(r[18:21]))
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
         use_bvh = (n_tri > 64) if force_bvh is None else force_bvh
         bvh = bvh_mod.build_bvh(lo, hi)
@@ -265,7 +274,9 @@ class SceneBuilder:
             bvh=bvh, materials=self.materials.build(),
             textures=self.textures.build(), lights=pool,
             light_sampler=ls, spectra_pool=spectra_pool,
-            env=env, scene_radius=jnp.asarray(radius, jnp.float32),
+            env=env, media=self.media.build(),
+            has_media=len(self.media.rows) > 0,
+            scene_radius=jnp.asarray(radius, jnp.float32),
             use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] == lgt.LIGHT_AREA_TRI for r in rows))
 
