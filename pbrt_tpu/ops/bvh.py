@@ -39,9 +39,21 @@ class BVH:
 
 def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
               max_leaf=MAX_LEAF_PRIMS) -> BVH:
-    """Binned SAH build (reference aggregates.cpp:192-387, 12 buckets)."""
+    """Binned SAH build (reference aggregates.cpp:192-387, 12 buckets).
+
+    Uses the native C++ builder (pbrt_tpu/native) when available; the Python
+    path below is the reference implementation + fallback."""
     n = len(prim_lo)
     assert n > 0
+    try:
+        from ..native import build_bvh_native
+        res = build_bvh_native(np.asarray(prim_lo, np.float32),
+                               np.asarray(prim_hi, np.float32), max_leaf)
+    except Exception:
+        res = None
+    if res is not None:
+        nodes, order = res
+        return BVH(nodes=jnp.asarray(nodes), prim_indices=jnp.asarray(order))
     prim_lo = np.asarray(prim_lo, np.float64)
     prim_hi = np.asarray(prim_hi, np.float64)
     centroids = 0.5 * (prim_lo + prim_hi)

@@ -37,13 +37,28 @@ _TOKEN_RE = re.compile(rb'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
 
 def tokenize(text: bytes):
     """pbrt tokens: quoted strings, brackets, atoms; # comments stripped
-    (reference Tokenizer, parser.cpp:130-266)."""
+    (reference Tokenizer, parser.cpp:130-266). Numbers come back pre-parsed
+    as floats. Uses the native C++ tokenizer when available."""
+    try:
+        from ..native import tokenize_native
+        toks = tokenize_native(text)
+        if toks is not None:
+            return toks
+    except Exception:
+        pass
     out = []
     for m in _TOKEN_RE.finditer(text):
         t = m.group(0)
         if t.startswith(b"#"):
             continue
-        out.append(t.decode("utf-8"))
+        tok = t.decode("utf-8")
+        if tok not in ("[", "]") and not tok.startswith('"'):
+            try:
+                out.append(float(tok))
+                continue
+            except ValueError:
+                pass
+        out.append(tok)
     return out
 
 
@@ -152,6 +167,8 @@ class ParamSet:
 
 
 def _parse_value(tok):
+    if isinstance(tok, float):
+        return tok
     if tok.startswith('"'):
         return tok[1:-1]
     if tok == "true":
@@ -180,7 +197,7 @@ class Parser:
         pairs = []
         while True:
             t = self.peek()
-            if t is None or not t.startswith('"'):
+            if t is None or not isinstance(t, str) or not t.startswith('"'):
                 break
             decl = self.next()[1:-1].split()
             if len(decl) == 1:
@@ -404,6 +421,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
 
     while p.peek() is not None:
         tok = p.next()
+        if not isinstance(tok, str):
+            raise ValueError(f"unexpected token {tok!r}")
         if tok == "Include" or tok == "Import":
             fn = p.parse_string()
             sub = Path(base_dir) / fn
@@ -506,14 +525,14 @@ def parse_string(text, base_dir=".", light_sampler="power",
                      "TransformTimes", "StartTime", "EndTime"):
             # consume arguments conservatively
             if tok in ("Option", "Attribute"):
-                if p.peek() and p.peek().startswith('"'):
+                if isinstance(p.peek(), str) and p.peek().startswith('"'):
                     p.parse_string()
                 p.parse_params()
             elif tok == "ColorSpace":
                 p.parse_string()
             elif tok == "MediumInterface":
                 p.parse_string()
-                if p.peek() and p.peek().startswith('"'):
+                if isinstance(p.peek(), str) and p.peek().startswith('"'):
                     p.parse_string()
             elif tok == "TransformTimes":
                 p.parse_args(2)

@@ -12,7 +12,34 @@ DATA = Path(__file__).parent / "data"
 
 def test_tokenizer():
     toks = pp.tokenize(b'Shape "trianglemesh" # comment\n "point3 P" [ 0 1 2.5 ]')
-    assert toks == ['Shape', '"trianglemesh"', '"point3 P"', '[', '0', '1', '2.5', ']']
+    assert toks == ['Shape', '"trianglemesh"', '"point3 P"', '[', 0.0, 1.0, 2.5, ']']
+
+
+def test_native_and_python_tokenizers_agree():
+    src = (b'LookAt 1 2 3 0 0 0 0 1 0 # comment\n'
+           b'Material "diffuse" "rgb reflectance" [.5 .5 .5]\n'
+           b'Shape "sphere" "float radius" [-1.5e2]')
+    from pbrt_tpu.native import tokenize_native
+    nat = tokenize_native(src)
+    if nat is None:
+        import pytest
+        pytest.skip("native tokenizer unavailable")
+    # python fallback path
+    import re
+    out = []
+    for m in pp._TOKEN_RE.finditer(src):
+        t = m.group(0)
+        if t.startswith(b"#"):
+            continue
+        tok = t.decode()
+        if tok not in ("[", "]") and not tok.startswith('"'):
+            try:
+                out.append(float(tok))
+                continue
+            except ValueError:
+                pass
+        out.append(tok)
+    assert nat == out
 
 
 def test_tokenizer_strings_with_spaces():
