@@ -322,7 +322,14 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
     wi_dr_r = vm.reflect(wo, wm_g)
     ok_rt, wi_dr_t, _ = vm.refract(wo, wm_g, eta_s)
     wi_dr = jnp.where(refl_dr[..., None], wi_dr_r, wi_dr_t)
+    # reject lobe/hemisphere mismatches (reference DielectricBxDF::Sample_f:
+    # reflected wi must stay in wo's hemisphere, transmitted must cross;
+    # keeping strays would price them with the other lobe's pdf)
+    same_h = vm.same_hemisphere(wo, wi_dr)
+    lobe_ok = jnp.where(refl_dr, same_h, ~same_h & ok_rt)
     f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr)
+    pdf_dr = jnp.where(lobe_ok, pdf_dr, 0.0)
+    f_dr = jnp.where(lobe_ok[..., None], f_dr, 0.0)
     wi_g = jnp.where(smooth[..., None], wi_ds, wi_dr)
     f_g_scalar = jnp.where(smooth, f_ds, 0.0)
     pdf_g = jnp.where(smooth, pdf_ds, pdf_dr)
