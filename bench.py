@@ -28,7 +28,8 @@ def main():
     opts = PathOptions(max_depth=5)
 
     # warmup (compile) with the IDENTICAL static config as the timed run
-    rdr.render(scene, cam, sampler=sampler, opts=opts, max_waves=1)
+    # (8 waves = one fused dispatch, same static k as the timed loop)
+    rdr.render(scene, cam, sampler=sampler, opts=opts, max_waves=8)
     # timed run
     img, stats = rdr.render(scene, cam, spp=spp, sampler=sampler, opts=opts)
     value = stats["paths_per_sec"]

@@ -26,6 +26,7 @@ BXDF_CONDUCTOR = 1
 BXDF_DIELECTRIC = 2
 BXDF_THIN_DIELECTRIC = 3
 BXDF_DIFFUSE_TRANSMISSION = 4
+BXDF_COATED_DIFFUSE = 5
 
 # flags (reference base/bxdf.h BxDFFlags)
 FLAG_REFLECTION = 1
@@ -203,6 +204,39 @@ def _conductor_f_pdf(p: BSDFParams, wo, wi):
     return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
 
 
+def _coated_diffuse_f_pdf(p: BSDFParams, wo, wi):
+    """Coated diffuse as a Fresnel-weighted blend of a GGX dielectric coat
+    and a Lambertian base (round-1 approximation of the reference's
+    stochastic LayeredBxDF walk, bxdfs.h:432 — energy-compensated blend;
+    the full Guo et al. walk is a planned upgrade)."""
+    same = vm.same_hemisphere(wo, wi)
+    eta_s = p.eta[..., 0]
+    cos_o = vm.abs_cos_theta(wo)
+    cos_i = vm.abs_cos_theta(wi)
+    F_o = fr_dielectric(cos_o, eta_s)
+    F_i = fr_dielectric(cos_i, eta_s)
+    # specular coat lobe (GGX), reusing conductor-style microfacet math
+    wm = wo + wi
+    wm_ok = vm.length_squared(wm) > 1e-12
+    wm = vm.normalize(wm)
+    F_m = fr_dielectric(vm.absdot(wo, wm), eta_s)
+    d = tr_d(wm, p.alpha_x, p.alpha_y)
+    g = tr_g(wo, wi, p.alpha_x, p.alpha_y)
+    f_spec = safe_div(d * g * F_m, 4.0 * cos_o * cos_i)
+    # diffuse base attenuated by both interface transmissions
+    f_diff = (1.0 - F_o)[..., None] * (1.0 - F_i)[..., None] * \
+        p.albedo * INV_PI
+    smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
+    f = f_diff + jnp.where((wm_ok & ~smooth)[..., None],
+                           f_spec[..., None] * jnp.ones_like(p.albedo), 0.0)
+    pdf_spec = tr_d_visible(wo, wm, p.alpha_x, p.alpha_y) / \
+        (4.0 * jnp.maximum(vm.absdot(wo, wm), 1e-8))
+    pdf = F_o * jnp.where(smooth | ~wm_ok, 0.0, pdf_spec) + \
+        (1.0 - F_o) * sp.cosine_hemisphere_pdf(cos_i)
+    valid = same & (cos_o > 0) & (cos_i > 0)
+    return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
+
+
 def _dielectric_f_pdf(p: BSDFParams, wo, wi):
     """Rough dielectric reflection+transmission (reference DielectricBxDF::f)."""
     eta_s = p.eta[..., 0]  # non-dispersive path for eval (hero wavelength)
@@ -247,11 +281,13 @@ def bsdf_f(p: BSDFParams, wo, wi):
     f_c, pdf_c = _conductor_f_pdf(p, wo, wi)
     f_g, pdf_g = _dielectric_f_pdf(p, wo, wi)
     f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
+    f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
     tag = p.tag[..., None]
     f = jnp.where(tag == BXDF_DIFFUSE, f_d,
         jnp.where(tag == BXDF_CONDUCTOR, f_c,
         jnp.where(tag == BXDF_DIELECTRIC, f_g,
-        jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, f_dt, 0.0))))
+        jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, f_dt,
+        jnp.where(tag == BXDF_COATED_DIFFUSE, f_cd, 0.0)))))
     return f
 
 
@@ -260,10 +296,12 @@ def bsdf_pdf(p: BSDFParams, wo, wi):
     _, pdf_c = _conductor_f_pdf(p, wo, wi)
     _, pdf_g = _dielectric_f_pdf(p, wo, wi)
     _, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
+    _, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
     return jnp.where(p.tag == BXDF_DIFFUSE, pdf_d,
            jnp.where(p.tag == BXDF_CONDUCTOR, pdf_c,
            jnp.where(p.tag == BXDF_DIELECTRIC, pdf_g,
-           jnp.where(p.tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt, 0.0))))
+           jnp.where(p.tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
+           jnp.where(p.tag == BXDF_COATED_DIFFUSE, pdf_cd, 0.0)))))
 
 
 def bsdf_sample(p: BSDFParams, wo, uc, u2):
@@ -338,6 +376,18 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
     eta_scale_g = jnp.where(trans_g, sqr(jnp.where(vm.cos_theta(wo) > 0,
                                                    eta_s, 1.0 / eta_s)), 1.0)
 
+    # --- coated diffuse (Fresnel-blend; see _coated_diffuse_f_pdf) ---
+    eta_cd = p.eta[..., 0]
+    F_cd = fr_dielectric(vm.abs_cos_theta(wo), eta_cd)
+    choose_spec = uc < F_cd
+    wm_cd = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+    wi_cd_spec = vm.reflect(wo, wm_cd)
+    wi_cd_diff = jnp.where((wo[..., 2] < 0)[..., None],
+                           jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
+                           jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
+    wi_cd = jnp.where(choose_spec[..., None], wi_cd_spec, wi_cd_diff)
+    f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi_cd)
+
     # --- thin dielectric (reference ThinDielectricBxDF, bxdfs.h:209) ---
     R0 = fr_dielectric(vm.abs_cos_theta(wo), eta_s)
     R_th = jnp.where(R0 < 1.0, R0 + sqr(1.0 - R0) * R0 / (1.0 - sqr(R0)), 1.0)
@@ -356,18 +406,21 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
          jnp.where(tag3 == BXDF_CONDUCTOR, wi_c,
          jnp.where(tag3 == BXDF_DIELECTRIC, wi_g,
          jnp.where(tag3 == BXDF_THIN_DIELECTRIC, wi_th,
-         jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, wi_dt, wi_d)))))
+         jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, wi_dt,
+         jnp.where(tag3 == BXDF_COATED_DIFFUSE, wi_cd, wi_d))))))
     f = jnp.where(tag3 == BXDF_DIFFUSE, f_d,
         jnp.where(tag3 == BXDF_CONDUCTOR, f_c,
         jnp.where(tag3 == BXDF_DIELECTRIC, f_g,
         jnp.where(tag3 == BXDF_THIN_DIELECTRIC,
                   f_th[..., None] * jnp.ones_like(p.albedo),
-        jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, f_dt, 0.0)))))
+        jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, f_dt,
+        jnp.where(tag3 == BXDF_COATED_DIFFUSE, f_cd, 0.0))))))
     pdf = jnp.where(tag == BXDF_DIFFUSE, pdf_d,
           jnp.where(tag == BXDF_CONDUCTOR, pdf_c,
           jnp.where(tag == BXDF_DIELECTRIC, pdf_g,
           jnp.where(tag == BXDF_THIN_DIELECTRIC, pdf_th,
-          jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt, 0.0)))))
+          jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
+          jnp.where(tag == BXDF_COATED_DIFFUSE, pdf_cd, 0.0))))))
     specular = jnp.where(tag == BXDF_CONDUCTOR, smooth,
                jnp.where(tag == BXDF_DIELECTRIC, smooth,
                jnp.where(tag == BXDF_THIN_DIELECTRIC, True, False)))

@@ -189,7 +189,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
         u_pick = smp.sample_1d(sampler, px, py, sample_index, base)
         u_l = smp.sample_2d(sampler, px, py, sample_index, base + 1)
-        li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler, u_pick)
+        li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler, u_pick,
+                                                   p=p)
         li_idx = jnp.maximum(li_idx, 0)
         ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
                            scene.spectra_pool, scene.tri_geo,
@@ -259,8 +260,13 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             # the hit triangle IS the light's triangle: reuse intersect's verts
             tri_rows = jnp.concatenate([isect["p0"], isect["p1"], isect["p2"]],
                                        axis=-1)
+            if scene.light_sampler.kind == lsamp.LS_BVH:
+                pick_pmf = lsamp.light_pmf(scene.light_sampler,
+                                           light_idx=li_safe, p=o)
+            else:
+                pick_pmf = lrow.pmf
             pdf_light = lgt.pdf_li_area_tri(lrow, o, d, isect["p"], tri_rows) * \
-                lrow.pmf
+                pick_pmf
             w_emit = jnp.where((depth == 0) | spec_bounce, 1.0,
                                power_heuristic(1.0, prev_pdf, 1.0, pdf_light))
             L = L + jnp.where(is_emitter[..., None],

@@ -32,6 +32,22 @@ def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
     return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "k"), donate_argnums=(5,))
+def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
+                    s0, opts, k):
+    """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
+    overhead measured on the axon TPU tunnel)."""
+
+    def body(i, film):
+        sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
+        L, swl, f_weight = path_mod.render_wave(scene, camera, sampler, filt,
+                                                pixel_idx, sample_index, opts)
+        rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
+        return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
+
+    return jax.lax.fori_loop(0, k, body, film)
+
+
 def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            sampler: smp.SamplerParams = None, filt: flt.Filter = None,
            sensor=None, opts: path_mod.PathOptions = None,
@@ -56,18 +72,21 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     t0 = time.time()
     n_paths = 0
     n_waves = sampler.spp if max_waves is None else min(max_waves, sampler.spp)
-    for s in range(n_waves):
+    k = min(8, n_waves)  # waves fused per dispatch
+    s = 0
+    while s < n_waves:
+        kk = min(k, n_waves - s)
         for c0 in range(0, n_pix, chunk):
             ids = all_pix[c0:c0 + chunk]
             if len(ids) < chunk:  # pad to static shape
                 ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1], np.int32)])
             pixel_idx = jnp.asarray(ids)
-            sample_index = jnp.full((chunk,), s, jnp.int32)
-            film = _render_step(scene, camera, sampler, filt, sensor, film,
-                                pixel_idx, sample_index, opts)
-            n_paths += chunk
+            film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
+                                   pixel_idx, jnp.asarray(s, jnp.int32), opts, kk)
+            n_paths += chunk * kk
         if verbose:
-            print(f"wave {s + 1}/{sampler.spp}  {time.time() - t0:.2f}s")
+            print(f"wave {s + kk}/{n_waves}  {time.time() - t0:.2f}s")
+        s += kk
     jax.block_until_ready(film.rgb_sum)
     dt = time.time() - t0
     img = film_mod.get_image(film, sensor, colorspace)

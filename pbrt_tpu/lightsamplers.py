@@ -16,6 +16,7 @@ from .utils import sampling as sp
 
 LS_UNIFORM = 0
 LS_POWER = 1
+LS_BVH = 2
 
 
 @struct.dataclass
@@ -27,8 +28,15 @@ class LightSampler:
     pmf_table: jnp.ndarray = None  # (L,) host/reference use
 
 
-def make_light_sampler(kind: str, light_powers: np.ndarray) -> LightSampler:
+def make_light_sampler(kind: str, light_powers: np.ndarray,
+                       light_bounds=None) -> LightSampler:
+    """kind: uniform | power | bvh. For 'bvh', light_bounds is the dict of
+    per-light LightBounds arrays (see scene_core)."""
     n = len(light_powers)
+    if kind == "bvh" and n > 0 and light_bounds is not None and \
+            np.sum(light_powers) > 0:
+        from .lightsampler_bvh import build_bvh_light_sampler
+        return build_bvh_light_sampler(**light_bounds)
     if kind == "power" and n > 0 and np.sum(light_powers) > 0:
         at = sp.AliasTable.build(light_powers)
         q = np.asarray(at.q, np.float32)
@@ -43,11 +51,14 @@ def make_light_sampler(kind: str, light_powers: np.ndarray) -> LightSampler:
     return LightSampler(kind=LS_UNIFORM, n_lights=n, pmf_table=pmf)
 
 
-def sample_light(ls: LightSampler, u):
+def sample_light(ls, u, p=None, n_ref=None):
     """u: (N,) -> (light_idx (N,), pmf (N,), u_remapped (N,)).
 
-    Power sampler: one packed gather (alias O(1) sampling, reference
-    sampling.h:804)."""
+    Power sampler: one packed lookup (alias O(1) sampling, reference
+    sampling.h:804). BVH sampler: position-aware stochastic traversal."""
+    if getattr(ls, "kind", 0) == LS_BVH:
+        from .lightsampler_bvh import sample_bvh_light
+        return sample_bvh_light(ls, p, None, u)
     if ls.n_lights == 0:
         z = jnp.zeros_like(u)
         return jnp.full(u.shape, -1, jnp.int32), z, u
@@ -73,11 +84,15 @@ def sample_light(ls: LightSampler, u):
     return idx, jnp.full(u.shape, 1.0 / n, jnp.float32), u_new
 
 
-def light_pmf(ls: LightSampler, light_idx=None, light_row=None):
+def light_pmf(ls, light_idx=None, light_row=None, p=None, n_ref=None):
     """PMF of picking a light (for MIS on BSDF-sampled light hits).
 
     Prefer passing a pre-gathered lights.LightRow (its pmf column) to avoid
-    a gather; falls back to a table gather given indices."""
+    a gather; falls back to a table gather given indices. The BVH sampler's
+    pmf depends on the shading point p."""
+    if getattr(ls, "kind", 0) == LS_BVH:
+        from .lightsampler_bvh import pmf_bvh_light
+        return pmf_bvh_light(ls, p, None, light_idx)
     if ls.n_lights == 0:
         shape = light_idx.shape if light_idx is not None else light_row.pmf.shape
         return jnp.zeros(shape, jnp.float32)

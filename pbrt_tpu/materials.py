@@ -75,6 +75,15 @@ class MaterialBuilder:
             vroughness=roughness if vroughness is None else vroughness,
             remap_roughness=remap)
 
+    def add_coated_diffuse(self, reflectance=(0.5,) * 3, roughness=0.1,
+                           eta=1.5, remap=True):
+        """Fresnel-blend coat over a diffuse base (reference CoatedDiffuse
+        approximated; see bxdfs._coated_diffuse_f_pdf)."""
+        return self._add(bxdf_tag=bxdfs.BXDF_COATED_DIFFUSE,
+                         albedo_coeffs=self.cs.to_spectrum_coeffs(np.asarray(reflectance)),
+                         uroughness=roughness, vroughness=roughness,
+                         eta_const=eta, remap_roughness=remap)
+
     def add_diffuse_transmission(self, reflectance=(0.25,) * 3,
                                  transmittance=(0.25,) * 3):
         return self._add(bxdf_tag=bxdfs.BXDF_DIFFUSE_TRANSMISSION,

@@ -32,14 +32,31 @@ def pool_lookup(table, idx):
     return table[idx]
 
 
+SELECT_MAX_ROWS = 2
+
+
 def onehot_lookup(table, idx, axis_size=None):
     """Gather-free lookup for small tables.
 
     table: (K,) or (K, C) f32/int32-safe-in-f32; idx: (...) int32.
-    Returns (...,) or (..., C). Uses one-hot compare + sum (never a gather).
+    Returns (...,) or (..., C).
+
+    Lowering note (measured on the axon TPU): inside large while-loop
+    programs, select chains fused worse than the exact-f32 one-hot matmul
+    overall (641k vs 951k paths/s on the cornell bench), so matmul is the
+    default; K<=2 keeps the trivial select.
     """
     table = jnp.asarray(table, jnp.float32)
     K = table.shape[0] if axis_size is None else axis_size
+    if K <= SELECT_MAX_ROWS:
+        expand = table.ndim > 1
+        acc = jnp.zeros(idx.shape + ((table.shape[1],) if expand else ()),
+                        jnp.float32)
+        for k in range(K):
+            mask = idx == k
+            row = table[k]
+            acc = jnp.where(mask[..., None] if expand else mask, row, acc)
+        return acc
     oh = (idx[..., None] == jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
     # HIGHEST precision: TPU f32 matmuls default to one-pass bf16, which
     # would corrupt value-encoded int columns > 256

@@ -321,6 +321,12 @@ def parse_string(text, base_dir=".", light_sampler="power",
             return b.materials.add_dielectric(eta=eta, roughness=rough,
                                               uroughness=urough,
                                               vroughness=vrough, remap=remap)
+        if name in ("coateddiffuse", "plastic"):
+            refl = ps.rgb("reflectance", (0.5,) * 3)
+            return b.materials.add_coated_diffuse(
+                tuple(np.clip(refl, 0, 1)), roughness=rough if rough else 0.1,
+                eta=ps.float("interface.eta", ps.float("eta", 1.5)),
+                remap=remap)
         if name == "thindielectric":
             return b.materials.add_dielectric(eta=ps.float("eta", 1.5), thin=True)
         if name == "diffusetransmission":

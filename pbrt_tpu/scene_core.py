@@ -195,6 +195,40 @@ class SceneBuilder:
             cfe=1.0, power=1.0, is_delta=False))
         return len(self.light_rows) - 1
 
+    def _light_bounds(self, rows, p0, p1, p2):
+        """Per-light LightBounds arrays for the BVH light sampler (reference
+        lights.h:104 LightBounds per light type)."""
+        L = len(rows)
+        lo = np.zeros((L, 3), np.float32)
+        hi = np.zeros((L, 3), np.float32)
+        w = np.tile(np.asarray([0, 0, 1.0], np.float32), (L, 1))
+        cos_o = np.full(L, -1.0, np.float32)   # default: emit everywhere
+        cos_e = np.zeros(L, np.float32)        # theta_e = pi/2
+        inf = np.zeros(L, bool)
+        for i, r in enumerate(rows):
+            if r["tag"] in (lgt.LIGHT_POINT,):
+                lo[i] = hi[i] = r["p"]
+            elif r["tag"] == lgt.LIGHT_SPOT:
+                lo[i] = hi[i] = r["p"]
+                w[i] = r["dir"]
+                cos_o[i] = 1.0
+                cos_e[i] = r["cfe"]
+            elif r["tag"] == lgt.LIGHT_AREA_TRI:
+                t = r["tri"]
+                pts = np.stack([p0[t], p1[t], p2[t]])
+                lo[i] = pts.min(0)
+                hi[i] = pts.max(0)
+                ng = np.cross(p1[t] - p0[t], p2[t] - p0[t])
+                nn = np.linalg.norm(ng)
+                w[i] = ng / nn if nn > 1e-12 else w[i]
+                cos_o[i] = -1.0 if r["two_sided"] else 1.0
+            else:  # distant / infinite: outside the tree
+                inf[i] = True
+        return dict(bounds_lo=lo, bounds_hi=hi, axis_w=w, cos_theta_o=cos_o,
+                    cos_theta_e=cos_e,
+                    power=np.asarray([r["power"] for r in rows], np.float64),
+                    is_infinite=inf)
+
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
         assert n_tri > 0, "empty scene"
@@ -223,8 +257,13 @@ class SceneBuilder:
                     r["tag"], r["scale"], base, scene_radius=radius)
         powers = np.asarray([r["power"] for r in rows], np.float64) \
             if rows else np.zeros(0)
-        ls = lsamp.make_light_sampler(light_sampler, powers)
-        pmfs = np.asarray(ls.pmf_table, np.float32)
+        light_bounds = self._light_bounds(rows, p0, p1, p2) if rows else None
+        ls = lsamp.make_light_sampler(light_sampler, powers,
+                                      light_bounds=light_bounds)
+        if ls.kind == lsamp.LS_BVH:
+            pmfs = np.full(max(len(rows), 1), 1.0 / max(len(rows), 1), np.float32)
+        else:
+            pmfs = np.asarray(ls.pmf_table, np.float32)
         if rows:
             pool = lgt.pack_light_pool(
                 tag=[r["tag"] for r in rows],

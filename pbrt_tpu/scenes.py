@@ -115,6 +115,56 @@ def make_sphere_mesh(center, radius, subdiv=3):
     return verts.astype(np.float32), faces, normals.astype(np.float32)
 
 
+def make_material_showcase(width=400, height=300, subdiv=4, env_image=None):
+    """Killeroo-class benchmark scene: dense triangle meshes (BVH-heavy) with
+    gold/copper conductors + glass dielectric on a diffuse floor under an
+    environment light. Exercises: BVH traversal, spectral metal Fresnel,
+    rough/smooth dielectrics, env importance sampling."""
+    b = sc.SceneBuilder()
+    floor = b.materials.add_diffuse((0.4, 0.4, 0.4))
+    au_eta = b.add_spectrum(spc.get_named_spectrum("metal-Au-eta"), key="au-eta")
+    au_k = b.add_spectrum(spc.get_named_spectrum("metal-Au-k"), key="au-k")
+    cu_eta = b.add_spectrum(spc.get_named_spectrum("metal-Cu-eta"), key="cu-eta")
+    cu_k = b.add_spectrum(spc.get_named_spectrum("metal-Cu-k"), key="cu-k")
+    gold = b.materials.add_conductor(eta_spec_idx=au_eta, k_spec_idx=au_k,
+                                     roughness=0.1)
+    copper = b.materials.add_conductor(eta_spec_idx=cu_eta, k_spec_idx=cu_k,
+                                       roughness=0.005)
+    glass = b.materials.add_dielectric(eta=1.5, roughness=0.0)
+
+    _quad(b, [(-8, 0, -8), (8, 0, -8), (8, 0, 8), (-8, 0, 8)], floor,
+          uvs=[[0, 0], [8, 0], [8, 8], [0, 8]])
+    for (cx, cz, mat) in [(-2.2, 0.0, gold), (0.0, 0.0, glass), (2.2, 0.0, copper)]:
+        v, f, n = make_sphere_mesh((cx, 1.0, cz), 1.0, subdiv)
+        b.add_mesh(v, f, mat, normals=n)
+    if env_image is None:
+        # smooth sky-like gradient env in equal-area layout
+        res = 64
+        u, vgrid = np.meshgrid((np.arange(res) + 0.5) / res,
+                               (np.arange(res) + 0.5) / res, indexing="xy")
+        import jax.numpy as jnp
+        from .utils import vecmath as vmx
+        d = np.asarray(vmx.equal_area_square_to_sphere(
+            jnp.asarray(np.stack([u, vgrid], -1).reshape(-1, 2), jnp.float32)))
+        z = d[:, 2].reshape(res, res)
+        sky = np.stack([0.4 + 0.3 * np.maximum(z, 0),
+                        0.5 + 0.4 * np.maximum(z, 0),
+                        0.8 + 0.8 * np.maximum(z, 0)], -1).astype(np.float32)
+        # a bright sun disk
+        sun_dir = np.asarray([0.4, 0.8, 0.3])
+        sun_dir = sun_dir / np.linalg.norm(sun_dir)
+        cosd = (d @ sun_dir).reshape(res, res)
+        sky += (cosd > 0.995)[..., None] * np.asarray([400.0, 380.0, 320.0])
+        env_image = sky
+    b.add_image_infinite_light(env_image)
+    scene = b.build(light_sampler="power", force_bvh=True)
+    cam = cam_mod.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 2.2, -7.5), (0, 1.0, 0), (0, 1, 0)).inverse(),
+        width=width, height=height, fov=32.0)
+    return scene, cam
+
+
 def make_furnace_sphere(albedo=1.0, env_radiance=1.0, width=64, height=64,
                         subdiv=3):
     """Classic white furnace: unit diffuse sphere, uniform env. With albedo 1

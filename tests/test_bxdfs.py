@@ -200,3 +200,22 @@ def test_ggx_d_integrates_to_one():
                                   jnp.full((res,), alpha)))
         integral = (d * ct).sum() / res * 2 * np.pi
         np.testing.assert_allclose(integral, 1.0, rtol=0.02)
+
+
+def test_chi2_coated_diffuse():
+    _chi2_sample_vs_pdf(bxdfs.BXDF_COATED_DIFFUSE, 0.2, [0.3, 0.1, 0.95])
+
+
+def test_coated_diffuse_energy_bounded():
+    """rho <= 1 and > base-albedo * (1-F)^2 floor."""
+    n = 100_000
+    rng = np.random.RandomState(12)
+    bp = _params(bxdfs.BXDF_COATED_DIFFUSE, n, albedo=0.8, alpha=0.2, eta=1.5)
+    wo = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    bs = bxdfs.bsdf_sample(bp, wo, jnp.asarray(rng.rand(n), jnp.float32),
+                           jnp.asarray(rng.rand(n, 2), jnp.float32))
+    w = np.asarray(bs["f"])[:, 0] * np.abs(np.asarray(bs["wi"])[:, 2]) / \
+        np.maximum(np.asarray(bs["pdf"]), 1e-9)
+    w = np.where(np.asarray(bs["valid"]), w, 0.0)
+    rho = w.mean()
+    assert 0.4 < rho <= 1.02, rho
