@@ -242,7 +242,10 @@ class SceneBuilder:
             world_lo = np.minimum(world_lo, np.asarray(r[15:18]))
             world_hi = np.maximum(world_hi, np.asarray(r[18:21]))
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
-        use_bvh = (n_tri > 64) if force_bvh is None else force_bvh
+        # measured on the axon TPU: while-loop BVH traversal pays the ~1GB/s
+        # gather floor per visited node, so brute-force broadcast wins up to
+        # a few thousand triangles
+        use_bvh = (n_tri > 4096) if force_bvh is None else force_bvh
         bvh = bvh_mod.build_bvh(lo, hi)
 
         # finalize scene_radius-dependent light powers
