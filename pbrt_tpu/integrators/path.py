@@ -265,8 +265,11 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                            light_idx=li_safe, p=o)
             else:
                 pick_pmf = lrow.pmf
-            pdf_light = lgt.pdf_li_area_tri(lrow, o, d, isect["p"], tri_rows) * \
-                pick_pmf
+            pdf_light = lgt.pdf_li_area_tri(lrow, o, d, isect["p"], tri_rows)
+            if scene.n_spheres > 0:
+                pdf_light = jnp.where(lrow.tag == lgt.LIGHT_AREA_SPHERE,
+                                      lgt.pdf_li_sphere(lrow, o), pdf_light)
+            pdf_light = pdf_light * pick_pmf
             w_emit = jnp.where((depth == 0) | spec_bounce, 1.0,
                                power_heuristic(1.0, prev_pdf, 1.0, pdf_light))
             L = L + jnp.where(is_emitter[..., None],

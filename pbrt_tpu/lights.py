@@ -26,6 +26,7 @@ LIGHT_SPOT = 2
 LIGHT_AREA_TRI = 3
 LIGHT_UNIFORM_INFINITE = 4
 LIGHT_IMAGE_INFINITE = 5
+LIGHT_AREA_SPHERE = 6  # analytic sphere emitter; center in p, radius in cfs
 
 
 @struct.dataclass
@@ -163,6 +164,30 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     pdf_tri = safe_div(dist2_tri, jnp.abs(cos_l) * area)
     L_tri = jnp.where(emit_ok[..., None], Lspec, 0.0)
 
+    # --- area sphere: solid-angle cone sampling (reference Sphere::Sample
+    # from a reference point, shapes.h:280) ---
+    c_s = lp
+    rad_s = row.cfs
+    dvec = c_s - p_ref
+    dc2 = jnp.maximum(vm.length_squared(dvec), 1e-12)
+    dc = jnp.sqrt(dc2)
+    w_axis = dvec / dc[..., None]
+    sin2_max = jnp.clip(sqr(rad_s) / dc2, 0.0, 1.0)
+    cos_max = safe_sqrt(1.0 - sin2_max)
+    cos_t = 1.0 - u2[..., 0] * (1.0 - cos_max)
+    sin_t = safe_sqrt(1.0 - sqr(cos_t))
+    phi_s = 2.0 * PI * u2[..., 1]
+    t1_s, t2_s = vm.coordinate_system(w_axis)
+    wi_sph = (sin_t * jnp.cos(phi_s))[..., None] * t1_s + \
+        (sin_t * jnp.sin(phi_s))[..., None] * t2_s + cos_t[..., None] * w_axis
+    # distance to the sphere along wi (nearest solution)
+    ds = dc * cos_t - safe_sqrt(jnp.maximum(
+        sqr(rad_s) - dc2 * sqr(sin_t), 0.0))
+    p_sph = p_ref + wi_sph * ds[..., None]
+    pdf_sph = safe_div(1.0, 2.0 * PI * (1.0 - cos_max))
+    inside_s = dc <= rad_s  # reference falls back to area sampling; we skip
+    pdf_sph = jnp.where(inside_s, 0.0, pdf_sph)
+
     # --- uniform infinite ---
     wi_inf = sp.sample_uniform_sphere(u2)
     pdf_inf = jnp.full_like(dist2_pt, INV_4PI)
@@ -190,6 +215,11 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
               jnp.where(t2 == LIGHT_SPOT, lp,
               jnp.where(t2 == LIGHT_DISTANT, p_dist,
               jnp.where(t2 == LIGHT_AREA_TRI, p_tri, p_inf))))
+    is_sph = tag == LIGHT_AREA_SPHERE
+    wi = jnp.where(is_sph[..., None], wi_sph, wi)
+    L = jnp.where(is_sph[..., None], Lspec, L)
+    pdf = jnp.where(is_sph, pdf_sph, pdf)
+    p_light = jnp.where(is_sph[..., None], p_sph, p_light)
     if env is not None:
         is_env = tag == LIGHT_IMAGE_INFINITE
         wi = jnp.where(is_env[..., None], wi_env, wi)
@@ -215,6 +245,16 @@ def pdf_li_area_tri(row: "LightRow", p_ref, wi, p_hit, tri_geo_rows):
     dist2 = jnp.maximum(vm.length_squared(p_hit - p_ref), 1e-12)
     cos_l = jnp.abs(vm.dot(ng, -wi))
     return safe_div(dist2, cos_l * area)
+
+
+def pdf_li_sphere(row: "LightRow", p_ref):
+    """Solid-angle cone pdf for a BSDF ray that hit the sphere light
+    (reference Sphere::PDF from reference point)."""
+    dc2 = jnp.maximum(vm.length_squared(row.p - p_ref), 1e-12)
+    sin2_max = jnp.clip(sqr(row.cfs) / dc2, 0.0, 1.0)
+    cos_max = safe_sqrt(1.0 - sin2_max)
+    pdf = safe_div(1.0, 2.0 * PI * (1.0 - cos_max))
+    return jnp.where(dc2 <= sqr(row.cfs), 0.0, pdf)
 
 
 def area_light_radiance(row: "LightRow", ng, wo, lam, spectra_pool):

@@ -370,8 +370,23 @@ def parse_string(text, base_dir=".", light_sampler="power",
             P, idx, N, uv = (mesh["vertices"], mesh["indices"],
                              mesh["normals"], mesh["uvs"])
         elif name == "sphere":
-            from ..scenes import make_sphere_mesh
             radius = ps.float("radius", 1.0)
+            zmin = ps.float("zmin", -radius)
+            zmax = ps.float("zmax", radius)
+            phimax = ps.float("phimax", 360.0)
+            A = np.asarray(xf.m, np.float64)[:3, :3]
+            gram = A @ A.T
+            s_sq = gram[0, 0]
+            uniform = np.allclose(gram, s_sq * np.eye(3), rtol=1e-4) and s_sq > 0
+            full = zmin <= -radius + 1e-6 and zmax >= radius - 1e-6 and \
+                phimax >= 360.0 - 1e-4
+            if uniform and full:
+                center = np.asarray(xf.apply_point(
+                    np.zeros((1, 3), np.float32)))[0]
+                b.add_sphere(center, radius * float(np.sqrt(s_sq)), mat,
+                             emission=emission, emission_scale=escale)
+                return
+            from ..scenes import make_sphere_mesh
             P, idx, N = make_sphere_mesh((0, 0, 0), radius, subdiv=sphere_subdiv)
             uv = None
         elif name == "disk":

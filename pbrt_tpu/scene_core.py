@@ -46,6 +46,11 @@ class Scene:
     light_sampler: lsamp.LightSampler
     spectra_pool: jnp.ndarray  # (S, 471)
     scene_radius: jnp.ndarray  # scalar
+    # analytic quadric spheres: packed rows [center(3), radius, mat, light,
+    # emit_inside_flag, pad] = 8 (translate+uniform-scale transforms only;
+    # general ellipsoids are tessellated by the parser)
+    spheres: jnp.ndarray = None  # (Q, 8) f32
+    n_spheres: int = struct.field(pytree_node=False, default=0)
     env: object = None  # lights.EnvLight | None (image infinite light)
     media: object = None  # media.MediumPool
     has_media: bool = struct.field(pytree_node=False, default=False)
@@ -78,6 +83,7 @@ class SceneBuilder:
         self.t_mat = []
         self.t_light = []
         self.light_rows = []
+        self.sphere_rows = []    # dicts: center, radius, mat, light
         self.spectra = []        # list of (471,) arrays
         self._spec_cache = {}
 
@@ -137,6 +143,28 @@ class SceneBuilder:
             else:
                 self.t_light.append(-1)
         return created_lights
+
+    def add_sphere(self, center, radius, material: int, emission=None,
+                   emission_scale=1.0):
+        """Analytic sphere primitive (reference shapes.h:107 Sphere; full
+        quadric, not tessellated). Returns the light index if emissive."""
+        center = np.asarray(center, np.float32)
+        qi = len(self.sphere_rows)
+        light = -1
+        if emission is not None:
+            sidx = self.add_spectrum(emission, key=("emit", id(emission)))
+            light = len(self.light_rows)
+            self.light_rows.append(dict(
+                tag=lgt.LIGHT_AREA_SPHERE, p=center, dir=np.zeros(3),
+                spec_idx=sidx, scale=emission_scale, tri=qi,  # tri = sphere id
+                two_sided=False, cfs=radius, cfe=0.0,  # cfs slot = radius
+                power=lgt.compute_light_power(
+                    lgt.LIGHT_AREA_TRI, emission_scale, emission,
+                    area=4 * np.pi * radius ** 2),
+                is_delta=False))
+        self.sphere_rows.append(dict(center=center, radius=float(radius),
+                                     mat=material, light=light))
+        return light
 
     def add_point_light(self, position, spectrum: spc.Spectrum, scale=1.0):
         sidx = self.add_spectrum(spectrum, key=("pt", id(spectrum)))
@@ -222,6 +250,11 @@ class SceneBuilder:
                 nn = np.linalg.norm(ng)
                 w[i] = ng / nn if nn > 1e-12 else w[i]
                 cos_o[i] = -1.0 if r["two_sided"] else 1.0
+            elif r["tag"] == lgt.LIGHT_AREA_SPHERE:
+                rad = r["cfs"]  # radius stashed in the cfs slot
+                lo[i] = r["p"] - rad
+                hi[i] = r["p"] + rad
+                cos_o[i] = -1.0  # emits in all directions
             else:  # distant / infinite: outside the tree
                 inf[i] = True
         return dict(bounds_lo=lo, bounds_hi=hi, axis_w=w, cos_theta_o=cos_o,
@@ -231,6 +264,12 @@ class SceneBuilder:
 
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
+        if n_tri == 0 and self.sphere_rows:
+            # a dummy far-away triangle keeps the triangle pipeline non-empty
+            self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
+                           [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
+                          self.materials.add_diffuse((0, 0, 0)))
+            n_tri = len(self.v0)
         assert n_tri > 0, "empty scene"
         p0 = np.stack(self.v0); p1 = np.stack(self.v1); p2 = np.stack(self.v2)
         lo = np.minimum(np.minimum(p0, p1), p2)
@@ -241,6 +280,9 @@ class SceneBuilder:
         for r in self.media.rows:
             world_lo = np.minimum(world_lo, np.asarray(r[15:18]))
             world_hi = np.maximum(world_hi, np.asarray(r[18:21]))
+        for q in self.sphere_rows:
+            world_lo = np.minimum(world_lo, q["center"] - q["radius"])
+            world_hi = np.maximum(world_hi, q["center"] + q["radius"])
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
         # measured on the axon TPU: while-loop BVH traversal pays the ~1GB/s
         # gather floor per visited node, so brute-force broadcast wins up to
@@ -261,6 +303,12 @@ class SceneBuilder:
         powers = np.asarray([r["power"] for r in rows], np.float64) \
             if rows else np.zeros(0)
         light_bounds = self._light_bounds(rows, p0, p1, p2) if rows else None
+        if self.sphere_rows:
+            sph = np.stack([np.concatenate([
+                q["center"], [q["radius"], float(q["mat"]), float(q["light"]),
+                              0.0, 0.0]]) for q in self.sphere_rows]).astype(np.float32)
+        else:
+            sph = np.zeros((1, 8), np.float32)
         ls = lsamp.make_light_sampler(light_sampler, powers,
                                       light_bounds=light_bounds)
         if ls.kind == lsamp.LS_BVH:
@@ -319,8 +367,11 @@ class SceneBuilder:
             env=env, media=self.media.build(),
             has_media=len(self.media.rows) > 0,
             scene_radius=jnp.asarray(radius, jnp.float32),
+            spheres=jnp.asarray(sph), n_spheres=len(self.sphere_rows),
             use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
-            has_area_lights=any(r["tag"] == lgt.LIGHT_AREA_TRI for r in rows))
+            has_area_lights=any(r["tag"] in (lgt.LIGHT_AREA_TRI,
+                                             lgt.LIGHT_AREA_SPHERE)
+                                for r in rows))
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +407,45 @@ def intersect(scene: Scene, o, d, t_max):
     from .ops.gather import f32_to_i32
     mat = f32_to_i32(shade[..., 15])
     light = f32_to_i32(shade[..., 16])
-    return dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
-                mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
+    out = dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
+               mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
+    if scene.n_spheres > 0:
+        out = _merge_sphere_hits(scene, o, d, t_max, out)
+    return out
+
+
+def _merge_sphere_hits(scene: Scene, o, d, t_max, out):
+    """Analytic sphere intersection merged over the triangle result
+    (static unroll: sphere pools are small; all work is elementwise)."""
+    from .ops import intersect as isect_ops
+    from .utils.math import PI
+    t_best = jnp.where(out["hit"], out["t"], t_max)
+    for q in range(scene.n_spheres):
+        row = scene.spheres[q]
+        c = row[0:3]
+        radius = row[3]
+        rq = isect_ops.ray_sphere(o - c, d, t_best, radius)
+        hit_q = rq["hit"] & (rq["t"] < t_best)
+        t_best = jnp.where(hit_q, rq["t"], t_best)
+        p_q = rq["p"] + c
+        n_q = vm.normalize(rq["p"])
+        theta = jnp.arccos(jnp.clip(rq["p"][..., 2] /
+                                    jnp.maximum(radius, 1e-9), -1, 1))
+        uv_q = jnp.stack([rq["phi"] / (2 * np.pi), theta / np.pi], -1)
+        h = hit_q[..., None]
+        out = dict(out,
+                   hit=out["hit"] | hit_q,
+                   t=jnp.where(hit_q, rq["t"], out["t"]),
+                   prim=jnp.where(hit_q, -(q + 1), out["prim"]),
+                   p=jnp.where(h, p_q, out["p"]),
+                   ng=jnp.where(h, n_q, out["ng"]),
+                   ns=jnp.where(h, n_q, out["ns"]),
+                   uv=jnp.where(h, uv_q, out["uv"]),
+                   mat=jnp.where(hit_q, row[4].astype(jnp.int32), out["mat"]),
+                   light=jnp.where(hit_q, row[5].astype(jnp.int32), out["light"]))
+        # p0/p1/p2 are only used for tri-area-light pdfs; sphere lights use
+        # their own pdf (pdf_li_sphere), so leave them untouched
+    return out
 
 
 def intersect_p(scene: Scene, o, d, t_max):
@@ -368,7 +456,14 @@ def intersect_p(scene: Scene, o, d, t_max):
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
-    return r["hit"]
+    occluded = r["hit"]
+    if scene.n_spheres > 0:
+        from .ops import intersect as isect_ops
+        for q in range(scene.n_spheres):
+            row = scene.spheres[q]
+            rq = isect_ops.ray_sphere(o - row[0:3], d, t_max, row[3])
+            occluded = occluded | rq["hit"]
+    return occluded
 
 
 def offset_ray_origin(p, ng, w):

@@ -134,9 +134,9 @@ def make_material_showcase(width=400, height=300, subdiv=4, env_image=None):
 
     _quad(b, [(-8, 0, -8), (8, 0, -8), (8, 0, 8), (-8, 0, 8)], floor,
           uvs=[[0, 0], [8, 0], [8, 8], [0, 8]])
+    # analytic quadric spheres (exact silhouettes + normals, no BVH needed)
     for (cx, cz, mat) in [(-2.2, 0.0, gold), (0.0, 0.0, glass), (2.2, 0.0, copper)]:
-        v, f, n = make_sphere_mesh((cx, 1.0, cz), 1.0, subdiv)
-        b.add_mesh(v, f, mat, normals=n)
+        b.add_sphere((cx, 1.0, cz), 1.0, mat)
     if env_image is None:
         # smooth sky-like gradient env in equal-area layout
         res = 64

@@ -112,20 +112,41 @@ def test_parse_object_instancing():
     np.testing.assert_allclose(np.asarray(desc.scene.tri_p0[1]), [5, 0, 0], atol=1e-5)
 
 
-def test_parse_sphere_tessellation():
+def test_parse_sphere_analytic():
+    """Translate + uniform scale -> analytic quadric sphere in the pool."""
     scene_txt = b'''
     Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
     Camera "perspective"
     WorldBegin
     Material "conductor" "float roughness" [0.1]
     Translate 0 0 5
+    Scale 2 2 2
+    Shape "sphere" "float radius" [1.0]
+    '''
+    desc = pp.parse_string(scene_txt)
+    assert desc.scene.n_spheres == 1
+    row = np.asarray(desc.scene.spheres[0])
+    np.testing.assert_allclose(row[0:3], [0, 0, 5], atol=1e-5)
+    np.testing.assert_allclose(row[3], 2.0, rtol=1e-5)
+
+
+def test_parse_sphere_tessellation_fallback():
+    """Non-uniform scale (ellipsoid) falls back to tessellation."""
+    scene_txt = b'''
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective"
+    WorldBegin
+    Material "conductor" "float roughness" [0.1]
+    Translate 0 0 5
+    Scale 1 2 1
     Shape "sphere" "float radius" [2.0]
     '''
     desc = pp.parse_string(scene_txt, sphere_subdiv=2)
+    assert desc.scene.n_spheres == 0
     p = np.asarray(desc.scene.tri_p0)
-    # all vertices on radius-2 sphere centered at (0,0,5)
-    r = np.linalg.norm(p - np.array([0, 0, 5]), axis=-1)
-    np.testing.assert_allclose(r, 2.0, atol=1e-4)
+    # vertices on the ellipsoid: (x/2)^2 + (y/4)^2 + (z'/2)^2 = 1
+    q = (p - np.array([0, 0, 5])) / np.array([2.0, 4.0, 2.0])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
 
 
 def test_ply_roundtrip(tmp_path):
