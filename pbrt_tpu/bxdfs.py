@@ -375,6 +375,11 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
     trans_g = jnp.where(smooth, refl_ds == False, refl_dr == False)  # noqa: E712
     eta_scale_g = jnp.where(trans_g, sqr(jnp.where(vm.cos_theta(wo) > 0,
                                                    eta_s, 1.0 / eta_s)), 1.0)
+    # dispersion: spectral eta + transmission -> the path follows the hero
+    # wavelength; the integrator terminates secondary wavelengths
+    # (reference DielectricBxDF::Sample_f -> SampledWavelengths::
+    # TerminateSecondary, spectrum.h)
+    dispersive_g = trans_g & (jnp.max(p.eta, -1) - jnp.min(p.eta, -1) > 1e-4)
 
     # --- coated diffuse (Fresnel-blend; see _coated_diffuse_f_pdf) ---
     eta_cd = p.eta[..., 0]
@@ -428,10 +433,11 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
                    jnp.where(tag == BXDF_THIN_DIELECTRIC, ~refl_th,
                    jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, choose_t, False)))
     eta_scale = jnp.where(tag == BXDF_DIELECTRIC, eta_scale_g, 1.0)
+    dispersed = jnp.where(tag == BXDF_DIELECTRIC, dispersive_g, False)
     valid = pdf > 0
     return dict(wi=wi, f=f, pdf=jnp.maximum(pdf, 0.0), valid=valid,
                 specular=specular, transmission=transmission,
-                eta_scale=eta_scale)
+                eta_scale=eta_scale, dispersed=dispersed)
 
 
 def bsdf_flags(p: BSDFParams):

@@ -343,6 +343,12 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             sel_valid = jnp.where(scattered, pdf_hg > 0, sel_valid)
             sel_spec = jnp.where(scattered, False, sel_spec)
         beta_new = beta * throughput
+        # dispersion: terminate secondary wavelengths, hero carries 4x weight
+        # (reference SampledWavelengths::TerminateSecondary semantics folded
+        # into beta; the film divides by the original per-lambda pdfs)
+        term = jnp.asarray([4.0, 0.0, 0.0, 0.0], jnp.float32)
+        beta_new = jnp.where(bs["dispersed"][..., None], beta_new * term,
+                             beta_new)
         active = active & sel_valid & jnp.any(beta_new > 0, axis=-1)
         beta = jnp.where(active[..., None], beta_new, beta)
         eta_scale = eta_scale * jnp.where(scattered, 1.0, bs["eta_scale"])

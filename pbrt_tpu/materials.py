@@ -67,10 +67,13 @@ class MaterialBuilder:
                                         if reflectance is not None else np.zeros(3, np.float32)))
 
     def add_dielectric(self, eta=1.5, roughness=0.0, uroughness=None,
-                       vroughness=None, remap=True, thin=False):
+                       vroughness=None, remap=True, thin=False,
+                       eta_spec_idx=-1):
+        """eta_spec_idx: spectrum-pool row of a dispersive IOR curve
+        (e.g. glass-BK7); enables hero-wavelength dispersion."""
         return self._add(
             bxdf_tag=bxdfs.BXDF_THIN_DIELECTRIC if thin else bxdfs.BXDF_DIELECTRIC,
-            eta_const=eta,
+            eta_const=eta, eta_spec_idx=eta_spec_idx,
             uroughness=roughness if uroughness is None else uroughness,
             vroughness=roughness if vroughness is None else vroughness,
             remap_roughness=remap)

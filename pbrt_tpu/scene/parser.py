@@ -317,10 +317,17 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 eta_spec_idx=ei, k_spec_idx=ki, roughness=rough,
                 uroughness=urough, vroughness=vrough, remap=remap)
         if name == "dielectric" or name == "glass":
+            ei = -1
+            if ps.d.get("eta", ("", []))[0] == "spectrum":
+                es = ps.spectrum("eta", cs, kind="unbounded")
+                if es is not None:
+                    ei = b.add_spectrum(es, key=("eta", id(es)))
             eta = ps.float("eta", 1.5)
-            return b.materials.add_dielectric(eta=eta, roughness=rough,
+            return b.materials.add_dielectric(eta=eta if eta else 1.5,
+                                              roughness=rough,
                                               uroughness=urough,
-                                              vroughness=vrough, remap=remap)
+                                              vroughness=vrough, remap=remap,
+                                              eta_spec_idx=ei)
         if name in ("coateddiffuse", "plastic"):
             refl = ps.rgb("reflectance", (0.5,) * 3)
             return b.materials.add_coated_diffuse(

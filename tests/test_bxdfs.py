@@ -219,3 +219,26 @@ def test_coated_diffuse_energy_bounded():
     w = np.where(np.asarray(bs["valid"]), w, 0.0)
     rho = w.mean()
     assert 0.4 < rho <= 1.02, rho
+
+
+def test_dispersion_flag_and_weights():
+    """Spectral eta + transmission -> dispersed flag; constant eta -> never."""
+    n = 20000
+    rng = np.random.RandomState(13)
+    ones = jnp.ones((n, 4))
+    eta_disp = jnp.asarray(np.linspace(1.50, 1.54, 4), jnp.float32) * jnp.ones((n, 4))
+    bp = bxdfs.BSDFParams(tag=jnp.full((n,), bxdfs.BXDF_DIELECTRIC, jnp.int32),
+                          albedo=ones, alpha_x=jnp.zeros(n), alpha_y=jnp.zeros(n),
+                          eta=eta_disp, k=ones)
+    wo = jnp.broadcast_to(jnp.asarray([0.2, 0.1, 0.97]), (n, 3))
+    bs = bxdfs.bsdf_sample(bp, wo, jnp.asarray(rng.rand(n), jnp.float32),
+                           jnp.asarray(rng.rand(n, 2), jnp.float32))
+    disp = np.asarray(bs["dispersed"])
+    trans = np.asarray(bs["transmission"])
+    assert (disp == trans).all()      # every transmission disperses
+    assert disp.any() and (~disp).any()
+    # constant eta: never dispersed
+    bp2 = bp.replace(eta=1.5 * ones)
+    bs2 = bxdfs.bsdf_sample(bp2, wo, jnp.asarray(rng.rand(n), jnp.float32),
+                            jnp.asarray(rng.rand(n, 2), jnp.float32))
+    assert not np.asarray(bs2["dispersed"]).any()
