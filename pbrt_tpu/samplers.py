@@ -194,6 +194,10 @@ def sample_2d(params: SamplerParams, px, py, sample_index, dim):
         hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x4df5))
         ua, ub = _sobol_01(idx, ha, hb)
         return jnp.stack([ua, ub], axis=-1)
+    if params.kind == SAMPLER_HALTON:
+        return jnp.stack([_halton_1d(params, px, py, sample_index, dim),
+                          _halton_1d(params, px, py, sample_index, dim + 1)],
+                         axis=-1)
     idx = _padded_index(params, px, py, sample_index, dim)
     ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
     hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x9f3a))

@@ -499,6 +499,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
                         "stratified": "stratified", "pmj02bn": "zsobol"}
             sampler_params = dict(kind=kind_map.get(kind, "zsobol"),
                                   spp=ps.int("pixelsamples", 16))
+            # halton does not need pow2 spp
+            if kind == "halton":
+                sampler_params["kind"] = "halton"
         elif tok == "Film":
             _kind = p.parse_string()
             ps = p.parse_params()

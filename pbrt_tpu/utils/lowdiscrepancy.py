@@ -142,6 +142,26 @@ def radical_inverse(prime_index_static: int, a, max_digits=None):
     return jnp.minimum(v, _ONE_MINUS_EPS)
 
 
+def radical_inverse_dynamic(base, a, max_digits=32):
+    """Radical inverse with a TRACED base (for Halton's per-dimension primes).
+
+    base: (...,) int32/uint32; a: (...,) uint32. Fixed 32 digit iterations —
+    for bases > 2 the surplus iterations contribute zero digits; float32
+    accumulation keeps everything within output precision."""
+    base = jnp.asarray(base).astype(jnp.uint32)
+    a = jnp.asarray(a).astype(jnp.uint32)
+    v = jnp.zeros(jnp.broadcast_shapes(base.shape, a.shape), jnp.float32)
+    inv_base = 1.0 / base.astype(jnp.float32)
+    mult = inv_base
+    for _ in range(max_digits):
+        next_a = a // base
+        digit = a - next_a * base
+        v = v + digit.astype(jnp.float32) * mult
+        mult = mult * inv_base
+        a = next_a
+    return jnp.minimum(v, _ONE_MINUS_EPS)
+
+
 def scrambled_radical_inverse(prime_index_static: int, a, perm):
     """Digit-permuted radical inverse; perm is (base,) int32 permutation array
     applied per digit (reference uses per-digit DigitPermutation; we use one
