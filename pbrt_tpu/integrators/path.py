@@ -48,130 +48,6 @@ def _to_world(ns, t1, t2, w):
     return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
 
 
-# ---------------------------------------------------------------------------
-# Volumetrics: delta-tracking free flights + ratio-tracked transmittance
-# (reference SampleT_maj media.h:725, VolPathIntegrator integrators.cpp:953,
-# TraceTransmittance wavefront/intersect.h:165). Media participate within
-# their world-space boxes (SURVEY: GridMedium bounds); flights run as a
-# bounded lax.while_loop with all lanes masked.
-
-_MAX_FLIGHT_EVENTS = 256
-FL_FLYING, FL_REACH, FL_SCATTER, FL_ABSORB = 0, 1, 2, 3
-
-
-def _medium_overlap(scene, o, d, t_max):
-    """First medium box the ray segment [0, t_max] overlaps (static unroll
-    over the medium pool; media are assumed non-overlapping).
-    Returns (med_idx (N,), t0 (N,), t1 (N,))."""
-    N = o.shape[0]
-    M = scene.media.desc.shape[0]
-    best_idx = jnp.full((N,), -1, jnp.int32)
-    best_t0 = jnp.full((N,), jnp.inf, jnp.float32)
-    best_t1 = jnp.zeros((N,), jnp.float32)
-    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
-    for m in range(M):
-        row = scene.media.desc[m]
-        # (a dummy/empty medium has lo == hi == 0 -> never overlaps)
-        lo, hi = row[15:18], row[18:21]
-        ta = (lo - o) * inv_d
-        tb = (hi - o) * inv_d
-        t_near = jnp.max(jnp.minimum(ta, tb), axis=-1)
-        t_far = jnp.min(jnp.maximum(ta, tb), axis=-1)
-        t0 = jnp.maximum(t_near, 0.0)
-        t1 = jnp.minimum(t_far, t_max)
-        valid = t1 > t0
-        pick = valid & (t0 < best_t0)
-        best_idx = jnp.where(pick, m, best_idx)
-        best_t0 = jnp.where(pick, t0, best_t0)
-        best_t1 = jnp.where(pick, t1, best_t1)
-    return best_idx, jnp.where(best_idx >= 0, best_t0, 0.0), best_t1
-
-
-def _flight(scene, o, d, med_idx, t0, t1, lam, seed, active):
-    """Delta-tracking free flight through [t0, t1] of medium med_idx.
-    Returns dict(status, t_event, weight (N,4) spectral event-ratio weight,
-    g (N,) HG asymmetry at event)."""
-    from .. import media as med_mod
-    from ..utils import rng as prng
-    N = o.shape[0]
-    row = med_mod.medium_row(scene.media, med_idx)
-    sigma_bar = med_mod.majorant(row)
-    in_med = active & (med_idx >= 0) & (t1 > t0) & (sigma_bar > 0)
-    status0 = jnp.where(in_med, FL_FLYING, FL_REACH)
-
-    def cond(state):
-        status, t, w, it = state
-        return jnp.any(status == FL_FLYING) & (it < _MAX_FLIGHT_EVENTS)
-
-    def body(state):
-        status, t, w, it = state
-        flying = status == FL_FLYING
-        u1 = prng.uniform_float(seed, jnp.uint32(it), jnp.uint32(0x51a7))
-        u2 = prng.uniform_float(seed, jnp.uint32(it), jnp.uint32(0x9bd3))
-        dt = -jnp.log1p(-u1) / jnp.maximum(sigma_bar, 1e-9)
-        t_new = t + dt
-        reach = t_new >= t1
-        p_ev = o + d * t_new[..., None]
-        sa, ss = med_mod.sigma_at(scene.media, row, p_ev, lam)
-        sa_h = sa[..., 0]
-        ss_h = ss[..., 0]
-        pa = sa_h / sigma_bar
-        ps = ss_h / sigma_bar
-        absorb = u2 < pa
-        scat = ~absorb & (u2 < pa + ps)
-        sn = jnp.maximum(sigma_bar[..., None] - sa - ss, 0.0)
-        w_null = sn / jnp.maximum(sn[..., 0:1], 1e-9)
-        w_scat = ss / jnp.maximum(ss[..., 0:1], 1e-9)
-        act = flying & ~reach
-        status = jnp.where(flying & reach, FL_REACH, status)
-        status = jnp.where(act & absorb, FL_ABSORB,
-                 jnp.where(act & scat, FL_SCATTER, status))
-        w = jnp.where((act & scat)[..., None], w * w_scat,
-            jnp.where((act & ~absorb & ~scat)[..., None], w * w_null, w))
-        t = jnp.where(flying, t_new, t)
-        return (status, t, w, it + 1)
-
-    state = (status0, jnp.asarray(t0, jnp.float32) + jnp.zeros((N,)),
-             jnp.ones((N, 4), jnp.float32), jnp.asarray(0, jnp.int32))
-    status, t, w, _ = jax.lax.while_loop(cond, body, state)
-    return dict(status=status, t=t, weight=w, g=med_mod.hg_g(row))
-
-
-def _transmittance(scene, o, d, dist, lam, seed, active):
-    """Ratio-tracked spectral transmittance along a shadow ray (N,4)."""
-    from .. import media as med_mod
-    from ..utils import rng as prng
-    N = o.shape[0]
-    med_idx, t0, t1 = _medium_overlap(scene, o, d, dist)
-    row = med_mod.medium_row(scene.media, med_idx)
-    sigma_bar = med_mod.majorant(row)
-    in_med = active & (med_idx >= 0) & (t1 > t0) & (sigma_bar > 0)
-
-    def cond(state):
-        flying, t, T, it = state
-        return jnp.any(flying) & (it < _MAX_FLIGHT_EVENTS)
-
-    def body(state):
-        flying, t, T, it = state
-        u1 = prng.uniform_float(seed, jnp.uint32(it), jnp.uint32(0x7b55))
-        dt = -jnp.log1p(-u1) / jnp.maximum(sigma_bar, 1e-9)
-        t_new = t + dt
-        done = t_new >= t1
-        p_ev = o + d * t_new[..., None]
-        sa, ss = med_mod.sigma_at(scene.media, row, p_ev, lam)
-        sn_ratio = jnp.maximum(sigma_bar[..., None] - sa - ss, 0.0) / \
-            jnp.maximum(sigma_bar[..., None], 1e-9)
-        T = jnp.where((flying & ~done)[..., None], T * sn_ratio, T)
-        t = jnp.where(flying, t_new, t)
-        flying = flying & ~done & jnp.any(T > 1e-5, axis=-1)
-        return (flying, t, T, it + 1)
-
-    state = (in_med, jnp.asarray(t0, jnp.float32) + jnp.zeros((N,)),
-             jnp.ones((N, 4), jnp.float32), jnp.asarray(0, jnp.int32))
-    _, _, T, _ = jax.lax.while_loop(cond, body, state)
-    return T
-
-
 def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                 sample_index, o, d, swl: spc.SampledWavelengths,
                 opts: PathOptions):
@@ -181,11 +57,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     N = o.shape[0]
     lam = swl.lam
 
-    def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth,
-            scattered=None, wo_world=None, g_hg=None, seed=None):
-        """Next-event estimation (reference SampleLd, integrators.cpp:764).
-        `scattered` lanes shade a medium interaction (phase function) at p."""
-        from ..utils import sampling as usamp
+    def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
+        """Next-event estimation (reference SampleLd, integrators.cpp:764)."""
         base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
         u_pick = smp.sample_1d(sampler, px, py, sample_index, base)
         u_l = smp.sample_2d(sampler, px, py, sample_index, base + 1)
@@ -200,53 +73,22 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
             jnp.abs(wi_local[..., 2])[..., None]
         pdf_b = bxdfs.bsdf_pdf(bp, wo_local, wi_local)
-        if scattered is not None:
-            ph = usamp.henyey_greenstein(vm.dot(wo_world, wi), g_hg)
-            f = jnp.where(scattered[..., None], ph[..., None], f)
-            pdf_b = jnp.where(scattered, ph, pdf_b)
         pdf_l = ls["pdf"] * pmf
         contrib_ok = active & ls["valid"] & (pdf_l > 0) & jnp.any(f > 0, axis=-1)
-        # shadow ray (medium lanes: no normal offset needed)
         o_sh = sc.offset_ray_origin(p, ng, wi)
-        if scattered is not None:
-            o_sh = jnp.where(scattered[..., None], p + 1e-5 * wi, o_sh)
         dist = vm.length(ls["p_light"] - o_sh)
         occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999)
         contrib_ok = contrib_ok & ~occluded
         w_mis = jnp.where(ls["is_delta"], 1.0,
                           power_heuristic(1.0, pdf_l, 1.0, pdf_b))
         Ld = f * ls["L"] * safe_div(w_mis, pdf_l)[..., None]
-        if scene.has_media:
-            T_sh = _transmittance(scene, o_sh, wi, dist, lam, seed, contrib_ok)
-            Ld = Ld * T_sh
         return jnp.where(contrib_ok[..., None], Ld, 0.0)
 
     def body(depth, state):
-        (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale) = state
+        (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale,
+         sec_term) = state
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
-
-        # --- participating media: delta-tracked free flight ---
-        if scene.has_media:
-            from ..utils import rng as prng
-            seed_fl = prng.hash_u32(px.astype(jnp.uint32), py.astype(jnp.uint32),
-                                    sample_index.astype(jnp.uint32),
-                                    jnp.asarray(depth, jnp.uint32),
-                                    np.uint32(0x6d3a))
-            med_idx, tm0, tm1 = _medium_overlap(scene, o, d, isect["t"])
-            fl = _flight(scene, o, d, med_idx, tm0, tm1, lam, seed_fl, active)
-            scattered = active & (fl["status"] == FL_SCATTER)
-            absorbed = active & (fl["status"] == FL_ABSORB)
-            reach = fl["status"] == FL_REACH
-            beta = beta * fl["weight"]
-            p_med = o + d * fl["t"][..., None]
-        else:
-            scattered = jnp.zeros((N,), bool)
-            absorbed = scattered
-            reach = jnp.ones((N,), bool)
-            fl = None
-            p_med = o
-            seed_fl = None
-        hit = isect["hit"] & active & reach
+        hit = isect["hit"] & active
 
         # --- emitted radiance at hits of emissive triangles ---
         if scene.has_area_lights:
@@ -277,7 +119,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
         # --- escaped rays: image infinite light (env map) ---
         if scene.env is not None:
-            escaped = active & reach & ~isect["hit"]
+            escaped = active & ~isect["hit"]
             Le_env = lgt.env_radiance(scene.env, d, lam)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
             pdf_env = lgt.env_pdf_li(scene.env, d) * pmf_env
@@ -288,7 +130,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
         # --- escaped rays: uniform infinite lights ---
         if scene.n_infinite > 0:
-            escaped = active & reach & ~isect["hit"]
+            escaped = active & ~isect["hit"]
             Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
                                                  scene.spectra_pool, d,
                                                  scene.inf_indices)
@@ -300,7 +142,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                               power_heuristic(1.0, prev_pdf, 1.0, pdf_inf))
             L = L + jnp.where(escaped[..., None], beta * Le_inf * w_inf[..., None], 0.0)
 
-        active = hit | scattered
+        active = hit
         # --- shading frame (shading normal + tangents) ---
         ns = isect["ns"]
         ng = isect["ng"]
@@ -312,14 +154,9 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"])
 
-        # --- NEE (surface lanes: BSDF; medium lanes: phase function) ---
+        # --- NEE ---
         if scene.light_sampler.n_lights > 0:
-            p_shade = jnp.where(scattered[..., None], p_med, isect["p"]) \
-                if scene.has_media else isect["p"]
-            Ld = nee(p_shade, ns, ng, t1, t2, wo_local, bp, active, depth,
-                     scattered=scattered if scene.has_media else None,
-                     wo_world=-d, g_hg=fl["g"] if fl is not None else None,
-                     seed=seed_fl)
+            Ld = nee(isect["p"], ns, ng, t1, t2, wo_local, bp, active, depth)
             L = L + beta * Ld
 
         # --- BSDF sampling for the next bounce ---
@@ -333,25 +170,21 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         sel_pdf = bs["pdf"]
         sel_valid = bs["valid"]
         sel_spec = bs["specular"]
-        if scene.has_media:
-            from ..utils import sampling as usamp
-            wi_hg, pdf_hg = usamp.sample_henyey_greenstein(u2, fl["g"], -d)
-            wi_world = jnp.where(scattered[..., None], wi_hg, wi_world)
-            # HG importance sampling is exact: phase/pdf == 1
-            throughput = jnp.where(scattered[..., None], 1.0, throughput)
-            sel_pdf = jnp.where(scattered, pdf_hg, sel_pdf)
-            sel_valid = jnp.where(scattered, pdf_hg > 0, sel_valid)
-            sel_spec = jnp.where(scattered, False, sel_spec)
         beta_new = beta * throughput
         # dispersion: terminate secondary wavelengths, hero carries 4x weight
         # (reference SampledWavelengths::TerminateSecondary semantics folded
-        # into beta; the film divides by the original per-lambda pdfs)
+        # into beta; the film divides by the original per-lambda pdfs).
+        # TerminateSecondary is idempotent (spectrum.h): reweight only on the
+        # FIRST dispersive event — a path refracting through a dispersive
+        # dielectric twice must get 4x, not 16x.
         term = jnp.asarray([4.0, 0.0, 0.0, 0.0], jnp.float32)
-        beta_new = jnp.where(bs["dispersed"][..., None], beta_new * term,
+        first_disp = bs["dispersed"] & ~sec_term
+        beta_new = jnp.where(first_disp[..., None], beta_new * term,
                              beta_new)
+        sec_term = sec_term | (bs["dispersed"] & active)
         active = active & sel_valid & jnp.any(beta_new > 0, axis=-1)
         beta = jnp.where(active[..., None], beta_new, beta)
-        eta_scale = eta_scale * jnp.where(scattered, 1.0, bs["eta_scale"])
+        eta_scale = eta_scale * bs["eta_scale"]
 
         # --- Russian roulette on beta * eta_scale (integrators.cpp:749) ---
         rr_beta_max = jnp.max(beta, axis=-1) * eta_scale
@@ -364,11 +197,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
         o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
-        if scene.has_media:
-            o_next = jnp.where(scattered[..., None],
-                               p_med + 1e-5 * wi_world, o_next)
         return (o_next, wi_world, beta, L,
-                active, sel_spec, sel_pdf, eta_scale)
+                active, sel_spec, sel_pdf, eta_scale, sec_term)
 
     state = (o, d,
              jnp.ones((N, 4), jnp.float32),       # beta
@@ -376,7 +206,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
              jnp.ones((N,), bool),                # active
              jnp.zeros((N,), bool),               # specular bounce
              jnp.ones((N,), jnp.float32),         # prev bsdf pdf
-             jnp.ones((N,), jnp.float32))         # eta_scale
+             jnp.ones((N,), jnp.float32),         # eta_scale
+             jnp.zeros((N,), bool))               # secondaries terminated
     state = jax.lax.fori_loop(0, opts.max_depth, body, state)
     return state[3]
 

@@ -21,13 +21,21 @@ from .. import cameras as cam_mod
 from .. import filters as flt
 from .. import film as film_mod
 from . import path as path_mod
+from . import volpath as volpath_mod
+
+
+def wave_module(scene):
+    """Pick the integrator for a scene: VolPath when media are present
+    (reference: RenderCPU picks VolPathIntegrator for scenes with media,
+    cpu/render.cpp; PathIntegrator otherwise)."""
+    return volpath_mod if scene.has_media else path_mod
 
 
 @functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(5,))
 def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
                  sample_index, opts):
-    L, swl, f_weight = path_mod.render_wave(scene, camera, sampler, filt,
-                                            pixel_idx, sample_index, opts)
+    L, swl, f_weight = wave_module(scene).render_wave(
+        scene, camera, sampler, filt, pixel_idx, sample_index, opts)
     rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
     return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 
@@ -37,11 +45,12 @@ def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
                     s0, opts, k):
     """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
     overhead measured on the axon TPU tunnel)."""
+    mod = wave_module(scene)
 
     def body(i, film):
         sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
-        L, swl, f_weight = path_mod.render_wave(scene, camera, sampler, filt,
-                                                pixel_idx, sample_index, opts)
+        L, swl, f_weight = mod.render_wave(scene, camera, sampler, filt,
+                                           pixel_idx, sample_index, opts)
         rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
         return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 

@@ -131,7 +131,7 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     cfs = row.cfs
     cfe = row.cfe
     t = jnp.clip(safe_div(cos_theta - cfe, cfs - cfe), 0.0, 1.0)
-    falloff = sqr(sqr(t))  # smooth falloff (reference SmoothStep-based)
+    falloff = t * t * (3.0 - 2.0 * t)  # SmoothStep (reference lights.h:~310)
     falloff = jnp.where(cos_theta >= cfs, 1.0, falloff)
     falloff = jnp.where(cos_theta <= cfe, 0.0, falloff)
     L_spot = L_pt * falloff[..., None]
@@ -389,9 +389,10 @@ def compute_light_power(tag, scale, spectrum: spc.Spectrum, area=None,
     if tag == LIGHT_POINT:
         return 4 * np.pi * lum
     if tag == LIGHT_SPOT:
-        # integral of falloff over cone (reference SpotLight::Phi)
+        # integral of the smoothstep falloff over the cone (reference
+        # SpotLight::Phi; int_0^1 (3t^2 - 2t^3) dt = 1/2)
         return 2 * np.pi * lum * ((1 - cos_falloff_start) +
-                                  (cos_falloff_start - cos_falloff_end) / 5.0)
+                                  (cos_falloff_start - cos_falloff_end) / 2.0)
     if tag == LIGHT_DISTANT:
         return np.pi * scene_radius ** 2 * lum
     if tag == LIGHT_AREA_TRI:

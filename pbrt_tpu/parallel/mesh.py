@@ -41,7 +41,8 @@ def render_wave_sharded(scene, camera, sampler, filt, sensor, film,
 
     def shard_fn(scene, camera, sampler_, filt_, sensor_, rgb_sum, weight_sum,
                  pixel_idx, sample_index):
-        L, swl, f_weight = path_mod.render_wave(
+        from ..integrators.render import wave_module
+        L, swl, f_weight = wave_module(scene).render_wave(
             scene, camera, sampler_, filt_, pixel_idx, sample_index, opts)
         rgb = film_mod.sensor_to_sensor_rgb(sensor_, L, swl)
         rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)

@@ -1,7 +1,7 @@
 """Samplers as stateless functions (reference samplers.{h,cpp}, base/sampler.h:28).
 
-Closed world: {Independent, Stratified, Halton, Sobol, PaddedSobol, ZSobol,
-PMJ02BN} — each sampler computes sample dimension d for (pixel, sample_index)
+Closed world: {Independent, Stratified, Halton, Sobol, PaddedSobol, ZSobol}
+— each sampler computes sample dimension d for (pixel, sample_index)
 as a pure function, which is the TPU-native form of the reference's stateful
 Get1D/Get2D with an internal dimension counter: the integrator carries an
 int32 dimension counter in its loop state and calls `sample_1d/sample_2d`.
@@ -114,6 +114,27 @@ def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
     return sample_idx
 
 
+def _halton_1d(params: SamplerParams, px, py, sample_index, dim):
+    """Halton sample: radical inverse in the dim-th prime base with a
+    per-(pixel, dimension) Cranley-Patterson rotation.
+
+    The reference HaltonSampler (samplers.h:33) assigns pixels distinct
+    subsequences via CRT index remapping over the first two bases; the
+    TPU-native substitution is a CP rotation, which keeps the per-dimension
+    low-discrepancy structure and decorrelates pixels without 64-bit index
+    arithmetic."""
+    primes = jnp.asarray(ld.primes_table().astype(np.int32))
+    base = primes[jnp.clip(dim, 0, primes.shape[0] - 1)]
+    v = ld.radical_inverse_dynamic(base, sample_index)
+    rot = prng.uniform_float(np.uint32(params.seed), px.astype(_U32),
+                             py.astype(_U32), dim.astype(_U32),
+                             np.uint32(0x42c7ee6d))
+    u = v + rot
+    u = u - jnp.floor(u)
+    return jnp.minimum(u, np.float32(np.nextafter(np.float32(1.0),
+                                                  np.float32(0.0))))
+
+
 def _sobol_01(index, scramble_seed_a, scramble_seed_b):
     m = jnp.asarray(ld.sobol_matrices())
     va = ld.sobol_sample_u32(index, 0, m)
@@ -151,7 +172,9 @@ def sample_1d(params: SamplerParams, px, py, sample_index, dim):
         m = jnp.asarray(ld.sobol_matrices())
         v = ld.sobol_sample_u32(idx, 0, m)
         return ld.u32_to_sample(ld.fast_owen_scramble(v, h))
-    # Sobol/padded-sobol/halton fall back to per-dimension padded Sobol'
+    if params.kind == SAMPLER_HALTON:
+        return _halton_1d(params, px, py, sample_index, dim)
+    # Sobol/padded-sobol fall back to per-dimension padded Sobol'
     idx = _padded_index(params, px, py, sample_index, dim)
     h = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
     m = jnp.asarray(ld.sobol_matrices())
