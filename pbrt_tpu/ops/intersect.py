@@ -175,3 +175,58 @@ def sphere_geometry(p, radius, z_min, z_max, phi_max, phi):
     n = vm.normalize(p)
     uv = jnp.stack([u, v], axis=-1)
     return n, uv, dpdu, dpdv
+
+
+def ray_disk(o, d, t_max, radius, height=0.0, inner_radius=0.0,
+             phi_max=None):
+    """Exact ray-disk intersection in the disk's object space: the disk is
+    the annulus inner_radius <= r <= radius in the plane z == height
+    (reference shapes.h:404 Disk::BasicIntersect — no tessellation).
+
+    Returns dict(hit, t, p, phi)."""
+    dz = d[..., 2]
+    t = safe_div(height - o[..., 2], dz)
+    p = o + t[..., None] * d
+    r2 = sqr(p[..., 0]) + sqr(p[..., 1])
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+    hit = (jnp.abs(dz) > 1e-12) & (t > 1e-7) & (t < t_max) & \
+        (r2 <= sqr(radius)) & (r2 >= sqr(inner_radius))
+    if phi_max is not None:
+        hit = hit & (phi <= phi_max)
+    return dict(hit=hit, t=t, p=p, phi=phi)
+
+
+def ray_cylinder(o, d, t_max, radius, z_min, z_max, phi_max=None):
+    """Exact ray-cylinder intersection in object space: x^2 + y^2 == r^2,
+    z in [z_min, z_max] (reference shapes.h:574 Cylinder::BasicIntersect).
+
+    Returns dict(hit, t, p, phi)."""
+    a = sqr(d[..., 0]) + sqr(d[..., 1])
+    b = 2.0 * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1])
+    c = sqr(o[..., 0]) + sqr(o[..., 1]) - sqr(radius)
+    has, t0, t1 = quadratic(a, b, c)
+
+    def clip(t):
+        p = o + t[..., None] * d
+        # refine the hit point onto the cylinder (shapes.h:618)
+        hit_rad = jnp.sqrt(jnp.maximum(sqr(p[..., 0]) + sqr(p[..., 1]),
+                                       1e-20))
+        s = radius / hit_rad
+        p = jnp.stack([p[..., 0] * s, p[..., 1] * s, p[..., 2]], axis=-1)
+        phi = jnp.arctan2(p[..., 1], p[..., 0])
+        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
+        ok = (t > 1e-7) & (t < t_max) & \
+            (p[..., 2] >= z_min) & (p[..., 2] <= z_max)
+        if phi_max is not None:
+            ok = ok & (phi <= phi_max)
+        return ok, t, p, phi
+
+    ok0, t0v, p0v, phi0 = clip(t0)
+    ok1, t1v, p1v, phi1 = clip(t1)
+    use0 = ok0
+    hit = has & (ok0 | ok1)
+    t = jnp.where(use0, t0v, t1v)
+    p = jnp.where(use0[..., None], p0v, p1v)
+    phi = jnp.where(use0, phi0, phi1)
+    return dict(hit=hit, t=t, p=p, phi=phi)

@@ -32,6 +32,11 @@ from ..utils import spectrum as spc
 from ..utils import color as pcolor
 from . import plyio
 
+
+class ParseError(ValueError):
+    """Scene-description error (reference util/error.h ErrorExit; FileLoc
+    tracking is attached by the directive loop where available)."""
+
 _TOKEN_RE = re.compile(rb'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
 
 
@@ -387,44 +392,53 @@ def parse_string(text, base_dir=".", light_sampler="power",
             uniform = np.allclose(gram, s_sq * np.eye(3), rtol=1e-4) and s_sq > 0
             full = zmin <= -radius + 1e-6 and zmax >= radius - 1e-6 and \
                 phimax >= 360.0 - 1e-4
-            if uniform and full:
+            if uniform and full and emission is not None:
+                # emissive spheres need the cone-sampled sphere light path
                 center = np.asarray(xf.apply_point(
                     np.zeros((1, 3), np.float32)))[0]
                 b.add_sphere(center, radius * float(np.sqrt(s_sq)), mat,
                              emission=emission, emission_scale=escale)
                 return
-            from ..scenes import make_sphere_mesh
-            P, idx, N = make_sphere_mesh((0, 0, 0), radius, subdiv=sphere_subdiv)
-            uv = None
+            if uniform and full:
+                center = np.asarray(xf.apply_point(
+                    np.zeros((1, 3), np.float32)))[0]
+                b.add_sphere(center, radius * float(np.sqrt(s_sq)), mat)
+                return
+            if emission is not None:
+                # partial/ellipsoid emissive spheres: tessellate for the
+                # area-light machinery (exact quadric light sampling TBD)
+                from ..scenes import make_sphere_mesh
+                P, idx, N = make_sphere_mesh((0, 0, 0), radius,
+                                             subdiv=sphere_subdiv)
+                uv = None
+            else:
+                # exact quadric under an arbitrary affine transform
+                # (reference shapes.h:107; zmin/zmax clipping pending)
+                if not full:
+                    raise ParseError(
+                        "partial spheres (zmin/zmax/phimax) are not yet "
+                        "supported as exact quadrics")
+                b.add_quadric_sphere(np.asarray(xf.m, np.float64), radius,
+                                     mat)
+                return
         elif name == "disk":
-            radius = ps.float("radius", 1.0)
-            h = ps.float("height", 0.0)
-            n = 64
-            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-            ring = np.stack([radius * np.cos(ang), radius * np.sin(ang),
-                             np.full(n, h)], 1)
-            P = np.concatenate([[[0, 0, h]], ring])
-            idx = np.stack([np.zeros(n, np.int64),
-                            np.arange(1, n + 1),
-                            np.roll(np.arange(1, n + 1), -1)], 1)
-            N = None
-            uv = None
+            if emission is not None:
+                raise ParseError("area lights on disks are not supported yet")
+            b.add_disk(np.asarray(xf.m, np.float64),
+                       ps.float("radius", 1.0), mat,
+                       height=ps.float("height", 0.0),
+                       inner_radius=ps.float("innerradius", 0.0),
+                       phi_max=np.deg2rad(ps.float("phimax", 360.0)))
+            return
         elif name == "cylinder":
-            radius = ps.float("radius", 1.0)
-            z0 = ps.float("zmin", -1.0)
-            z1 = ps.float("zmax", 1.0)
-            n = 64
-            ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
-            lo = np.stack([radius * np.cos(ang), radius * np.sin(ang), np.full(n, z0)], 1)
-            hi = np.stack([radius * np.cos(ang), radius * np.sin(ang), np.full(n, z1)], 1)
-            P = np.concatenate([lo, hi])
-            i0 = np.arange(n)
-            i1 = (i0 + 1) % n
-            idx = np.concatenate([
-                np.stack([i0, i1, i0 + n], 1),
-                np.stack([i1, i1 + n, i0 + n], 1)])
-            N = None
-            uv = None
+            if emission is not None:
+                raise ParseError(
+                    "area lights on cylinders are not supported yet")
+            b.add_cylinder(np.asarray(xf.m, np.float64),
+                           ps.float("radius", 1.0),
+                           ps.float("zmin", -1.0), ps.float("zmax", 1.0), mat,
+                           phi_max=np.deg2rad(ps.float("phimax", 360.0)))
+            return
         elif name == "bilinearmesh":
             P = ps.point3s("P")
             qidx = ps.ints("indices").reshape(-1, 4)
@@ -432,9 +446,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             N = ps.point3s("N", None)
             uv = ps.point2s("uv", None)
         else:
-            import warnings
-            warnings.warn(f"shape '{name}' not yet supported; skipped")
-            return
+            raise ParseError(
+                f"shape '{name}' is not supported — refusing to render a "
+                f"silently-wrong image (reference errors with FileLoc)")
         P = np.asarray(xf.apply_point(np.asarray(P, np.float32)))
         if N is not None:
             N = np.asarray(xf.apply_normal(np.asarray(N, np.float32)))
@@ -550,7 +564,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                                  g=g, scale=mscale)
             else:
                 import warnings
-                warnings.warn(f"medium type '{mtype}' not supported; skipped")
+                raise ParseError(f"medium type '{mtype}' is not supported")
         elif tok in ("Option", "ColorSpace", "MediumInterface",
                      "Attribute", "ActiveTransform",
                      "TransformTimes", "StartTime", "EndTime"):
@@ -667,7 +681,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                     b.add_image_infinite_light(img, scale)
             else:
                 import warnings
-                warnings.warn(f"light '{name}' not yet supported; skipped")
+                raise ParseError(f"light '{name}' is not supported")
         elif tok == "AreaLightSource":
             _name = p.parse_string()
             ps = p.parse_params()

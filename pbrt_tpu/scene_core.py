@@ -21,6 +21,11 @@ from . import lightsamplers as lsamp
 from . import media as med_mod
 from .utils import spectrum as spc
 
+# analytic quadric tags (static per scene build)
+QUADRIC_SPHERE = 0
+QUADRIC_DISK = 1
+QUADRIC_CYLINDER = 2
+
 
 @struct.dataclass
 class Scene:
@@ -46,10 +51,13 @@ class Scene:
     light_sampler: lsamp.LightSampler
     spectra_pool: jnp.ndarray  # (S, 471)
     scene_radius: jnp.ndarray  # scalar
-    # analytic quadric spheres: packed rows [center(3), radius, mat, light,
-    # emit_inside_flag, pad] = 8 (translate+uniform-scale transforms only;
-    # general ellipsoids are tessellated by the parser)
-    spheres: jnp.ndarray = None  # (Q, 8) f32
+    # analytic quadrics (reference shapes.h Sphere:107/Disk:404/Cylinder:574)
+    # packed rows: [world_to_object 3x4 row-major (12), radius, param0,
+    # param1, mat, light, phi_max] = 18. param0/param1: sphere zmin/zmax,
+    # disk inner_radius/height, cylinder zmin/zmax. Normals transform by
+    # A_w2o^T (inverse-transpose of the point map).
+    quadrics: jnp.ndarray = None  # (Q, 18) f32
+    quadric_tags: tuple = struct.field(pytree_node=False, default=())
     n_spheres: int = struct.field(pytree_node=False, default=0)
     env: object = None  # lights.EnvLight | None (image infinite light)
     media: object = None  # media.MediumPool
@@ -83,7 +91,8 @@ class SceneBuilder:
         self.t_mat = []
         self.t_light = []
         self.light_rows = []
-        self.sphere_rows = []    # dicts: center, radius, mat, light
+        self.quadric_rows = []   # dicts: tag, w2o (3,4), radius, p0, p1,
+        #                          mat, light, phi_max, bounds (2,3) world
         self.spectra = []        # list of (471,) arrays
         self._spec_cache = {}
 
@@ -149,7 +158,7 @@ class SceneBuilder:
         """Analytic sphere primitive (reference shapes.h:107 Sphere; full
         quadric, not tessellated). Returns the light index if emissive."""
         center = np.asarray(center, np.float32)
-        qi = len(self.sphere_rows)
+        qi = len(self.quadric_rows)
         light = -1
         if emission is not None:
             sidx = self.add_spectrum(emission, key=("emit", id(emission)))
@@ -162,9 +171,55 @@ class SceneBuilder:
                     lgt.LIGHT_AREA_TRI, emission_scale, emission,
                     area=4 * np.pi * radius ** 2),
                 is_delta=False))
-        self.sphere_rows.append(dict(center=center, radius=float(radius),
-                                     mat=material, light=light))
+        w2o = np.concatenate([np.eye(3, dtype=np.float32),
+                              -center[:, None]], axis=1)
+        self.quadric_rows.append(dict(
+            tag=QUADRIC_SPHERE, w2o=w2o, radius=float(radius),
+            p0=-float(radius), p1=float(radius), mat=material, light=light,
+            phi_max=2 * np.pi,
+            bounds=(center - radius, center + radius)))
         return light
+
+    def _add_transformed_quadric(self, tag, object_to_world, radius, p0, p1,
+                                 material, phi_max, obj_lo, obj_hi):
+        o2w = np.asarray(object_to_world, np.float64).reshape(4, 4)
+        w2o = np.linalg.inv(o2w)[:3, :4].astype(np.float32)
+        # world bounds: transform the 8 object-space bbox corners
+        corners = np.stack(np.meshgrid(*zip(obj_lo, obj_hi),
+                                       indexing="ij"), -1).reshape(-1, 3)
+        wc = corners @ o2w[:3, :3].T + o2w[:3, 3]
+        self.quadric_rows.append(dict(
+            tag=tag, w2o=w2o, radius=float(radius), p0=float(p0),
+            p1=float(p1), mat=material, light=-1, phi_max=float(phi_max),
+            bounds=(wc.min(axis=0).astype(np.float32),
+                    wc.max(axis=0).astype(np.float32))))
+        return len(self.quadric_rows) - 1
+
+    def add_quadric_sphere(self, object_to_world, radius, material: int):
+        """Exact sphere quadric under an arbitrary affine transform
+        (ellipsoids included). Emissive spheres use add_sphere instead."""
+        r = float(radius)
+        return self._add_transformed_quadric(
+            QUADRIC_SPHERE, object_to_world, r, -r, r, material,
+            2 * np.pi, obj_lo=(-r, -r, -r), obj_hi=(r, r, r))
+
+    def add_disk(self, object_to_world, radius, material: int, height=0.0,
+                 inner_radius=0.0, phi_max=2 * np.pi):
+        """Exact disk quadric (reference shapes.h:404): annulus at z=height
+        in object space. Area lights on disks are not supported yet."""
+        r = float(radius)
+        return self._add_transformed_quadric(
+            QUADRIC_DISK, object_to_world, r, inner_radius, height, material,
+            phi_max, obj_lo=(-r, -r, height - 1e-4),
+            obj_hi=(r, r, height + 1e-4))
+
+    def add_cylinder(self, object_to_world, radius, z_min, z_max,
+                     material: int, phi_max=2 * np.pi):
+        """Exact cylinder quadric (reference shapes.h:574)."""
+        r = float(radius)
+        return self._add_transformed_quadric(
+            QUADRIC_CYLINDER, object_to_world, r, z_min, z_max, material,
+            phi_max, obj_lo=(-r, -r, z_min), obj_hi=(r, r, z_max))
 
     def add_point_light(self, position, spectrum: spc.Spectrum, scale=1.0):
         sidx = self.add_spectrum(spectrum, key=("pt", id(spectrum)))
@@ -264,7 +319,7 @@ class SceneBuilder:
 
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
-        if n_tri == 0 and self.sphere_rows:
+        if n_tri == 0 and self.quadric_rows:
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
@@ -280,9 +335,9 @@ class SceneBuilder:
         for r in self.media.rows:
             world_lo = np.minimum(world_lo, np.asarray(r[15:18]))
             world_hi = np.maximum(world_hi, np.asarray(r[18:21]))
-        for q in self.sphere_rows:
-            world_lo = np.minimum(world_lo, q["center"] - q["radius"])
-            world_hi = np.maximum(world_hi, q["center"] + q["radius"])
+        for q in self.quadric_rows:
+            world_lo = np.minimum(world_lo, q["bounds"][0])
+            world_hi = np.maximum(world_hi, q["bounds"][1])
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
         # measured on the axon TPU: while-loop BVH traversal pays the ~1GB/s
         # gather floor per visited node, so brute-force broadcast wins up to
@@ -303,12 +358,16 @@ class SceneBuilder:
         powers = np.asarray([r["power"] for r in rows], np.float64) \
             if rows else np.zeros(0)
         light_bounds = self._light_bounds(rows, p0, p1, p2) if rows else None
-        if self.sphere_rows:
-            sph = np.stack([np.concatenate([
-                q["center"], [q["radius"], float(q["mat"]), float(q["light"]),
-                              0.0, 0.0]]) for q in self.sphere_rows]).astype(np.float32)
+        if self.quadric_rows:
+            quad = np.stack([np.concatenate([
+                q["w2o"].reshape(-1),
+                [q["radius"], q["p0"], q["p1"],
+                 float(q["mat"]), float(q["light"]), q["phi_max"]]])
+                for q in self.quadric_rows]).astype(np.float32)
+            quad_tags = tuple(q["tag"] for q in self.quadric_rows)
         else:
-            sph = np.zeros((1, 8), np.float32)
+            quad = np.zeros((1, 18), np.float32)
+            quad_tags = ()
         ls = lsamp.make_light_sampler(light_sampler, powers,
                                       light_bounds=light_bounds)
         if ls.kind == lsamp.LS_BVH:
@@ -367,7 +426,8 @@ class SceneBuilder:
             env=env, media=self.media.build(),
             has_media=len(self.media.rows) > 0,
             scene_radius=jnp.asarray(radius, jnp.float32),
-            spheres=jnp.asarray(sph), n_spheres=len(self.sphere_rows),
+            quadrics=jnp.asarray(quad), quadric_tags=quad_tags,
+            n_spheres=sum(1 for t in quad_tags if t == QUADRIC_SPHERE),
             use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] in (lgt.LIGHT_AREA_TRI,
                                              lgt.LIGHT_AREA_SPHERE)
@@ -409,29 +469,66 @@ def intersect(scene: Scene, o, d, t_max):
     light = f32_to_i32(shade[..., 16])
     out = dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
                mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
-    if scene.n_spheres > 0:
-        out = _merge_sphere_hits(scene, o, d, t_max, out)
+    if scene.quadric_tags:
+        out = _merge_quadric_hits(scene, o, d, t_max, out)
     return out
 
 
-def _merge_sphere_hits(scene: Scene, o, d, t_max, out):
-    """Analytic sphere intersection merged over the triangle result
-    (static unroll: sphere pools are small; all work is elementwise)."""
+def _quadric_ray(row, o, d):
+    """Transform world rays into the quadric's object space (t-parameter is
+    affine-invariant along the unnormalized direction)."""
+    A = row[0:12].reshape(3, 4)
+    o_obj = o @ A[:, :3].T + A[:, 3]
+    d_obj = d @ A[:, :3].T
+    return o_obj, d_obj, A
+
+
+def _quadric_test(tag, row, o_obj, d_obj, t_best):
+    """Canonical object-space quadric intersection for static tag."""
     from .ops import intersect as isect_ops
-    from .utils.math import PI
+    radius, q0, q1, phi_max = row[12], row[13], row[14], row[17]
+    if tag == QUADRIC_SPHERE:
+        return isect_ops.ray_sphere(o_obj, d_obj, t_best, radius)
+    if tag == QUADRIC_DISK:
+        return isect_ops.ray_disk(o_obj, d_obj, t_best, radius, height=q1,
+                                  inner_radius=q0, phi_max=phi_max)
+    return isect_ops.ray_cylinder(o_obj, d_obj, t_best, radius, q0, q1,
+                                  phi_max=phi_max)
+
+
+def _merge_quadric_hits(scene: Scene, o, d, t_max, out):
+    """Analytic quadric intersections merged over the triangle result
+    (static unroll with host-known tags: quadric pools are small and all
+    work is elementwise — no gathers)."""
     t_best = jnp.where(out["hit"], out["t"], t_max)
-    for q in range(scene.n_spheres):
-        row = scene.spheres[q]
-        c = row[0:3]
-        radius = row[3]
-        rq = isect_ops.ray_sphere(o - c, d, t_best, radius)
+    for q, tag in enumerate(scene.quadric_tags):
+        row = scene.quadrics[q]
+        o_obj, d_obj, A = _quadric_ray(row, o, d)
+        rq = _quadric_test(tag, row, o_obj, d_obj, t_best)
         hit_q = rq["hit"] & (rq["t"] < t_best)
         t_best = jnp.where(hit_q, rq["t"], t_best)
-        p_q = rq["p"] + c
-        n_q = vm.normalize(rq["p"])
-        theta = jnp.arccos(jnp.clip(rq["p"][..., 2] /
-                                    jnp.maximum(radius, 1e-9), -1, 1))
-        uv_q = jnp.stack([rq["phi"] / (2 * np.pi), theta / np.pi], -1)
+        p_obj = rq["p"]
+        radius, q0, q1, phi_max = row[12], row[13], row[14], row[17]
+        if tag == QUADRIC_SPHERE:
+            n_obj = p_obj / jnp.maximum(radius, 1e-9)
+            theta = jnp.arccos(jnp.clip(p_obj[..., 2] /
+                                        jnp.maximum(radius, 1e-9), -1, 1))
+            uv_q = jnp.stack([rq["phi"] / phi_max, theta / np.pi], -1)
+        elif tag == QUADRIC_DISK:
+            n_obj = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]),
+                                     p_obj.shape)
+            r_hit = jnp.sqrt(p_obj[..., 0] ** 2 + p_obj[..., 1] ** 2)
+            v = (radius - r_hit) / jnp.maximum(radius - q0, 1e-9)
+            uv_q = jnp.stack([rq["phi"] / phi_max, v], -1)
+        else:  # cylinder
+            n_obj = jnp.stack([p_obj[..., 0], p_obj[..., 1],
+                               jnp.zeros_like(p_obj[..., 2])], -1) / \
+                jnp.maximum(radius, 1e-9)
+            v = (p_obj[..., 2] - q0) / jnp.maximum(q1 - q0, 1e-9)
+            uv_q = jnp.stack([rq["phi"] / phi_max, v], -1)
+        # world position from the ray (exact in t); normal via A^T
+        p_q = o + rq["t"][..., None] * d
+        n_q = vm.normalize(n_obj @ A[:, :3])
         h = hit_q[..., None]
         out = dict(out,
                    hit=out["hit"] | hit_q,
@@ -441,8 +538,9 @@ def _merge_sphere_hits(scene: Scene, o, d, t_max, out):
                    ng=jnp.where(h, n_q, out["ng"]),
                    ns=jnp.where(h, n_q, out["ns"]),
                    uv=jnp.where(h, uv_q, out["uv"]),
-                   mat=jnp.where(hit_q, row[4].astype(jnp.int32), out["mat"]),
-                   light=jnp.where(hit_q, row[5].astype(jnp.int32), out["light"]))
+                   mat=jnp.where(hit_q, row[15].astype(jnp.int32), out["mat"]),
+                   light=jnp.where(hit_q, row[16].astype(jnp.int32),
+                                   out["light"]))
         # p0/p1/p2 are only used for tri-area-light pdfs; sphere lights use
         # their own pdf (pdf_li_sphere), so leave them untouched
     return out
@@ -457,12 +555,11 @@ def intersect_p(scene: Scene, o, d, t_max):
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
     occluded = r["hit"]
-    if scene.n_spheres > 0:
-        from .ops import intersect as isect_ops
-        for q in range(scene.n_spheres):
-            row = scene.spheres[q]
-            rq = isect_ops.ray_sphere(o - row[0:3], d, t_max, row[3])
-            occluded = occluded | rq["hit"]
+    for q, tag in enumerate(scene.quadric_tags):
+        row = scene.quadrics[q]
+        o_obj, d_obj, _A = _quadric_ray(row, o, d)
+        rq = _quadric_test(tag, row, o_obj, d_obj, t_max)
+        occluded = occluded | rq["hit"]
     return occluded
 
 

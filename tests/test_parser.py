@@ -125,13 +125,15 @@ def test_parse_sphere_analytic():
     '''
     desc = pp.parse_string(scene_txt)
     assert desc.scene.n_spheres == 1
-    row = np.asarray(desc.scene.spheres[0])
-    np.testing.assert_allclose(row[0:3], [0, 0, 5], atol=1e-5)
-    np.testing.assert_allclose(row[3], 2.0, rtol=1e-5)
+    row = np.asarray(desc.scene.quadrics[0])
+    # w2o translation column holds -center; radius is col 12
+    np.testing.assert_allclose(-row[3:12:4], [0, 0, 5], atol=1e-5)
+    np.testing.assert_allclose(row[12], 2.0, rtol=1e-5)
 
 
-def test_parse_sphere_tessellation_fallback():
-    """Non-uniform scale (ellipsoid) falls back to tessellation."""
+def test_parse_sphere_nonuniform_scale_exact_quadric():
+    """Non-uniform scale (ellipsoid) stays an EXACT quadric with the full
+    affine transform (reference shapes.h:107; no tessellation)."""
     scene_txt = b'''
     Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
     Camera "perspective"
@@ -142,11 +144,19 @@ def test_parse_sphere_tessellation_fallback():
     Shape "sphere" "float radius" [2.0]
     '''
     desc = pp.parse_string(scene_txt, sphere_subdiv=2)
-    assert desc.scene.n_spheres == 0
-    p = np.asarray(desc.scene.tri_p0)
-    # vertices on the ellipsoid: (x/2)^2 + (y/4)^2 + (z'/2)^2 = 1
-    q = (p - np.array([0, 0, 5])) / np.array([2.0, 4.0, 2.0])
-    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
+    assert desc.scene.n_spheres == 1
+    assert desc.scene.quadric_tags == (0,)  # QUADRIC_SPHERE
+    # only the dummy keep-alive triangle is in the mesh pool
+    assert desc.scene.tri_p0.shape[0] == 1
+    # probe: a +z ray down the center hits the ellipsoid front at z' = -2
+    import jax.numpy as jnp
+    from pbrt_tpu import scene_core as sc
+    o = jnp.asarray([[0.0, 0.0, -5.0], [0.0, 3.5, 3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    r = sc.intersect(desc.scene, o, d, jnp.full((2,), 1e30))
+    assert bool(r["hit"][0]) and abs(float(r["t"][0]) - 8.0) < 1e-3
+    # y half-axis is 4: a ray at y=3.5 still hits
+    assert bool(r["hit"][1])
 
 
 def test_ply_roundtrip(tmp_path):
