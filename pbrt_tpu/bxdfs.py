@@ -27,6 +27,7 @@ BXDF_DIELECTRIC = 2
 BXDF_THIN_DIELECTRIC = 3
 BXDF_DIFFUSE_TRANSMISSION = 4
 BXDF_COATED_DIFFUSE = 5
+BXDF_COATED_CONDUCTOR = 6
 
 # flags (reference base/bxdf.h BxDFFlags)
 FLAG_REFLECTION = 1
@@ -45,6 +46,10 @@ class BSDFParams:
     alpha_y: jnp.ndarray      # (N,)
     eta: jnp.ndarray          # (N, 4) real IOR (dielectric: scalar-per-lambda)
     k: jnp.ndarray            # (N, 4) absorption (conductor)
+    # layered coats (CoatedDiffuse / CoatedConductor): interface roughness
+    # and IOR; None when the scene has no coated-conductor materials
+    coat_alpha: jnp.ndarray = None   # (N,)
+    coat_eta: jnp.ndarray = None     # (N,)
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +242,44 @@ def _coated_diffuse_f_pdf(p: BSDFParams, wo, wi):
     return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
 
 
+def _coat_params(p: BSDFParams):
+    ca = p.coat_alpha if p.coat_alpha is not None else p.alpha_x
+    ce = p.coat_eta if p.coat_eta is not None else p.eta[..., 0]
+    return ca, ce
+
+
+def _coated_conductor_f_pdf(p: BSDFParams, wo, wi):
+    """Coated conductor as a Fresnel-weighted blend of a GGX dielectric coat
+    (coat_alpha/coat_eta) over a microfacet conductor base (alpha_x/y +
+    eta/k), with the base attenuated by both interface transmissions
+    (approximation of the reference's stochastic CoatedConductorBxDF layered
+    walk, bxdfs.h:432/1165 — single-scatter, no interreflection term)."""
+    ca, ce = _coat_params(p)
+    same = vm.same_hemisphere(wo, wi)
+    cos_o = vm.abs_cos_theta(wo)
+    cos_i = vm.abs_cos_theta(wi)
+    F_o = fr_dielectric(cos_o, ce)
+    F_i = fr_dielectric(cos_i, ce)
+    wm = wo + wi
+    wm_ok = vm.length_squared(wm) > 1e-12
+    wm = vm.normalize(wm)
+    F_m = fr_dielectric(vm.absdot(wo, wm), ce)
+    d = tr_d(wm, ca, ca)
+    g = tr_g(wo, wi, ca, ca)
+    f_coat = safe_div(d * g * F_m, 4.0 * cos_o * cos_i)
+    coat_smooth = tr_effectively_smooth(ca, ca)
+    f_base, pdf_base = _conductor_f_pdf(p, wo, wi)
+    f = (1.0 - F_o)[..., None] * (1.0 - F_i)[..., None] * f_base + \
+        jnp.where((wm_ok & ~coat_smooth)[..., None],
+                  f_coat[..., None] * jnp.ones_like(p.albedo), 0.0)
+    pdf_coat = tr_d_visible(wo, wm, ca, ca) / \
+        (4.0 * jnp.maximum(vm.absdot(wo, wm), 1e-8))
+    pdf = F_o * jnp.where(coat_smooth | ~wm_ok, 0.0, pdf_coat) + \
+        (1.0 - F_o) * pdf_base
+    valid = same & (cos_o > 0) & (cos_i > 0)
+    return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
+
+
 def _dielectric_f_pdf(p: BSDFParams, wo, wi):
     """Rough dielectric reflection+transmission (reference DielectricBxDF::f)."""
     eta_s = p.eta[..., 0]  # non-dispersive path for eval (hero wavelength)
@@ -282,12 +325,14 @@ def bsdf_f(p: BSDFParams, wo, wi):
     f_g, pdf_g = _dielectric_f_pdf(p, wo, wi)
     f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
     f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
+    f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi)
     tag = p.tag[..., None]
     f = jnp.where(tag == BXDF_DIFFUSE, f_d,
         jnp.where(tag == BXDF_CONDUCTOR, f_c,
         jnp.where(tag == BXDF_DIELECTRIC, f_g,
         jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, f_dt,
-        jnp.where(tag == BXDF_COATED_DIFFUSE, f_cd, 0.0)))))
+        jnp.where(tag == BXDF_COATED_DIFFUSE, f_cd,
+        jnp.where(tag == BXDF_COATED_CONDUCTOR, f_cc, 0.0))))))
     return f
 
 
@@ -297,11 +342,13 @@ def bsdf_pdf(p: BSDFParams, wo, wi):
     _, pdf_g = _dielectric_f_pdf(p, wo, wi)
     _, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
     _, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
+    _, pdf_cc = _coated_conductor_f_pdf(p, wo, wi)
     return jnp.where(p.tag == BXDF_DIFFUSE, pdf_d,
            jnp.where(p.tag == BXDF_CONDUCTOR, pdf_c,
            jnp.where(p.tag == BXDF_DIELECTRIC, pdf_g,
            jnp.where(p.tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
-           jnp.where(p.tag == BXDF_COATED_DIFFUSE, pdf_cd, 0.0)))))
+           jnp.where(p.tag == BXDF_COATED_DIFFUSE, pdf_cd,
+           jnp.where(p.tag == BXDF_COATED_CONDUCTOR, pdf_cc, 0.0))))))
 
 
 def bsdf_sample(p: BSDFParams, wo, uc, u2):
@@ -393,6 +440,15 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
     wi_cd = jnp.where(choose_spec[..., None], wi_cd_spec, wi_cd_diff)
     f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi_cd)
 
+    # --- coated conductor (see _coated_conductor_f_pdf) ---
+    ca_cc, ce_cc = _coat_params(p)
+    F_cc = fr_dielectric(vm.abs_cos_theta(wo), ce_cc)
+    choose_coat = uc < F_cc
+    wm_cc = tr_sample_wm(wo, u2, ca_cc, ca_cc)
+    wi_cc_coat = vm.reflect(wo, wm_cc)
+    wi_cc = jnp.where(choose_coat[..., None], wi_cc_coat, wi_cr)
+    f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi_cc)
+
     # --- thin dielectric (reference ThinDielectricBxDF, bxdfs.h:209) ---
     R0 = fr_dielectric(vm.abs_cos_theta(wo), eta_s)
     R_th = jnp.where(R0 < 1.0, R0 + sqr(1.0 - R0) * R0 / (1.0 - sqr(R0)), 1.0)
@@ -412,20 +468,23 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
          jnp.where(tag3 == BXDF_DIELECTRIC, wi_g,
          jnp.where(tag3 == BXDF_THIN_DIELECTRIC, wi_th,
          jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, wi_dt,
-         jnp.where(tag3 == BXDF_COATED_DIFFUSE, wi_cd, wi_d))))))
+         jnp.where(tag3 == BXDF_COATED_DIFFUSE, wi_cd,
+         jnp.where(tag3 == BXDF_COATED_CONDUCTOR, wi_cc, wi_d)))))))
     f = jnp.where(tag3 == BXDF_DIFFUSE, f_d,
         jnp.where(tag3 == BXDF_CONDUCTOR, f_c,
         jnp.where(tag3 == BXDF_DIELECTRIC, f_g,
         jnp.where(tag3 == BXDF_THIN_DIELECTRIC,
                   f_th[..., None] * jnp.ones_like(p.albedo),
         jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, f_dt,
-        jnp.where(tag3 == BXDF_COATED_DIFFUSE, f_cd, 0.0))))))
+        jnp.where(tag3 == BXDF_COATED_DIFFUSE, f_cd,
+        jnp.where(tag3 == BXDF_COATED_CONDUCTOR, f_cc, 0.0)))))))
     pdf = jnp.where(tag == BXDF_DIFFUSE, pdf_d,
           jnp.where(tag == BXDF_CONDUCTOR, pdf_c,
           jnp.where(tag == BXDF_DIELECTRIC, pdf_g,
           jnp.where(tag == BXDF_THIN_DIELECTRIC, pdf_th,
           jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
-          jnp.where(tag == BXDF_COATED_DIFFUSE, pdf_cd, 0.0))))))
+          jnp.where(tag == BXDF_COATED_DIFFUSE, pdf_cd,
+          jnp.where(tag == BXDF_COATED_CONDUCTOR, pdf_cc, 0.0)))))))
     specular = jnp.where(tag == BXDF_CONDUCTOR, smooth,
                jnp.where(tag == BXDF_DIELECTRIC, smooth,
                jnp.where(tag == BXDF_THIN_DIELECTRIC, True, False)))

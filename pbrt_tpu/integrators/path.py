@@ -143,14 +143,14 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             L = L + jnp.where(escaped[..., None], beta * Le_inf * w_inf[..., None], 0.0)
 
         active = hit
-        # --- shading frame (shading normal + tangents) ---
-        ns = isect["ns"]
+        # --- shading geometry: Mix resolution + bump/normal mapping ---
+        mat_res = mtl.resolve_mix(scene.materials, isect["mat"], isect["p"])
+        ns = mtl.apply_normal_mapping(scene.materials, scene.textures,
+                                      mat_res, isect)
         ng = isect["ng"]
         t1, t2 = vm.coordinate_system(ns)
         wo_local = _to_local(ns, t1, t2, isect["wo"])
-        # lanes where wo is below the shading surface: treat as inactive
-        # (reference handles via shading-normal adjustments)
-        bp = mtl.get_bsdf_params(scene.materials, isect["mat"], lam,
+        bp = mtl.get_bsdf_params(scene.materials, mat_res, lam,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"])
 

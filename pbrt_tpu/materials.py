@@ -18,6 +18,11 @@ from .utils import color as pcolor
 from .utils import spectrum as spc
 
 
+# tag value for the Mix MATERIAL (resolved to a concrete sub-material at
+# shading time; all other tags are BxDF tags from bxdfs.py)
+MTL_MIX = 64
+
+
 @struct.dataclass
 class MaterialPool:
     """Packed material rows: one gather per shading lookup (TPU gathers are
@@ -25,11 +30,19 @@ class MaterialPool:
 
     packed columns: [bits(tag), albedo_coeffs(3), trans_coeffs(3), ur, vr,
                      eta_const, bits(eta_spec_idx), bits(k_spec_idx),
-                     bits(albedo_tex), remap] = 14
+                     bits(albedo_tex), remap,
+                     bits(rough_tex), bits(bump_tex), bump_scale,
+                     bits(normal_tex), bits(mix_other), mix_amount,
+                     coat_alpha, coat_eta] = 22
     """
-    packed: jnp.ndarray         # (M, 14) f32
+    packed: jnp.ndarray         # (M, 22) f32
     has_spectral_eta: bool = struct.field(pytree_node=False, default=False)
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    has_mix: bool = struct.field(pytree_node=False, default=False)
+    has_bump: bool = struct.field(pytree_node=False, default=False)
+    has_rough_tex: bool = struct.field(pytree_node=False, default=False)
+    has_coated_conductor: bool = struct.field(pytree_node=False,
+                                              default=False)
 
 
 class MaterialBuilder:
@@ -45,10 +58,54 @@ class MaterialBuilder:
                    trans_coeffs=np.zeros(3, np.float32),
                    uroughness=0.0, vroughness=0.0, eta_const=1.5,
                    eta_spec_idx=-1, k_spec_idx=-1, albedo_tex=-1,
-                   remap_roughness=True)
+                   remap_roughness=True, rough_tex=-1, bump_tex=-1,
+                   bump_scale=1.0, normal_tex=-1, mix_other=-1,
+                   mix_amount=0.5, coat_alpha=0.0, coat_eta=1.5)
         row.update(kw)
         self.rows.append(row)
         return len(self.rows) - 1
+
+    def add_mix(self, m1: int, m2: int, amount=0.5):
+        """Mix material (reference materials.h:272 MixMaterial): picks m1
+        with probability `amount`, else m2, stochastically per shading point
+        (hash of the hit position, as the reference's wavefront path does).
+        Mix-of-mix is not supported."""
+        return self._add(bxdf_tag=MTL_MIX, mix_other=m2, mix_amount=amount,
+                         albedo_tex=m1)  # albedo_tex slot holds m1
+
+    def add_coated_conductor(self, interface_roughness=0.1, interface_eta=1.5,
+                             conductor_roughness=0.1, eta_spec_idx=-1,
+                             k_spec_idx=-1, reflectance=None, remap=True):
+        """Coated conductor: GGX dielectric coat over a microfacet conductor
+        base (reference CoatedConductorBxDF bxdfs.h:1165; Fresnel-blend
+        single-scatter approximation — see bxdfs._coated_conductor_f_pdf)."""
+        ca = float(np.sqrt(max(interface_roughness, 0.0))) if remap \
+            else interface_roughness
+        return self._add(
+            bxdf_tag=bxdfs.BXDF_COATED_CONDUCTOR,
+            eta_spec_idx=eta_spec_idx, k_spec_idx=k_spec_idx,
+            uroughness=max(conductor_roughness, 2e-3),
+            vroughness=max(conductor_roughness, 2e-3),
+            remap_roughness=remap,
+            coat_alpha=max(ca, 2e-3), coat_eta=interface_eta,
+            albedo_coeffs=(self.cs.to_spectrum_coeffs(np.asarray(reflectance))
+                           if reflectance is not None
+                           else np.zeros(3, np.float32)))
+
+    def set_bump(self, mat: int, bump_tex: int, scale=1.0):
+        """Attach a float height texture for bump mapping (reference
+        materials.h:42 NormalBumpEvalContext / BumpMap)."""
+        self.rows[mat]["bump_tex"] = bump_tex
+        self.rows[mat]["bump_scale"] = scale
+
+    def set_normal_map(self, mat: int, normal_tex: int):
+        """Attach a tangent-space RGB normal map (values in [0,1]^3, added
+        via TextureBuilder.add_image_raw)."""
+        self.rows[mat]["normal_tex"] = normal_tex
+
+    def set_roughness_texture(self, mat: int, rough_tex: int):
+        """Attach a float roughness texture (overrides u/v roughness)."""
+        self.rows[mat]["rough_tex"] = rough_tex
 
     def add_diffuse(self, reflectance=(0.5, 0.5, 0.5), albedo_tex=-1):
         return self._add(bxdf_tag=bxdfs.BXDF_DIFFUSE,
@@ -109,15 +166,99 @@ class MaterialBuilder:
             col("eta_spec_idx", np.float32)[:, None],
             col("k_spec_idx", np.float32)[:, None],
             col("albedo_tex", np.float32)[:, None],
-            col("remap_roughness", np.float32)[:, None]], axis=1)
+            col("remap_roughness", np.float32)[:, None],
+            col("rough_tex", np.float32)[:, None],
+            col("bump_tex", np.float32)[:, None],
+            col("bump_scale")[:, None],
+            col("normal_tex", np.float32)[:, None],
+            col("mix_other", np.float32)[:, None],
+            col("mix_amount")[:, None],
+            col("coat_alpha")[:, None],
+            col("coat_eta")[:, None]], axis=1)
+        tags = col("bxdf_tag", np.int32)
+        non_mix = tags != MTL_MIX
         return MaterialPool(
             packed=jnp.asarray(packed),
             has_spectral_eta=bool((col("eta_spec_idx", np.int32) >= 0).any() or
                                   (col("k_spec_idx", np.int32) >= 0).any()),
-            has_textures=bool((col("albedo_tex", np.int32) >= 0).any()))
+            has_textures=bool(((col("albedo_tex", np.int32) >= 0)
+                               & non_mix).any()),
+            has_mix=bool((tags == MTL_MIX).any()),
+            has_bump=bool((col("bump_tex", np.int32) >= 0).any() or
+                          (col("normal_tex", np.int32) >= 0).any()),
+            has_rough_tex=bool((col("rough_tex", np.int32) >= 0).any()),
+            has_coated_conductor=bool(
+                (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()))
 
 
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
+
+def resolve_mix(pool: MaterialPool, mat_idx, p_world):
+    """Resolve Mix materials to a concrete sub-material index by a
+    stochastic per-point choice (reference MixMaterial::ChooseMaterial /
+    wavefront surfscatter pre-resolution: u = HashFloat(p))."""
+    if not pool.has_mix:
+        return mat_idx
+    import jax
+    from .ops.gather import pool_lookup, f32_to_i32
+    from .utils import rng as prng
+    rows = pool_lookup(pool.packed, mat_idx)
+    tag = f32_to_i32(rows[..., 0])
+    pb = jax.lax.bitcast_convert_type(p_world, jnp.uint32)
+    u = prng.uniform_float(pb[..., 0], pb[..., 1], pb[..., 2],
+                           mat_idx.astype(jnp.uint32))
+    m1 = f32_to_i32(rows[..., 12])       # albedo_tex slot holds m1
+    m2 = f32_to_i32(rows[..., 18])
+    picked = jnp.where(u < rows[..., 19], m1, m2)
+    return jnp.where(tag == MTL_MIX, picked, mat_idx)
+
+
+def apply_normal_mapping(pool: MaterialPool, textures, mat_idx, isect):
+    """Perturb the shading normal by the material's bump height map or
+    tangent-space normal map (reference NormalBumpEvalContext materials.h:42,
+    BumpMap / NormalMap in interaction GetBSDF flow).
+
+    isect: intersect() result dict with ns/ng/uv/dpdu/dpdv. Returns the new
+    shading normal (N, 3)."""
+    ns = isect["ns"]
+    if not pool.has_bump:
+        return ns
+    from .ops.gather import pool_lookup, f32_to_i32
+    from . import textures as tex_mod
+    from .utils import vecmath as vm
+    rows = pool_lookup(pool.packed, mat_idx)
+    uv = isect["uv"]
+    dpdu = isect["dpdu"]
+    dpdv = isect["dpdv"]
+
+    # --- bump mapping: finite differences of the height texture ---
+    bump_tex = f32_to_i32(rows[..., 15])
+    bscale = rows[..., 16]
+    eps = 5e-4
+    h0 = tex_mod.eval_texture_float(textures, bump_tex, uv)
+    hu = tex_mod.eval_texture_float(
+        textures, bump_tex, uv + jnp.asarray([eps, 0.0], jnp.float32))
+    hv = tex_mod.eval_texture_float(
+        textures, bump_tex, uv + jnp.asarray([0.0, eps], jnp.float32))
+    dhdu = (hu - h0) / eps * bscale
+    dhdv = (hv - h0) / eps * bscale
+    ns_bump = vm.normalize(vm.cross(dpdu + dhdu[..., None] * ns,
+                                    dpdv + dhdv[..., None] * ns))
+    ns_bump = jnp.where(vm.dot(ns_bump, ns)[..., None] < 0, -ns_bump, ns_bump)
+
+    # --- normal mapping: tangent-space RGB map ---
+    normal_tex = f32_to_i32(rows[..., 17])
+    rgb = tex_mod.eval_texture_rgb_raw(textures, normal_tex, uv)
+    n_ts = vm.normalize(2.0 * rgb - 1.0)
+    t = vm.normalize(dpdu - vm.dot(dpdu, ns)[..., None] * ns)
+    bvec = vm.cross(ns, t)
+    ns_nm = vm.normalize(n_ts[..., 0:1] * t + n_ts[..., 1:2] * bvec +
+                         n_ts[..., 2:3] * ns)
+
+    out = jnp.where((bump_tex >= 0)[..., None], ns_bump, ns)
+    out = jnp.where((normal_tex >= 0)[..., None], ns_nm, out)
+    return out
+
 
 def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
                     textures=None, uv=None, p_world=None) -> bxdfs.BSDFParams:
@@ -131,6 +272,8 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
     evaluation (coeffs baked at compile; see textures.py).
     """
     from .ops.gather import pool_lookup, f32_to_i32
+    if pool.has_mix and p_world is not None:
+        mat_idx = resolve_mix(pool, mat_idx, p_world)
     rows = pool_lookup(pool.packed, mat_idx)
     tag = f32_to_i32(rows[..., 0])
     coeffs = rows[..., 1:4]
@@ -138,12 +281,19 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
     if textures is not None and pool.has_textures and uv is not None:
         from . import textures as tex_mod
         tex_idx = f32_to_i32(rows[..., 12])
+        tex_idx = jnp.where(tag == MTL_MIX, -1, tex_idx)
         tc, tscale = tex_mod.eval_texture(textures, tex_idx, uv, p_world)
         tex_albedo = pcolor.eval_rgb_sigmoid_polynomial(tc, lam) * tscale[..., None]
         albedo = jnp.where((tex_idx >= 0)[..., None], tex_albedo, albedo)
     trans = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 4:7], lam)
     ur = rows[..., 7]
     vr = rows[..., 8]
+    if textures is not None and pool.has_rough_tex and uv is not None:
+        from . import textures as tex_mod
+        rt = f32_to_i32(rows[..., 14])
+        r_val = tex_mod.eval_texture_float(textures, rt, uv)
+        ur = jnp.where(rt >= 0, r_val, ur)
+        vr = jnp.where(rt >= 0, r_val, vr)
     remap = rows[..., 13] > 0.5
     ax = jnp.where(remap, bxdfs.roughness_to_alpha(ur), ur)
     ay = jnp.where(remap, bxdfs.roughness_to_alpha(vr), vr)
@@ -163,5 +313,8 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
         k = ones
     # diffuse-transmission stores transmittance in the k slot (see bxdfs)
     k = jnp.where((tag == bxdfs.BXDF_DIFFUSE_TRANSMISSION)[..., None], trans, k)
+    coat_alpha = rows[..., 20] if pool.has_coated_conductor else None
+    coat_eta = rows[..., 21] if pool.has_coated_conductor else None
     return bxdfs.BSDFParams(tag=tag, albedo=albedo, alpha_x=ax, alpha_y=ay,
-                            eta=eta, k=k)
+                            eta=eta, k=k, coat_alpha=coat_alpha,
+                            coat_eta=coat_eta)

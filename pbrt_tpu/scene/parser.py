@@ -345,10 +345,34 @@ def parse_string(text, base_dir=".", light_sampler="power",
             r = ps.rgb("reflectance", (0.25,) * 3)
             t = ps.rgb("transmittance", (0.25,) * 3)
             return b.materials.add_diffuse_transmission(tuple(r), tuple(t))
-        # unknown material: warn-and-diffuse (reference errors with location)
-        import warnings
-        warnings.warn(f"material '{name}' not yet supported; using diffuse")
-        return b.materials.add_diffuse((0.5, 0.5, 0.5))
+        if name == "coatedconductor":
+            eta_s = ps.spectrum("conductor.eta", cs, kind="unbounded")
+            k_s = ps.spectrum("conductor.k", cs, kind="unbounded")
+            if eta_s is None:
+                eta_s = spc.get_named_spectrum("metal-Cu-eta")
+            if k_s is None:
+                k_s = spc.get_named_spectrum("metal-Cu-k")
+            ei = b.add_spectrum(eta_s, key=("mat-eta", id(eta_s)))
+            ki = b.add_spectrum(k_s, key=("mat-k", id(k_s)))
+            return b.materials.add_coated_conductor(
+                interface_roughness=resolve_float_or_texture(
+                    ps, "interface.roughness", rough if rough else 0.1),
+                interface_eta=ps.float("interface.eta", 1.5),
+                conductor_roughness=resolve_float_or_texture(
+                    ps, "conductor.roughness", 0.1),
+                eta_spec_idx=ei, k_spec_idx=ki, remap=remap)
+        if name == "mix":
+            names = ps._get("materials", ("string",))
+            if not names or len(names) != 2:
+                raise ParseError(
+                    "mix material needs \"string materials\" [two names]")
+            m1 = named_materials.get(names[0])
+            m2 = named_materials.get(names[1])
+            if m1 is None or m2 is None:
+                raise ParseError(
+                    f"mix material references unknown materials {names}")
+            return b.materials.add_mix(m1, m2, ps.float("amount", 0.5))
+        raise ParseError(f"material '{name}' is not supported")
 
     def add_shape(name, ps: ParamSet, gs: GraphicsState):
         mat = gs.material if gs.material is not None else cur_material()

@@ -467,8 +467,26 @@ def intersect(scene: Scene, o, d, t_max):
     from .ops.gather import f32_to_i32
     mat = f32_to_i32(shade[..., 15])
     light = f32_to_i32(shade[..., 16])
+    # parametric derivatives for bump/normal mapping and texture footprints
+    # (reference Triangle::InteractionFromIntersection, shapes.h)
+    duv02 = shade[..., 9:11] - shade[..., 13:15]
+    duv12 = shade[..., 11:13] - shade[..., 13:15]
+    dp02 = p0 - p2
+    dp12 = p1 - p2
+    det = duv02[..., 0] * duv12[..., 1] - duv02[..., 1] * duv12[..., 0]
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    dpdu = (duv12[..., 1:2] * dp02 - duv02[..., 1:2] * dp12) * \
+        inv_det[..., None]
+    dpdv = (-duv12[..., 0:1] * dp02 + duv02[..., 0:1] * dp12) * \
+        inv_det[..., None]
+    degen = (jnp.abs(det) < 1e-12) | (vm.length_squared(vm.cross(dpdu, dpdv))
+                                      < 1e-18)
+    t1f, t2f = vm.coordinate_system(ng)
+    dpdu = jnp.where(degen[..., None], t1f, dpdu)
+    dpdv = jnp.where(degen[..., None], t2f, dpdv)
     out = dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
-               mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2)
+               mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2,
+               dpdu=dpdu, dpdv=dpdv)
     if scene.quadric_tags:
         out = _merge_quadric_hits(scene, o, d, t_max, out)
     return out
@@ -529,6 +547,17 @@ def _merge_quadric_hits(scene: Scene, o, d, t_max, out):
         # world position from the ray (exact in t); normal via A^T
         p_q = o + rq["t"][..., None] * d
         n_q = vm.normalize(n_obj @ A[:, :3])
+        # parametric dpdu (phi direction for all three quadrics), mapped by
+        # the object->world tangent transform inv(A_w2o)
+        A_o2w = jnp.linalg.inv(A[:, :3])
+        dpdu_obj = jnp.stack([-p_obj[..., 1], p_obj[..., 0],
+                              jnp.zeros_like(p_obj[..., 2])], -1)
+        dpdu_q = vm.normalize(dpdu_obj @ A_o2w.T)
+        # guard poles/degenerate: fall back to a frame around the normal
+        t1q, _ = vm.coordinate_system(n_q)
+        bad = vm.length_squared(dpdu_obj) < 1e-12
+        dpdu_q = jnp.where(bad[..., None], t1q, dpdu_q)
+        dpdv_q = vm.normalize(vm.cross(n_q, dpdu_q))
         h = hit_q[..., None]
         out = dict(out,
                    hit=out["hit"] | hit_q,
@@ -538,6 +567,8 @@ def _merge_quadric_hits(scene: Scene, o, d, t_max, out):
                    ng=jnp.where(h, n_q, out["ng"]),
                    ns=jnp.where(h, n_q, out["ns"]),
                    uv=jnp.where(h, uv_q, out["uv"]),
+                   dpdu=jnp.where(h, dpdu_q, out["dpdu"]),
+                   dpdv=jnp.where(h, dpdv_q, out["dpdv"]),
                    mat=jnp.where(hit_q, row[15].astype(jnp.int32), out["mat"]),
                    light=jnp.where(hit_q, row[16].astype(jnp.int32),
                                    out["light"]))

@@ -93,6 +93,33 @@ class TextureBuilder:
         return self._add_row(tag=TEX_IMAGE, img_offset=off, width=w, height=h,
                              su=su, sv=sv, du=du, dv=dv)
 
+    def add_image_raw(self, img, su=1.0, sv=1.0, du=0.0, dv=0.0):
+        """RAW image texture: texels stored as-is (rgb, 1), not converted to
+        spectrum coefficients — for normal maps and float textures (bump
+        heights, roughness maps) where values are data, not colors."""
+        img = np.asarray(img, np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        h, w = img.shape[:2]
+        texels = np.concatenate([img.reshape(-1, 3),
+                                 np.ones((h * w, 1), np.float32)], 1)
+        off = self.atlas_size
+        self.atlas.append(texels)
+        self.atlas_size += h * w
+        r = self._add_row(tag=TEX_IMAGE, img_offset=off, width=w, height=h,
+                          su=su, sv=sv, du=du, dv=dv)
+        self.rows[-1][14] = 1.0  # raw flag (octaves slot is unused by images)
+        return r
+
+    def add_constant_float(self, value):
+        """Float texture with a constant value (for roughness/bump)."""
+        r = self._add_row(tag=TEX_CONSTANT, value_a=(0, 0, 0),
+                          value_b=(0, 0, 0))
+        self.rows[-1][4:7] = value  # raw value in the coeff slots
+        self.rows[-1][7] = 1.0
+        self.rows[-1][14] = 1.0  # raw flag
+        return r
+
     def add_checker(self, rgb1, rgb2, su=1.0, sv=1.0):
         c1, s1 = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb1, np.float32), (1, 3)))
         c2, s2 = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb2, np.float32), (1, 3)))
@@ -177,6 +204,54 @@ def fbm(p, octaves, omega):
 # ---------------------------------------------------------------------------
 # Evaluation
 
+def _image_bilinear(pool: TexturePool, row, u, v):
+    """Bilinear 4-tap fetch over (c0,c1,c2,scale) texels; ONE fused gather."""
+    w_img = jnp.maximum(row[..., 2], 1.0)
+    h_img = jnp.maximum(row[..., 3], 1.0)
+    uu = (u - jnp.floor(u)) * w_img - 0.5
+    vv = (v - jnp.floor(v)) * h_img - 0.5
+    x0 = jnp.floor(uu)
+    y0 = jnp.floor(vv)
+    fx = (uu - x0)[..., None]
+    fy = (vv - y0)[..., None]
+
+    def wrap(x, n):
+        return jnp.mod(x, jnp.maximum(n, 1.0))
+
+    xs = jnp.stack([wrap(x0, w_img), wrap(x0 + 1, w_img)], -1)  # (N, 2)
+    ys = jnp.stack([wrap(y0, h_img), wrap(y0 + 1, h_img)], -1)
+    base = row[..., 1]
+    idx = (base[..., None, None] + ys[..., :, None] * w_img[..., None, None] +
+           xs[..., None, :])                            # (N, 2, 2)
+    texels = pool.atlas[f32_to_i32(idx)]                # ONE gather (N,2,2,4)
+    c00, c01 = texels[..., 0, 0, :], texels[..., 0, 1, :]
+    c10, c11 = texels[..., 1, 0, :], texels[..., 1, 1, :]
+    return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
+            c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv):
+    """RAW-valued texture lookup: returns (N, 3) data values (normal maps /
+    float maps added via add_image_raw / add_constant_float)."""
+    row = pool_lookup(pool.desc, jnp.maximum(tex_idx, 0))
+    tag = f32_to_i32(row[..., 0])
+    u = uv[..., 0] * row[..., 10] + row[..., 12]
+    v = uv[..., 1] * row[..., 11] + row[..., 13]
+    c_const = row[..., 4:7]
+    if pool.has_image:
+        blend = _image_bilinear(pool, row, u, v)
+        rgb = jnp.where((tag == TEX_IMAGE)[..., None], blend[..., 0:3],
+                        c_const)
+    else:
+        rgb = c_const
+    return rgb
+
+
+def eval_texture_float(pool: TexturePool, tex_idx, uv):
+    """Float texture lookup (first channel of the raw value)."""
+    return eval_texture_rgb_raw(pool, tex_idx, uv)[..., 0]
+
+
 def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None):
     """Evaluate texture tex_idx (N,) at uv (N, 2).
 
@@ -200,28 +275,7 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None):
 
     # image: bilinear over (coeffs, scale) texels; ONE fused 4-tap gather
     if pool.has_image:
-        w_img = jnp.maximum(row[..., 2], 1.0)
-        h_img = jnp.maximum(row[..., 3], 1.0)
-        uu = (u - jnp.floor(u)) * w_img - 0.5
-        vv = (v - jnp.floor(v)) * h_img - 0.5
-        x0 = jnp.floor(uu)
-        y0 = jnp.floor(vv)
-        fx = (uu - x0)[..., None]
-        fy = (vv - y0)[..., None]
-
-        def wrap(x, n):
-            return jnp.mod(x, jnp.maximum(n, 1.0))
-
-        xs = jnp.stack([wrap(x0, w_img), wrap(x0 + 1, w_img)], -1)  # (N, 2)
-        ys = jnp.stack([wrap(y0, h_img), wrap(y0 + 1, h_img)], -1)
-        base = row[..., 1]
-        idx = (base[..., None, None] + ys[..., :, None] * w_img[..., None, None] +
-               xs[..., None, :])                            # (N, 2, 2)
-        texels = pool.atlas[f32_to_i32(idx)]                # ONE gather (N,2,2,4)
-        c00, c01 = texels[..., 0, 0, :], texels[..., 0, 1, :]
-        c10, c11 = texels[..., 1, 0, :], texels[..., 1, 1, :]
-        blend = (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
-                 c10 * (1 - fx) * fy + c11 * fx * fy)
+        blend = _image_bilinear(pool, row, u, v)
         c_img, s_img = blend[..., 0:3], blend[..., 3]
     else:
         c_img, s_img = c_const, s_const
