@@ -24,8 +24,44 @@ SAMPLER_ZSOBOL = 2
 SAMPLER_SOBOL = 3
 SAMPLER_PADDED_SOBOL = 4
 SAMPLER_HALTON = 5
+SAMPLER_PMJ02BN = 6
 
 _U32 = jnp.uint32
+
+_ONE_MINUS_EPS = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=1)
+def _pmj02_tables() -> np.ndarray:
+    """(5, 65536, 2) uint32 pmj02 sample tables (tools/gen_pmj02.py;
+    reference pmj02tables.h)."""
+    from pathlib import Path
+    p = Path(__file__).resolve().parent / "data" / "pmj02bn.npz"
+    return np.load(p)["samples"]
+
+
+@functools.lru_cache(maxsize=1)
+def _bluenoise_masks():
+    """(K, 128, 128) uint16 toroidal blue-noise ranking masks
+    (tools/gen_bluenoise.py; reference util/bluenoise.h)."""
+    from pathlib import Path
+    p = Path(__file__).resolve().parent / "data" / "bluenoise.npz"
+    return np.load(p)["masks"]
+
+
+def blue_noise(table_index, px, py):
+    """BlueNoise(tableIndex, pixel) in [0,1) (reference bluenoise.h:25)."""
+    masks = jnp.asarray(_bluenoise_masks())
+    k, res, _ = masks.shape
+    ti = jnp.asarray(table_index, jnp.int32) % k
+    x = px.astype(jnp.int32) % res
+    y = py.astype(jnp.int32) % res
+    flat = masks.reshape(-1)
+    v = flat[(ti * res + y) * res + x]
+    return v.astype(jnp.float32) / 65535.0
 
 
 @struct.dataclass
@@ -46,9 +82,11 @@ def make_sampler(kind="zsobol", spp=16, seed=0, full_resolution=(1024, 1024),
                  jitter=True) -> SamplerParams:
     kinds = {"independent": SAMPLER_INDEPENDENT, "stratified": SAMPLER_STRATIFIED,
              "zsobol": SAMPLER_ZSOBOL, "sobol": SAMPLER_SOBOL,
-             "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON}
+             "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON,
+             "pmj02bn": SAMPLER_PMJ02BN}
     k = kinds[kind]
-    if k in (SAMPLER_ZSOBOL, SAMPLER_SOBOL, SAMPLER_PADDED_SOBOL):
+    if k in (SAMPLER_ZSOBOL, SAMPLER_SOBOL, SAMPLER_PADDED_SOBOL,
+             SAMPLER_PMJ02BN):
         # round spp to power of 2 (reference warns and rounds, samplers.h:243)
         log2_spp = max(0, int(np.ceil(np.log2(max(spp, 1)))))
         spp = 1 << log2_spp
@@ -174,6 +212,15 @@ def sample_1d(params: SamplerParams, px, py, sample_index, dim):
         return ld.u32_to_sample(ld.fast_owen_scramble(v, h))
     if params.kind == SAMPLER_HALTON:
         return _halton_1d(params, px, py, sample_index, dim)
+    if params.kind == SAMPLER_PMJ02BN:
+        # permuted stratum + blue-noise offset (reference samplers.h:388)
+        h = prng.hash_u32(px.astype(_U32), py.astype(_U32), dim.astype(_U32),
+                          np.uint32(params.seed))
+        idx = _permutation_element(sample_index.astype(_U32),
+                                   np.uint32(params.spp), h)
+        delta = blue_noise(dim, px, py)
+        return jnp.minimum((idx.astype(jnp.float32) + delta) / params.spp,
+                           _ONE_MINUS_EPS)
     # Sobol/padded-sobol fall back to per-dimension padded Sobol'
     idx = _padded_index(params, px, py, sample_index, dim)
     h = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
@@ -221,11 +268,36 @@ def sample_2d(params: SamplerParams, px, py, sample_index, dim):
         return jnp.stack([_halton_1d(params, px, py, sample_index, dim),
                           _halton_1d(params, px, py, sample_index, dim + 1)],
                          axis=-1)
+    if params.kind == SAMPLER_PMJ02BN:
+        return _pmj02bn_2d(params, px, py, sample_index, dim)
     idx = _padded_index(params, px, py, sample_index, dim)
     ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x7fb1))
     hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x9f3a))
     ua, ub = _sobol_01(idx, ha, hb)
     return jnp.stack([ua, ub], axis=-1)
+
+
+def _pmj02bn_2d(params: SamplerParams, px, py, sample_index, dim):
+    """pmj02 table sample with blue-noise Cranley-Patterson rotation
+    (reference PMJ02BNSampler::Get2D, samplers.h:406-428)."""
+    tables = jnp.asarray(_pmj02_tables())  # (5, 65536, 2) u32
+    n_sets, n_samples, _ = tables.shape
+    instance = (dim // 2) % n_sets
+    beyond = (dim // 2) >= n_sets
+    h = prng.hash_u32(px.astype(_U32), py.astype(_U32), dim.astype(_U32),
+                      np.uint32(params.seed), np.uint32(0x9d7f))
+    permuted = _permutation_element(sample_index.astype(_U32),
+                                    np.uint32(params.spp), h)
+    idx = jnp.where(beyond, permuted.astype(jnp.int32),
+                    sample_index.astype(jnp.int32)) % n_samples
+    flat = tables.reshape(-1, 2)
+    s = flat[instance * n_samples + idx]  # one fused gather (N, 2)
+    u = s.astype(jnp.float32) * np.float32(2.0 ** -32)
+    rot = jnp.stack([blue_noise(dim, px, py),
+                     blue_noise(dim + 1, px, py)], axis=-1)
+    u = u + rot
+    u = jnp.where(u >= 1.0, u - 1.0, u)
+    return jnp.minimum(u, _ONE_MINUS_EPS)
 
 
 def sample_pixel_2d(params: SamplerParams, px, py, sample_index, dim):

@@ -180,7 +180,9 @@ def _exr_predictor_encode(data: bytes) -> bytes:
 
 
 def read_exr(path) -> np.ndarray:
-    """Reader for the subset written above + uncompressed/ZIPS float RGB files."""
+    """Scanline EXR reader: uncompressed / ZIPS / ZIP blocks, HALF or FLOAT
+    channels (covers our own writer and the reference pbrt's RGBFilm output
+    — half-float, ZIP, 16-scanline blocks; ref util/image.cpp WriteEXR)."""
     data = Path(path).read_bytes()
     assert data[:4] == b"\x76\x2f\x31\x01"
     pos = 8
@@ -200,25 +202,39 @@ def read_exr(path) -> np.ndarray:
     x0, y0, x1, y1 = pystruct.unpack("<iiii", attrs["dataWindow"][1])
     w, h = x1 - x0 + 1, y1 - y0 + 1
     comp = attrs["compression"][1][0]
-    # parse channel names in order
+    # channels: name + (int32 pixel_type, pLinear+pad, xSampling, ySampling)
     ch = []
+    ch_type = []
     cdata = attrs["channels"][1]
     cpos = 0
     while cdata[cpos] != 0:
         e = cdata.index(b"\x00", cpos)
         ch.append(cdata[cpos:e].decode())
+        ch_type.append(pystruct.unpack("<i", cdata[e + 1:e + 5])[0])
         cpos = e + 1 + 16
-    offsets = pystruct.unpack(f"<{h}Q", data[pos:pos + 8 * h])
+    sizes = [2 if t == 1 else 4 for t in ch_type]  # HALF=1 else 4 bytes
+    dtypes = [np.float16 if t == 1 else np.float32 for t in ch_type]
+    lines_per_block = 16 if comp == 3 else 1  # ZIP=3 is 16-scanline blocks
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = pystruct.unpack(f"<{n_blocks}Q", data[pos:pos + 8 * n_blocks])
     img = np.zeros((h, w, len(ch)), np.float32)
-    for yi, off in enumerate(offsets):
+    bytes_per_line = w * sum(sizes)
+    for off in offsets:
         y, ln = pystruct.unpack("<iI", data[off:off + 8])
         raw = data[off + 8:off + 8 + ln]
-        expect = w * 4 * len(ch)
+        n_lines = min(lines_per_block, y1 - y + 1)
+        expect = bytes_per_line * n_lines
         if comp in (2, 3) and ln != expect:  # ZIPS/ZIP
             raw = zlib.decompress(raw)
             raw = _exr_predictor_decode(raw)
-        vals = np.frombuffer(raw, "<f4").reshape(len(ch), w)
-        img[y - y0] = vals.T
+        for li in range(n_lines):
+            line = raw[li * bytes_per_line:(li + 1) * bytes_per_line]
+            cp = 0
+            for ci in range(len(ch)):
+                n = w * sizes[ci]
+                img[y - y0 + li, :, ci] = np.frombuffer(
+                    line[cp:cp + n], dtypes[ci]).astype(np.float32)
+                cp += n
     order = {c: i for i, c in enumerate(ch)}
     if set("RGB") <= set(ch):
         img = img[:, :, [order["R"], order["G"], order["B"]]]

@@ -33,7 +33,8 @@ def _toroidal_filter(binary, kf):
 def make_mask(seed):
     rng = np.random.RandomState(seed)
     n = RES * RES
-    kf = np.fft.fft2(np.fft.ifftshift(_energy_kernel()))
+    # the toroidal kernel is already origin-centered; no shift needed
+    kf = np.fft.fft2(_energy_kernel())
 
     # initial binary pattern: 10% random points, relaxed to blue noise by
     # swapping tightest cluster with largest void until stable

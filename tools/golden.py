@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Golden-image gate: render scenes with pbrt_tpu and compare against
+committed reference-pbrt CPU renders (goldens/*.exr) at matched spp.
+
+The oracle images were rendered by the reference binary built from
+/root/reference (CPU-only, see BASELINE.md). Because both images are
+independent Monte Carlo estimates at the same spp, the gate bounds the
+MRSE (relative MSE, imgtool.cpp:1101) and the mean-luminance ratio rather
+than demanding pixel equality.
+
+Usage: python tools/golden.py [--spp N] [--update-out DIR]
+Exits non-zero on regression. One line of JSON per scene.
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def mrse(img, ref):
+    import numpy as np
+    d = img - ref
+    return float((d * d / (ref * ref + 0.01)).mean())
+
+
+def mse(img, ref):
+    import numpy as np
+    d = img - ref
+    return float((d * d).mean())
+
+
+CONFIGS = [
+    # name, golden file, spp, max_depth, mrse gate, mean-ratio gate
+    ("cornell", "cornell_400_64spp.exr", 64, 5, 0.08, 0.02),
+]
+
+
+def render_config(name, spp, max_depth):
+    from pbrt_tpu import scenes
+    from pbrt_tpu import samplers as smp
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    import numpy as np
+    if name == "cornell":
+        scene, cam = scenes.make_cornell_box(width=400, height=400)
+    else:
+        raise KeyError(name)
+    img, stats = rdr.render(
+        scene, cam, spp=spp,
+        sampler=smp.make_sampler("zsobol", spp=spp,
+                                 full_resolution=(cam.width, cam.height)),
+        opts=PathOptions(max_depth=max_depth))
+    return np.asarray(img), stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write rendered images to this dir")
+    args = ap.parse_args()
+    from pbrt_tpu.utils import image as pimg
+    import numpy as np
+    failed = False
+    for name, golden, spp, max_depth, gate_mrse, gate_mean in CONFIGS:
+        ref = pimg.read_exr(ROOT / "goldens" / golden)
+        img, stats = render_config(name, spp, max_depth)
+        m = mrse(img, ref)
+        mean_ratio = float(abs(img.mean() / max(float(ref.mean()), 1e-9)
+                               - 1.0))
+        ok = (m <= gate_mrse) and (mean_ratio <= gate_mean)
+        failed |= not ok
+        print(json.dumps(dict(
+            scene=name, spp=spp, mrse=round(m, 5), mse=round(mse(img, ref), 6),
+            mean_ratio_err=round(mean_ratio, 5),
+            paths_per_sec=round(stats["paths_per_sec"]),
+            ok=bool(ok))))
+        if args.out:
+            outdir = Path(args.out)
+            outdir.mkdir(parents=True, exist_ok=True)
+            pimg.write_exr(outdir / f"{name}_{spp}spp.exr", img)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
