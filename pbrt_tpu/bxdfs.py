@@ -50,6 +50,9 @@ class BSDFParams:
     # and IOR; None when the scene has no coated-conductor materials
     coat_alpha: jnp.ndarray = None   # (N,)
     coat_eta: jnp.ndarray = None     # (N,)
+    # static set of tags actually present (None = all): dispatchers compile
+    # only these branches (per-material kernel specialization, TPU-style)
+    tags_present: tuple = struct.field(pytree_node=False, default=None)
 
 
 # ---------------------------------------------------------------------------
@@ -318,181 +321,230 @@ def _dielectric_f_pdf(p: BSDFParams, wo, wi):
     return f, jnp.where(valid, pdf, 0.0)
 
 
+_F_PDF_FNS = {
+    BXDF_DIFFUSE: _diffuse_f_pdf,
+    BXDF_CONDUCTOR: _conductor_f_pdf,
+    BXDF_DIELECTRIC: _dielectric_f_pdf,
+    BXDF_DIFFUSE_TRANSMISSION: _diffuse_transmission_f_pdf,
+    BXDF_COATED_DIFFUSE: _coated_diffuse_f_pdf,
+    BXDF_COATED_CONDUCTOR: _coated_conductor_f_pdf,
+}
+
+
+# (THIN_DIELECTRIC is specular-only: f == 0, no entry above)
+
+
+def _present(p: BSDFParams):
+    if p.tags_present is not None:
+        return p.tags_present
+    return (BXDF_DIFFUSE, BXDF_CONDUCTOR, BXDF_DIELECTRIC,
+            BXDF_THIN_DIELECTRIC, BXDF_DIFFUSE_TRANSMISSION,
+            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR)
+
+
 def bsdf_f(p: BSDFParams, wo, wi):
-    """f(wo, wi) for non-specular lobes, dispatched on tag. (N, 4)."""
-    f_d, pdf_d = _diffuse_f_pdf(p, wo, wi)
-    f_c, pdf_c = _conductor_f_pdf(p, wo, wi)
-    f_g, pdf_g = _dielectric_f_pdf(p, wo, wi)
-    f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
-    f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
-    f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi)
+    """f(wo, wi) for non-specular lobes, dispatched on tag. (N, 4).
+
+    Only branches for BxDF types present in the scene's material pool are
+    traced (p.tags_present, a static scene constant)."""
+    present = [t for t in _present(p) if t in _F_PDF_FNS]
+    if len(present) == 1:
+        return _F_PDF_FNS[present[0]](p, wo, wi)[0]
+    f = jnp.zeros_like(p.albedo)
     tag = p.tag[..., None]
-    f = jnp.where(tag == BXDF_DIFFUSE, f_d,
-        jnp.where(tag == BXDF_CONDUCTOR, f_c,
-        jnp.where(tag == BXDF_DIELECTRIC, f_g,
-        jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, f_dt,
-        jnp.where(tag == BXDF_COATED_DIFFUSE, f_cd,
-        jnp.where(tag == BXDF_COATED_CONDUCTOR, f_cc, 0.0))))))
+    for t in present:
+        ft, _ = _F_PDF_FNS[t](p, wo, wi)
+        f = jnp.where(tag == t, ft, f)
     return f
 
 
 def bsdf_pdf(p: BSDFParams, wo, wi):
-    _, pdf_d = _diffuse_f_pdf(p, wo, wi)
-    _, pdf_c = _conductor_f_pdf(p, wo, wi)
-    _, pdf_g = _dielectric_f_pdf(p, wo, wi)
-    _, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi)
-    _, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi)
-    _, pdf_cc = _coated_conductor_f_pdf(p, wo, wi)
-    return jnp.where(p.tag == BXDF_DIFFUSE, pdf_d,
-           jnp.where(p.tag == BXDF_CONDUCTOR, pdf_c,
-           jnp.where(p.tag == BXDF_DIELECTRIC, pdf_g,
-           jnp.where(p.tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
-           jnp.where(p.tag == BXDF_COATED_DIFFUSE, pdf_cd,
-           jnp.where(p.tag == BXDF_COATED_CONDUCTOR, pdf_cc, 0.0))))))
+    present = [t for t in _present(p) if t in _F_PDF_FNS]
+    if len(present) == 1:
+        return _F_PDF_FNS[present[0]](p, wo, wi)[1]
+    pdf = jnp.zeros(p.alpha_x.shape, jnp.float32)
+    for t in present:
+        _, pt = _F_PDF_FNS[t](p, wo, wi)
+        pdf = jnp.where(p.tag == t, pt, pdf)
+    return pdf
 
 
 def bsdf_sample(p: BSDFParams, wo, uc, u2):
     """Sample wi ~ the BSDF. Returns dict(wi, f, pdf, specular, transmission,
     eta_scale) — eta_scale is eta^2 relative IOR scaling for RR (reference
-    PathIntegrator etaScale, integrators.cpp:749)."""
-    N = wo.shape[0] if wo.ndim > 1 else ()
+    PathIntegrator etaScale, integrators.cpp:749).
+
+    Only branches for BxDF types in p.tags_present (a static scene
+    constant) are traced — the TPU analog of the reference wavefront's
+    per-material kernel specialization (wavefront/integrator.h:139)."""
+    present = _present(p)
+    single = len(present) == 1
     smooth = tr_effectively_smooth(p.alpha_x, p.alpha_y)
-
-    # --- diffuse ---
-    wi_d = sp.sample_cosine_hemisphere(u2)
-    wi_d = jnp.where((wo[..., 2] < 0)[..., None],
-                     jnp.concatenate([wi_d[..., :2], -wi_d[..., 2:]], -1), wi_d)
-    f_d, pdf_d = _diffuse_f_pdf(p, wo, wi_d)
-
-    # --- diffuse transmission ---
-    pr_dt = jnp.max(p.albedo, axis=-1)
-    pt_dt = jnp.max(p.k, axis=-1)
-    tot_dt = jnp.maximum(pr_dt + pt_dt, 1e-9)
-    choose_t = uc < pt_dt / tot_dt
-    wi_dt = jnp.where((choose_t ^ (wo[..., 2] < 0))[..., None],
-                      jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
-                      jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
-    f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi_dt)
-
-    # --- conductor ---
-    # smooth: perfect mirror
-    wi_cs = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    F_cs = fr_complex(vm.abs_cos_theta(wo)[..., None], p.eta, p.k)
-    f_cs = safe_div(F_cs, vm.abs_cos_theta(wi_cs)[..., None])
-    # rough: sample VNDF
-    wm_c = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
-    wi_cr = vm.reflect(wo, wm_c)
-    f_cr, pdf_cr = _conductor_f_pdf(p, wo, wi_cr)
-    wi_c = jnp.where(smooth[..., None], wi_cs, wi_cr)
-    f_c = jnp.where(smooth[..., None], f_cs, f_cr)
-    pdf_c = jnp.where(smooth, 1.0, pdf_cr)
-
-    # --- dielectric ---
-    eta_s = p.eta[..., 0]
-    # smooth case
-    F_ds = fr_dielectric(vm.cos_theta(wo), eta_s)
-    refl_ds = uc < F_ds
-    wi_ds_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
-    ok_t, wi_ds_t, etap_s = vm.refract(wo, jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape), eta_s)
-    wi_ds = jnp.where(refl_ds[..., None], wi_ds_r, wi_ds_t)
-    f_ds_r = safe_div(F_ds, vm.abs_cos_theta(wi_ds_r))
-    f_ds_t = safe_div((1.0 - F_ds) / sqr(etap_s), vm.abs_cos_theta(wi_ds_t))
-    f_ds = jnp.where(refl_ds, f_ds_r, jnp.where(ok_t, f_ds_t, 0.0))
-    pdf_ds = jnp.where(refl_ds, F_ds, jnp.where(ok_t, 1.0 - F_ds, 1.0))
-    # rough case
-    wm_g = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
-    F_dr = fr_dielectric(vm.dot(wo, wm_g), eta_s)
-    refl_dr = uc < F_dr
-    wi_dr_r = vm.reflect(wo, wm_g)
-    ok_rt, wi_dr_t, _ = vm.refract(wo, wm_g, eta_s)
-    wi_dr = jnp.where(refl_dr[..., None], wi_dr_r, wi_dr_t)
-    # reject lobe/hemisphere mismatches (reference DielectricBxDF::Sample_f:
-    # reflected wi must stay in wo's hemisphere, transmitted must cross;
-    # keeping strays would price them with the other lobe's pdf)
-    same_h = vm.same_hemisphere(wo, wi_dr)
-    lobe_ok = jnp.where(refl_dr, same_h, ~same_h & ok_rt)
-    f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr)
-    pdf_dr = jnp.where(lobe_ok, pdf_dr, 0.0)
-    f_dr = jnp.where(lobe_ok[..., None], f_dr, 0.0)
-    wi_g = jnp.where(smooth[..., None], wi_ds, wi_dr)
-    f_g_scalar = jnp.where(smooth, f_ds, 0.0)
-    pdf_g = jnp.where(smooth, pdf_ds, pdf_dr)
-    f_g = jnp.where(smooth[..., None], f_ds[..., None] * jnp.ones_like(p.albedo), f_dr)
-    trans_g = jnp.where(smooth, refl_ds == False, refl_dr == False)  # noqa: E712
-    eta_scale_g = jnp.where(trans_g, sqr(jnp.where(vm.cos_theta(wo) > 0,
-                                                   eta_s, 1.0 / eta_s)), 1.0)
-    # dispersion: spectral eta + transmission -> the path follows the hero
-    # wavelength; the integrator terminates secondary wavelengths
-    # (reference DielectricBxDF::Sample_f -> SampledWavelengths::
-    # TerminateSecondary, spectrum.h)
-    dispersive_g = trans_g & (jnp.max(p.eta, -1) - jnp.min(p.eta, -1) > 1e-4)
-
-    # --- coated diffuse (Fresnel-blend; see _coated_diffuse_f_pdf) ---
-    eta_cd = p.eta[..., 0]
-    F_cd = fr_dielectric(vm.abs_cos_theta(wo), eta_cd)
-    choose_spec = uc < F_cd
-    wm_cd = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
-    wi_cd_spec = vm.reflect(wo, wm_cd)
-    wi_cd_diff = jnp.where((wo[..., 2] < 0)[..., None],
-                           jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
-                           jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
-    wi_cd = jnp.where(choose_spec[..., None], wi_cd_spec, wi_cd_diff)
-    f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi_cd)
-
-    # --- coated conductor (see _coated_conductor_f_pdf) ---
-    ca_cc, ce_cc = _coat_params(p)
-    F_cc = fr_dielectric(vm.abs_cos_theta(wo), ce_cc)
-    choose_coat = uc < F_cc
-    wm_cc = tr_sample_wm(wo, u2, ca_cc, ca_cc)
-    wi_cc_coat = vm.reflect(wo, wm_cc)
-    wi_cc = jnp.where(choose_coat[..., None], wi_cc_coat, wi_cr)
-    f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi_cc)
-
-    # --- thin dielectric (reference ThinDielectricBxDF, bxdfs.h:209) ---
-    R0 = fr_dielectric(vm.abs_cos_theta(wo), eta_s)
-    R_th = jnp.where(R0 < 1.0, R0 + sqr(1.0 - R0) * R0 / (1.0 - sqr(R0)), 1.0)
-    T_th = 1.0 - R_th
-    refl_th = uc < R_th
-    wi_th = jnp.where(refl_th[..., None],
-                      jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1), -wo)
-    f_th = jnp.where(refl_th, safe_div(R_th, vm.abs_cos_theta(wo)),
-                     safe_div(T_th, vm.abs_cos_theta(wo)))
-    pdf_th = jnp.where(refl_th, R_th, T_th)
-
-    # --- select by tag ---
     tag = p.tag
     tag3 = tag[..., None]
-    wi = jnp.where(tag3 == BXDF_DIFFUSE, wi_d,
-         jnp.where(tag3 == BXDF_CONDUCTOR, wi_c,
-         jnp.where(tag3 == BXDF_DIELECTRIC, wi_g,
-         jnp.where(tag3 == BXDF_THIN_DIELECTRIC, wi_th,
-         jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, wi_dt,
-         jnp.where(tag3 == BXDF_COATED_DIFFUSE, wi_cd,
-         jnp.where(tag3 == BXDF_COATED_CONDUCTOR, wi_cc, wi_d)))))))
-    f = jnp.where(tag3 == BXDF_DIFFUSE, f_d,
-        jnp.where(tag3 == BXDF_CONDUCTOR, f_c,
-        jnp.where(tag3 == BXDF_DIELECTRIC, f_g,
-        jnp.where(tag3 == BXDF_THIN_DIELECTRIC,
-                  f_th[..., None] * jnp.ones_like(p.albedo),
-        jnp.where(tag3 == BXDF_DIFFUSE_TRANSMISSION, f_dt,
-        jnp.where(tag3 == BXDF_COATED_DIFFUSE, f_cd,
-        jnp.where(tag3 == BXDF_COATED_CONDUCTOR, f_cc, 0.0)))))))
-    pdf = jnp.where(tag == BXDF_DIFFUSE, pdf_d,
-          jnp.where(tag == BXDF_CONDUCTOR, pdf_c,
-          jnp.where(tag == BXDF_DIELECTRIC, pdf_g,
-          jnp.where(tag == BXDF_THIN_DIELECTRIC, pdf_th,
-          jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, pdf_dt,
-          jnp.where(tag == BXDF_COATED_DIFFUSE, pdf_cd,
-          jnp.where(tag == BXDF_COATED_CONDUCTOR, pdf_cc, 0.0)))))))
-    specular = jnp.where(tag == BXDF_CONDUCTOR, smooth,
-               jnp.where(tag == BXDF_DIELECTRIC, smooth,
-               jnp.where(tag == BXDF_THIN_DIELECTRIC, True, False)))
-    transmission = jnp.where(tag == BXDF_DIELECTRIC, trans_g,
-                   jnp.where(tag == BXDF_THIN_DIELECTRIC, ~refl_th,
-                   jnp.where(tag == BXDF_DIFFUSE_TRANSMISSION, choose_t, False)))
-    eta_scale = jnp.where(tag == BXDF_DIELECTRIC, eta_scale_g, 1.0)
-    dispersed = jnp.where(tag == BXDF_DIELECTRIC, dispersive_g, False)
+
+    # accumulators (filled per present branch)
+    wi = jnp.zeros_like(wo)
+    f = jnp.zeros_like(p.albedo)
+    pdf = jnp.zeros(p.alpha_x.shape, jnp.float32)
+    specular = jnp.zeros(p.alpha_x.shape, bool)
+    transmission = jnp.zeros(p.alpha_x.shape, bool)
+    eta_scale = jnp.ones(p.alpha_x.shape, jnp.float32)
+    dispersed = jnp.zeros(p.alpha_x.shape, bool)
+
+    def sel(tagv, wi_b, f_b, pdf_b, spec_b, trans_b, etas_b, disp_b):
+        nonlocal wi, f, pdf, specular, transmission, eta_scale, dispersed
+        to_b = lambda v: jnp.broadcast_to(jnp.asarray(v), p.alpha_x.shape)
+        if single:
+            wi, f, pdf = wi_b, f_b, pdf_b
+            specular, transmission = to_b(spec_b), to_b(trans_b)
+            eta_scale = to_b(etas_b).astype(jnp.float32)
+            dispersed = to_b(disp_b)
+            return
+        m = tag == tagv
+        m3 = m[..., None]
+        wi = jnp.where(m3, wi_b, wi)
+        f = jnp.where(m3, f_b, f)
+        pdf = jnp.where(m, pdf_b, pdf)
+        specular = jnp.where(m, spec_b, specular)
+        transmission = jnp.where(m, trans_b, transmission)
+        eta_scale = jnp.where(m, etas_b, eta_scale)
+        dispersed = jnp.where(m, disp_b, dispersed)
+
+    # shared: cosine-hemisphere direction for the diffuse-family lobes
+    if (BXDF_DIFFUSE in present or BXDF_DIFFUSE_TRANSMISSION in present
+            or BXDF_COATED_DIFFUSE in present):
+        wi_d = sp.sample_cosine_hemisphere(u2)
+        wi_d = jnp.where((wo[..., 2] < 0)[..., None],
+                         jnp.concatenate([wi_d[..., :2], -wi_d[..., 2:]], -1),
+                         wi_d)
+
+    if BXDF_DIFFUSE in present:
+        f_d, pdf_d = _diffuse_f_pdf(p, wo, wi_d)
+        sel(BXDF_DIFFUSE, wi_d, f_d, pdf_d, False, False, 1.0, False)
+
+    if BXDF_DIFFUSE_TRANSMISSION in present:
+        pr_dt = jnp.max(p.albedo, axis=-1)
+        pt_dt = jnp.max(p.k, axis=-1)
+        tot_dt = jnp.maximum(pr_dt + pt_dt, 1e-9)
+        choose_t = uc < pt_dt / tot_dt
+        wi_dt = jnp.where(
+            (choose_t ^ (wo[..., 2] < 0))[..., None],
+            jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
+            jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
+        f_dt, pdf_dt = _diffuse_transmission_f_pdf(p, wo, wi_dt)
+        sel(BXDF_DIFFUSE_TRANSMISSION, wi_dt, f_dt, pdf_dt, False, choose_t,
+            1.0, False)
+
+    # shared: rough-conductor VNDF sample (conductor + coated-conductor)
+    if BXDF_CONDUCTOR in present or BXDF_COATED_CONDUCTOR in present:
+        wm_c = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+        wi_cr = vm.reflect(wo, wm_c)
+
+    if BXDF_CONDUCTOR in present:
+        # smooth: perfect mirror
+        wi_cs = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        F_cs = fr_complex(vm.abs_cos_theta(wo)[..., None], p.eta, p.k)
+        f_cs = safe_div(F_cs, vm.abs_cos_theta(wi_cs)[..., None])
+        f_cr, pdf_cr = _conductor_f_pdf(p, wo, wi_cr)
+        wi_c = jnp.where(smooth[..., None], wi_cs, wi_cr)
+        f_c = jnp.where(smooth[..., None], f_cs, f_cr)
+        pdf_c = jnp.where(smooth, 1.0, pdf_cr)
+        sel(BXDF_CONDUCTOR, wi_c, f_c, pdf_c, smooth, False, 1.0, False)
+
+    eta_s = p.eta[..., 0]
+
+    if BXDF_DIELECTRIC in present:
+        # smooth case
+        F_ds = fr_dielectric(vm.cos_theta(wo), eta_s)
+        refl_ds = uc < F_ds
+        wi_ds_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1)
+        ok_t, wi_ds_t, etap_s = vm.refract(wo, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape), eta_s)
+        wi_ds = jnp.where(refl_ds[..., None], wi_ds_r, wi_ds_t)
+        f_ds_r = safe_div(F_ds, vm.abs_cos_theta(wi_ds_r))
+        f_ds_t = safe_div((1.0 - F_ds) / sqr(etap_s),
+                          vm.abs_cos_theta(wi_ds_t))
+        f_ds = jnp.where(refl_ds, f_ds_r, jnp.where(ok_t, f_ds_t, 0.0))
+        pdf_ds = jnp.where(refl_ds, F_ds, jnp.where(ok_t, 1.0 - F_ds, 1.0))
+        # rough case
+        wm_g = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+        F_dr = fr_dielectric(vm.dot(wo, wm_g), eta_s)
+        refl_dr = uc < F_dr
+        wi_dr_r = vm.reflect(wo, wm_g)
+        ok_rt, wi_dr_t, _ = vm.refract(wo, wm_g, eta_s)
+        wi_dr = jnp.where(refl_dr[..., None], wi_dr_r, wi_dr_t)
+        # reject lobe/hemisphere mismatches (reference
+        # DielectricBxDF::Sample_f: reflected wi must stay in wo's
+        # hemisphere, transmitted must cross; keeping strays would price
+        # them with the other lobe's pdf)
+        same_h = vm.same_hemisphere(wo, wi_dr)
+        lobe_ok = jnp.where(refl_dr, same_h, ~same_h & ok_rt)
+        f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr)
+        pdf_dr = jnp.where(lobe_ok, pdf_dr, 0.0)
+        f_dr = jnp.where(lobe_ok[..., None], f_dr, 0.0)
+        wi_g = jnp.where(smooth[..., None], wi_ds, wi_dr)
+        pdf_g = jnp.where(smooth, pdf_ds, pdf_dr)
+        f_g = jnp.where(smooth[..., None],
+                        f_ds[..., None] * jnp.ones_like(p.albedo), f_dr)
+        trans_g = jnp.where(smooth, refl_ds == False, refl_dr == False)  # noqa: E712
+        eta_scale_g = jnp.where(
+            trans_g, sqr(jnp.where(vm.cos_theta(wo) > 0, eta_s, 1.0 / eta_s)),
+            1.0)
+        # dispersion: spectral eta + transmission -> the path follows the
+        # hero wavelength; the integrator terminates secondary wavelengths
+        # (reference DielectricBxDF::Sample_f -> SampledWavelengths::
+        # TerminateSecondary, spectrum.h)
+        dispersive_g = trans_g & (jnp.max(p.eta, -1) - jnp.min(p.eta, -1)
+                                  > 1e-4)
+        sel(BXDF_DIELECTRIC, wi_g, f_g, pdf_g, smooth, trans_g, eta_scale_g,
+            dispersive_g)
+
+    if BXDF_COATED_DIFFUSE in present:
+        # Fresnel-blend; see _coated_diffuse_f_pdf
+        eta_cd = p.eta[..., 0]
+        F_cd = fr_dielectric(vm.abs_cos_theta(wo), eta_cd)
+        choose_spec = uc < F_cd
+        wm_cd = tr_sample_wm(wo, u2, p.alpha_x, p.alpha_y)
+        wi_cd_spec = vm.reflect(wo, wm_cd)
+        wi_cd_diff = jnp.where(
+            (wo[..., 2] < 0)[..., None],
+            jnp.concatenate([wi_d[..., :2], -jnp.abs(wi_d[..., 2:])], -1),
+            jnp.concatenate([wi_d[..., :2], jnp.abs(wi_d[..., 2:])], -1))
+        wi_cd = jnp.where(choose_spec[..., None], wi_cd_spec, wi_cd_diff)
+        f_cd, pdf_cd = _coated_diffuse_f_pdf(p, wo, wi_cd)
+        sel(BXDF_COATED_DIFFUSE, wi_cd, f_cd, pdf_cd, False, False, 1.0,
+            False)
+
+    if BXDF_COATED_CONDUCTOR in present:
+        # see _coated_conductor_f_pdf
+        ca_cc, ce_cc = _coat_params(p)
+        F_cc = fr_dielectric(vm.abs_cos_theta(wo), ce_cc)
+        choose_coat = uc < F_cc
+        wm_cc = tr_sample_wm(wo, u2, ca_cc, ca_cc)
+        wi_cc_coat = vm.reflect(wo, wm_cc)
+        wi_cc = jnp.where(choose_coat[..., None], wi_cc_coat, wi_cr)
+        f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi_cc)
+        sel(BXDF_COATED_CONDUCTOR, wi_cc, f_cc, pdf_cc, False, False, 1.0,
+            False)
+
+    if BXDF_THIN_DIELECTRIC in present:
+        # reference ThinDielectricBxDF, bxdfs.h:209
+        R0 = fr_dielectric(vm.abs_cos_theta(wo), eta_s)
+        R_th = jnp.where(R0 < 1.0,
+                         R0 + sqr(1.0 - R0) * R0 / (1.0 - sqr(R0)), 1.0)
+        T_th = 1.0 - R_th
+        refl_th = uc < R_th
+        wi_th = jnp.where(
+            refl_th[..., None],
+            jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], -1), -wo)
+        f_th = jnp.where(refl_th, safe_div(R_th, vm.abs_cos_theta(wo)),
+                         safe_div(T_th, vm.abs_cos_theta(wo)))
+        pdf_th = jnp.where(refl_th, R_th, T_th)
+        sel(BXDF_THIN_DIELECTRIC, wi_th,
+            f_th[..., None] * jnp.ones_like(p.albedo), pdf_th,
+            True, ~refl_th, 1.0, False)
+
     valid = pdf > 0
     return dict(wi=wi, f=f, pdf=jnp.maximum(pdf, 0.0), valid=valid,
                 specular=specular, transmission=transmission,

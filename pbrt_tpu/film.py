@@ -99,9 +99,11 @@ def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
     frac = (x - i0.astype(jnp.float32))[..., None]
     resp_t = sensor.response.T  # (471, 3)
-    idx = jnp.stack([i0, i0 + 1], axis=-1)          # (..., 4, 2)
-    v = resp_t[idx]                                  # ONE gather (..., 4, 2, 3)
-    curves = v[..., 0, :] * (1.0 - frac) + v[..., 1, :] * frac  # (..., 4, 3)
+    # (471, 6) pair rows [RGB@i, RGB@i+1]: one ROW gather for both taps
+    # (element/nested gathers are ~400x slower on TPU, see lights.py)
+    pairs = jnp.concatenate([resp_t, jnp.roll(resp_t, -1, axis=0)], axis=-1)
+    v = pairs[i0]                                    # (..., 4, 6)
+    curves = v[..., 0:3] * (1.0 - frac) + v[..., 3:6] * frac  # (..., 4, 3)
     rgb = jnp.mean(curves * w[..., None], axis=-2)   # (..., 3)
     return sensor.imaging_ratio * rgb
 

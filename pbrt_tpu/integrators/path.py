@@ -56,6 +56,13 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     the film's sensor projection divides by swl.pdf)."""
     N = o.shape[0]
     lam = swl.lam
+    # wavelengths are fixed along a path: evaluate EVERY pool spectrum once
+    # per wave (one row gather), then per-depth light/material spectrum
+    # lookups are tiny one-hot selects (profiled: the per-depth gathers were
+    # 67% of wave time on the cornell bench)
+    spec_cache = None
+    if scene.spectra_pool.shape[0] <= lgt.SPEC_CACHE_MAX:
+        spec_cache = lgt.eval_all_spectra(scene.spectra_pool, lam)
 
     def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
         """Next-event estimation (reference SampleLd, integrators.cpp:764)."""
@@ -67,7 +74,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         li_idx = jnp.maximum(li_idx, 0)
         ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
                            scene.spectra_pool, scene.tri_geo,
-                           scene.scene_radius, env=scene.env)
+                           scene.scene_radius, env=scene.env,
+                           spec_cache=spec_cache)
         wi = ls["wi"]
         wi_local = _to_local(ns, t1, t2, wi)
         f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
@@ -98,7 +106,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             from ..ops.gather import pool_lookup
             lrow = lgt.LightRow(pool_lookup(scene.lights.packed, li_safe))
             Le = lgt.area_light_radiance(lrow, isect["ng"], isect["wo"], lam,
-                                         scene.spectra_pool)
+                                         scene.spectra_pool,
+                                         spec_cache=spec_cache)
             # the hit triangle IS the light's triangle: reuse intersect's verts
             tri_rows = jnp.concatenate([isect["p0"], isect["p1"], isect["p2"]],
                                        axis=-1)
@@ -133,7 +142,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             escaped = active & ~isect["hit"]
             Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
                                                  scene.spectra_pool, d,
-                                                 scene.inf_indices)
+                                                 scene.inf_indices,
+                                                 spec_cache=spec_cache)
             # MIS vs uniform-sphere light sampling (static index: no gather)
             inf_idx = scene.inf_indices[0]
             pmf_inf = scene.light_sampler.pmf_table[int(inf_idx)]
@@ -152,7 +162,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         wo_local = _to_local(ns, t1, t2, isect["wo"])
         bp = mtl.get_bsdf_params(scene.materials, mat_res, lam,
                                  scene.spectra_pool, textures=scene.textures,
-                                 uv=isect["uv"], p_world=isect["p"])
+                                 uv=isect["uv"], p_world=isect["p"],
+                                 spec_cache=spec_cache)
 
         # --- NEE ---
         if scene.light_sampler.n_lights > 0:

@@ -43,6 +43,11 @@ class LightPool:
     power: jnp.ndarray      # (L,) scalar photometric-ish power for samplers
     scale: jnp.ndarray      # (L,)
     spec_idx: jnp.ndarray   # (L,) int32
+    # static set of light tags in the pool: sample_li compiles ONLY the
+    # branches for types the scene contains (the TPU analog of the
+    # reference wavefront's per-type kernel specialization,
+    # wavefront/integrator.h:139)
+    tags_present: tuple = struct.field(pytree_node=False, default=None)
 
 
 def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
@@ -63,7 +68,8 @@ def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
     return LightPool(packed=jnp.asarray(packed), tag=jnp.asarray(tag),
                      power=jnp.asarray(np.asarray(power, np.float32)),
                      scale=jnp.asarray(np.asarray(scale, np.float32)),
-                     spec_idx=jnp.asarray(np.asarray(spec_idx, np.int32)))
+                     spec_idx=jnp.asarray(np.asarray(spec_idx, np.int32)),
+                     tags_present=tuple(sorted(set(int(t) for t in tag))))
 
 
 def _val_i32(f):
@@ -91,20 +97,63 @@ class LightRow:
 def eval_light_spectrum(spectra_pool, spec_idx, scale, lam):
     """Gather + interpolate emission spectra. spec_idx: (N,), lam: (N,4).
 
-    Single fused gather over the flattened pool (gathers are ~1ms flat on
-    TPU, so one (N,4,2) gather beats two (N,4) gathers)."""
+    Uses a ROW gather over a (S*471, 2) pair table built in-program (tiny):
+    element gathers (scalar indices into a flat f32 array) lower to an XLA
+    TPU kernel that runs at ~120k elem/ms — profiled at 10.5ms per call on a
+    160k-ray wave, 67% of total wave time — while row gathers of the two
+    interpolation taps run ~400x faster on the same shapes."""
     x = jnp.clip(lam - spc.LAMBDA_MIN, 0.0, spc.N_CIE - 1.000001)
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
     frac = x - i0.astype(jnp.float32)
     flat = spectra_pool.reshape(-1)
-    base = spec_idx[..., None, None] * spc.N_CIE + \
-        jnp.stack([i0, i0 + 1], axis=-1)       # (N, 4, 2)
-    v = flat[base]                              # ONE gather
+    # i0 <= N_CIE-2, so the rolled tap never crosses a spectrum boundary
+    pairs = jnp.stack([flat, jnp.roll(flat, -1)], axis=-1)  # (S*471, 2)
+    base = spec_idx[..., None] * spc.N_CIE + i0             # (N, 4)
+    v = pairs[base]                                         # row gather
     return scale[..., None] * (v[..., 0] * (1 - frac) + v[..., 1] * frac)
 
 
+def eval_all_spectra(spectra_pool, lam):
+    """Evaluate EVERY pool spectrum at lam in one row gather.
+
+    spectra_pool: (S, 471); lam: (N, 4). Returns (N, 4, S).
+
+    Pair-packs the pool as (471, 2S) rows so the single gather is indexed by
+    the wavelength bin alone; the per-light select then costs a tiny one-hot
+    reduce per use instead of a gather per depth (wavelengths are fixed
+    along a path, so this runs once per wave)."""
+    S = spectra_pool.shape[0]
+    x = jnp.clip(lam - spc.LAMBDA_MIN, 0.0, spc.N_CIE - 1.000001)
+    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, spc.N_CIE - 2)
+    frac = x - i0.astype(jnp.float32)
+    poolT = spectra_pool.T                        # (471, S)
+    pairs = jnp.concatenate([poolT, jnp.roll(poolT, -1, axis=0)], axis=-1)
+    v = pairs[i0]                                 # (N, 4, 2S) row gather
+    return v[..., :S] * (1 - frac)[..., None] + v[..., S:] * frac[..., None]
+
+
+def select_spectrum(spec_cache, spec_idx, scale):
+    """Pick rows of an eval_all_spectra cache: (N,4,S), (N,) -> (N,4)."""
+    S = spec_cache.shape[-1]
+    oh = (spec_idx[..., None] == jnp.arange(S, dtype=jnp.int32))
+    v = jnp.sum(spec_cache * oh[..., None, :].astype(jnp.float32), axis=-1)
+    return scale[..., None] * v
+
+
+# one-hot select beats the per-call gather comfortably up to at least this
+# pool size (cost is S multiply-adds per lane vs a ~1.2ms gather per call)
+SPEC_CACHE_MAX = 64
+
+
+def _lspec(spectra_pool, spec_idx, scale, lam, spec_cache=None):
+    if spec_cache is not None:
+        return select_spectrum(spec_cache, spec_idx, scale)
+    return eval_light_spectrum(spectra_pool, spec_idx, scale, lam)
+
+
 def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
-              spectra_pool, tri_geo, scene_radius, env: "EnvLight" = None):
+              spectra_pool, tri_geo, scene_radius, env: "EnvLight" = None,
+              spec_cache=None):
     """Sample incident direction from light light_idx toward p_ref.
 
     light_idx: (N,) into pool; p_ref: (N, 3); u2: (N, 2); lam: (N, 4);
@@ -117,115 +166,131 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
     tag = row.tag
     lp = row.p
     ldir = row.dir
-    Lspec = eval_light_spectrum(spectra_pool, row.spec_idx, row.scale, lam)
+    Lspec = _lspec(spectra_pool, row.spec_idx, row.scale, lam, spec_cache)
 
-    # --- point ---
-    d_pt = lp - p_ref
-    dist2_pt = jnp.maximum(vm.length_squared(d_pt), 1e-12)
-    wi_pt = d_pt / jnp.sqrt(dist2_pt)[..., None]
-    L_pt = Lspec / dist2_pt[..., None]  # I / r^2
-    pdf_pt = jnp.ones_like(dist2_pt)
+    # Only branches for light types the scene CONTAINS are traced/compiled
+    # (tags_present is a static scene constant): a diffuse-box scene pays
+    # nothing for env-map/spot/sphere sampling code.
+    present = lights.tags_present
+    if present is None:
+        present = (LIGHT_POINT, LIGHT_DISTANT, LIGHT_SPOT, LIGHT_AREA_TRI,
+                   LIGHT_UNIFORM_INFINITE, LIGHT_IMAGE_INFINITE,
+                   LIGHT_AREA_SPHERE)
+    single = len(present) == 1  # one light type: skip the select chain
 
-    # --- spot: like point with smooth falloff (reference SpotLight:~300) ---
-    cos_theta = vm.dot(-wi_pt, ldir)
-    cfs = row.cfs
-    cfe = row.cfe
-    t = jnp.clip(safe_div(cos_theta - cfe, cfs - cfe), 0.0, 1.0)
-    falloff = t * t * (3.0 - 2.0 * t)  # SmoothStep (reference lights.h:~310)
-    falloff = jnp.where(cos_theta >= cfs, 1.0, falloff)
-    falloff = jnp.where(cos_theta <= cfe, 0.0, falloff)
-    L_spot = L_pt * falloff[..., None]
+    def pick(tagv, branch, wi, L, pdf, p_light):
+        bwi, bL, bpdf, bp = branch
+        if single:
+            return bwi, bL, bpdf, bp
+        m = tag == tagv
+        m2 = m[..., None]
+        return (jnp.where(m2, bwi, wi), jnp.where(m2, bL, L),
+                jnp.where(m, bpdf, pdf), jnp.where(m2, bp, p_light))
 
-    # --- distant: radiance from direction -dir at "infinity" ---
-    wi_dist = -ldir
-    p_dist = p_ref + wi_dist * (2.0 * scene_radius)
-    L_dist = Lspec
-    pdf_dist = jnp.ones_like(dist2_pt)
+    wi = jnp.zeros_like(p_ref)
+    L = jnp.zeros_like(lam)
+    pdf = jnp.zeros(lam.shape[:-1], jnp.float32)
+    p_light = jnp.zeros_like(p_ref)
 
-    # --- area triangle: uniform-area sample + convert to solid angle ---
-    from .ops.gather import pool_lookup
-    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-    geo = pool_lookup(tri_geo, ti)
-    a = geo[..., 0:3]
-    b = geo[..., 3:6]
-    c = geo[..., 6:9]
-    bary = sp.sample_uniform_triangle(u2)
-    p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
-    ng = vm.cross(b - a, c - a)
-    area = 0.5 * vm.length(ng)
-    ng = vm.normalize(ng)
-    d_tri = p_tri - p_ref
-    dist2_tri = jnp.maximum(vm.length_squared(d_tri), 1e-12)
-    wi_tri = d_tri / jnp.sqrt(dist2_tri)[..., None]
-    cos_l = vm.dot(ng, -wi_tri)
-    two = row.two_sided
-    emit_ok = two | (cos_l > 0)
-    # pdf_area -> pdf_solid_angle
-    pdf_tri = safe_div(dist2_tri, jnp.abs(cos_l) * area)
-    L_tri = jnp.where(emit_ok[..., None], Lspec, 0.0)
+    if LIGHT_POINT in present or LIGHT_SPOT in present:
+        # --- point ---
+        d_pt = lp - p_ref
+        dist2_pt = jnp.maximum(vm.length_squared(d_pt), 1e-12)
+        wi_pt = d_pt / jnp.sqrt(dist2_pt)[..., None]
+        L_pt = Lspec / dist2_pt[..., None]  # I / r^2
+        pdf_pt = jnp.ones_like(dist2_pt)
+        if LIGHT_POINT in present:
+            wi, L, pdf, p_light = pick(LIGHT_POINT, (wi_pt, L_pt, pdf_pt, lp),
+                                       wi, L, pdf, p_light)
+        if LIGHT_SPOT in present:
+            # --- spot: point with smooth falloff (reference SpotLight) ---
+            cos_theta = vm.dot(-wi_pt, ldir)
+            cfs = row.cfs
+            cfe = row.cfe
+            t = jnp.clip(safe_div(cos_theta - cfe, cfs - cfe), 0.0, 1.0)
+            falloff = t * t * (3.0 - 2.0 * t)  # SmoothStep (lights.h:~310)
+            falloff = jnp.where(cos_theta >= cfs, 1.0, falloff)
+            falloff = jnp.where(cos_theta <= cfe, 0.0, falloff)
+            wi, L, pdf, p_light = pick(
+                LIGHT_SPOT, (wi_pt, L_pt * falloff[..., None], pdf_pt, lp),
+                wi, L, pdf, p_light)
 
-    # --- area sphere: solid-angle cone sampling (reference Sphere::Sample
-    # from a reference point, shapes.h:280) ---
-    c_s = lp
-    rad_s = row.cfs
-    dvec = c_s - p_ref
-    dc2 = jnp.maximum(vm.length_squared(dvec), 1e-12)
-    dc = jnp.sqrt(dc2)
-    w_axis = dvec / dc[..., None]
-    sin2_max = jnp.clip(sqr(rad_s) / dc2, 0.0, 1.0)
-    cos_max = safe_sqrt(1.0 - sin2_max)
-    cos_t = 1.0 - u2[..., 0] * (1.0 - cos_max)
-    sin_t = safe_sqrt(1.0 - sqr(cos_t))
-    phi_s = 2.0 * PI * u2[..., 1]
-    t1_s, t2_s = vm.coordinate_system(w_axis)
-    wi_sph = (sin_t * jnp.cos(phi_s))[..., None] * t1_s + \
-        (sin_t * jnp.sin(phi_s))[..., None] * t2_s + cos_t[..., None] * w_axis
-    # distance to the sphere along wi (nearest solution)
-    ds = dc * cos_t - safe_sqrt(jnp.maximum(
-        sqr(rad_s) - dc2 * sqr(sin_t), 0.0))
-    p_sph = p_ref + wi_sph * ds[..., None]
-    pdf_sph = safe_div(1.0, 2.0 * PI * (1.0 - cos_max))
-    inside_s = dc <= rad_s  # reference falls back to area sampling; we skip
-    pdf_sph = jnp.where(inside_s, 0.0, pdf_sph)
+    if LIGHT_DISTANT in present:
+        # --- distant: radiance from direction -dir at "infinity" ---
+        wi_dist = -ldir
+        p_dist = p_ref + wi_dist * (2.0 * scene_radius)
+        wi, L, pdf, p_light = pick(
+            LIGHT_DISTANT,
+            (wi_dist, Lspec, jnp.ones(lam.shape[:-1], jnp.float32), p_dist),
+            wi, L, pdf, p_light)
 
-    # --- uniform infinite ---
-    wi_inf = sp.sample_uniform_sphere(u2)
-    pdf_inf = jnp.full_like(dist2_pt, INV_4PI)
-    p_inf = p_ref + wi_inf * (2.0 * scene_radius)
+    if LIGHT_AREA_TRI in present:
+        # --- area triangle: uniform-area sample -> solid angle ---
+        ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
+        geo = pool_lookup(tri_geo, ti)
+        a = geo[..., 0:3]
+        b = geo[..., 3:6]
+        c = geo[..., 6:9]
+        bary = sp.sample_uniform_triangle(u2)
+        p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
+        ng = vm.cross(b - a, c - a)
+        area = 0.5 * vm.length(ng)
+        ng = vm.normalize(ng)
+        d_tri = p_tri - p_ref
+        dist2_tri = jnp.maximum(vm.length_squared(d_tri), 1e-12)
+        wi_tri = d_tri / jnp.sqrt(dist2_tri)[..., None]
+        cos_l = vm.dot(ng, -wi_tri)
+        emit_ok = row.two_sided | (cos_l > 0)
+        # pdf_area -> pdf_solid_angle
+        pdf_tri = safe_div(dist2_tri, jnp.abs(cos_l) * area)
+        L_tri = jnp.where(emit_ok[..., None], Lspec, 0.0)
+        wi, L, pdf, p_light = pick(LIGHT_AREA_TRI,
+                                   (wi_tri, L_tri, pdf_tri, p_tri),
+                                   wi, L, pdf, p_light)
 
-    # --- image infinite (env map) ---
-    if env is not None:
+    if LIGHT_AREA_SPHERE in present:
+        # --- area sphere: solid-angle cone sampling (reference
+        # Sphere::Sample from a reference point, shapes.h:280) ---
+        rad_s = row.cfs
+        dvec = lp - p_ref
+        dc2 = jnp.maximum(vm.length_squared(dvec), 1e-12)
+        dc = jnp.sqrt(dc2)
+        w_axis = dvec / dc[..., None]
+        sin2_max = jnp.clip(sqr(rad_s) / dc2, 0.0, 1.0)
+        cos_max = safe_sqrt(1.0 - sin2_max)
+        cos_t = 1.0 - u2[..., 0] * (1.0 - cos_max)
+        sin_t = safe_sqrt(1.0 - sqr(cos_t))
+        phi_s = 2.0 * PI * u2[..., 1]
+        t1_s, t2_s = vm.coordinate_system(w_axis)
+        wi_sph = (sin_t * jnp.cos(phi_s))[..., None] * t1_s + \
+            (sin_t * jnp.sin(phi_s))[..., None] * t2_s + \
+            cos_t[..., None] * w_axis
+        # distance to the sphere along wi (nearest solution)
+        ds = dc * cos_t - safe_sqrt(jnp.maximum(
+            sqr(rad_s) - dc2 * sqr(sin_t), 0.0))
+        p_sph = p_ref + wi_sph * ds[..., None]
+        pdf_sph = safe_div(1.0, 2.0 * PI * (1.0 - cos_max))
+        inside_s = dc <= rad_s  # reference falls back to area sampling
+        pdf_sph = jnp.where(inside_s, 0.0, pdf_sph)
+        wi, L, pdf, p_light = pick(LIGHT_AREA_SPHERE,
+                                   (wi_sph, Lspec, pdf_sph, p_sph),
+                                   wi, L, pdf, p_light)
+
+    if LIGHT_UNIFORM_INFINITE in present:
+        wi_inf = sp.sample_uniform_sphere(u2)
+        pdf_inf = jnp.full(lam.shape[:-1], INV_4PI)
+        p_inf = p_ref + wi_inf * (2.0 * scene_radius)
+        wi, L, pdf, p_light = pick(LIGHT_UNIFORM_INFINITE,
+                                   (wi_inf, Lspec, pdf_inf, p_inf),
+                                   wi, L, pdf, p_light)
+
+    if LIGHT_IMAGE_INFINITE in present and env is not None:
         wi_env, L_env, pdf_env, p_env = env_sample_li(env, p_ref, u2, lam,
                                                       scene_radius)
+        wi, L, pdf, p_light = pick(LIGHT_IMAGE_INFINITE,
+                                   (wi_env, L_env, pdf_env, p_env),
+                                   wi, L, pdf, p_light)
 
-    t2 = tag[..., None]
-    wi = jnp.where(t2 == LIGHT_POINT, wi_pt,
-         jnp.where(t2 == LIGHT_SPOT, wi_pt,
-         jnp.where(t2 == LIGHT_DISTANT, wi_dist,
-         jnp.where(t2 == LIGHT_AREA_TRI, wi_tri, wi_inf))))
-    L = jnp.where(t2 == LIGHT_POINT, L_pt,
-        jnp.where(t2 == LIGHT_SPOT, L_spot,
-        jnp.where(t2 == LIGHT_DISTANT, L_dist,
-        jnp.where(t2 == LIGHT_AREA_TRI, L_tri, Lspec))))
-    pdf = jnp.where(tag == LIGHT_POINT, pdf_pt,
-          jnp.where(tag == LIGHT_SPOT, pdf_pt,
-          jnp.where(tag == LIGHT_DISTANT, pdf_dist,
-          jnp.where(tag == LIGHT_AREA_TRI, pdf_tri, pdf_inf))))
-    p_light = jnp.where(t2 == LIGHT_POINT, lp,
-              jnp.where(t2 == LIGHT_SPOT, lp,
-              jnp.where(t2 == LIGHT_DISTANT, p_dist,
-              jnp.where(t2 == LIGHT_AREA_TRI, p_tri, p_inf))))
-    is_sph = tag == LIGHT_AREA_SPHERE
-    wi = jnp.where(is_sph[..., None], wi_sph, wi)
-    L = jnp.where(is_sph[..., None], Lspec, L)
-    pdf = jnp.where(is_sph, pdf_sph, pdf)
-    p_light = jnp.where(is_sph[..., None], p_sph, p_light)
-    if env is not None:
-        is_env = tag == LIGHT_IMAGE_INFINITE
-        wi = jnp.where(is_env[..., None], wi_env, wi)
-        L = jnp.where(is_env[..., None], L_env, L)
-        pdf = jnp.where(is_env, pdf_env, pdf)
-        p_light = jnp.where(is_env[..., None], p_env, p_light)
     is_delta = row.is_delta
     valid = (pdf > 0) & jnp.any(L > 0, axis=-1)
     return dict(wi=wi, L=L, pdf=pdf, p_light=p_light, is_delta=is_delta,
@@ -257,26 +322,30 @@ def pdf_li_sphere(row: "LightRow", p_ref):
     return jnp.where(dc2 <= sqr(row.cfs), 0.0, pdf)
 
 
-def area_light_radiance(row: "LightRow", ng, wo, lam, spectra_pool):
+def area_light_radiance(row: "LightRow", ng, wo, lam, spectra_pool,
+                        spec_cache=None):
     """L emitted from an area-light surface point toward wo (reference
     DiffuseAreaLight::L, lights.h:445). Takes a pre-gathered LightRow."""
-    Lspec = eval_light_spectrum(spectra_pool, row.spec_idx, row.scale, lam)
+    Lspec = _lspec(spectra_pool, row.spec_idx, row.scale, lam, spec_cache)
     front = vm.dot(ng, wo) > 0
     return jnp.where((row.two_sided | front)[..., None], Lspec, 0.0)
 
 
 def infinite_light_radiance(lights: LightPool, lam, spectra_pool, ray_d,
-                            inf_indices: tuple):
+                            inf_indices: tuple, spec_cache=None):
     """Sum of Le from all infinite lights for escaped rays. Returns (N, 4).
 
     inf_indices: static tuple of pool indices of infinite lights (compiled
     into the program — the set of infinite lights is a scene constant)."""
     total = jnp.zeros(lam.shape, jnp.float32)
     for i in inf_indices:
-        idx = jnp.full(lam.shape[:-1], int(i), jnp.int32)
-        scale = lights.scale[int(i)]  # static index: no gather
-        total = total + eval_light_spectrum(spectra_pool, idx,
-                                            scale * jnp.ones(lam.shape[:-1]), lam)
+        # static light index -> XLA slices, no gather; note the light's
+        # SPECTRUM index differs from its pool index in general
+        idx = jnp.broadcast_to(lights.spec_idx[int(i)], lam.shape[:-1])
+        scale = lights.scale[int(i)]
+        total = total + _lspec(spectra_pool, idx,
+                               scale * jnp.ones(lam.shape[:-1]), lam,
+                               spec_cache)
     return total
 
 

@@ -43,6 +43,10 @@ class MaterialPool:
     has_rough_tex: bool = struct.field(pytree_node=False, default=False)
     has_coated_conductor: bool = struct.field(pytree_node=False,
                                               default=False)
+    # static set of BxDF tags in the pool (Mix resolved to sub-materials):
+    # bsdf_f/sample compile ONLY these branches (the TPU analog of the
+    # reference wavefront's per-material kernel split, integrator.h:139)
+    bxdf_tags_present: tuple = struct.field(pytree_node=False, default=None)
 
 
 class MaterialBuilder:
@@ -188,7 +192,9 @@ class MaterialBuilder:
                           (col("normal_tex", np.int32) >= 0).any()),
             has_rough_tex=bool((col("rough_tex", np.int32) >= 0).any()),
             has_coated_conductor=bool(
-                (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()))
+                (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()),
+            bxdf_tags_present=tuple(sorted(set(int(t) for t in tags
+                                               if t != MTL_MIX))))
 
 
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
@@ -261,7 +267,8 @@ def apply_normal_mapping(pool: MaterialPool, textures, mat_idx, isect):
 
 
 def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
-                    textures=None, uv=None, p_world=None) -> bxdfs.BSDFParams:
+                    textures=None, uv=None, p_world=None,
+                    spec_cache=None) -> bxdfs.BSDFParams:
     """Evaluate material textures at the hit -> per-lane BSDFParams.
 
     mat_idx: (N,) int32; lam: (N, 4). textures: optional TexturePool;
@@ -300,12 +307,14 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
     eta_const = rows[..., 9]
     ones = jnp.ones_like(lam)
     if pool.has_spectral_eta:
-        from .lights import eval_light_spectrum
+        from .lights import _lspec
         eidx = f32_to_i32(rows[..., 10])
         kidx = f32_to_i32(rows[..., 11])
         one = jnp.ones_like(ur)
-        eta_dense = eval_light_spectrum(spectra_pool, jnp.maximum(eidx, 0), one, lam)
-        k_dense = eval_light_spectrum(spectra_pool, jnp.maximum(kidx, 0), one, lam)
+        eta_dense = _lspec(spectra_pool, jnp.maximum(eidx, 0), one, lam,
+                           spec_cache)
+        k_dense = _lspec(spectra_pool, jnp.maximum(kidx, 0), one, lam,
+                         spec_cache)
         eta = jnp.where((eidx >= 0)[..., None], eta_dense, eta_const[..., None] * ones)
         k = jnp.where((kidx >= 0)[..., None], k_dense, ones)
     else:
@@ -317,4 +326,5 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
     coat_eta = rows[..., 21] if pool.has_coated_conductor else None
     return bxdfs.BSDFParams(tag=tag, albedo=albedo, alpha_x=ax, alpha_y=ay,
                             eta=eta, k=k, coat_alpha=coat_alpha,
-                            coat_eta=coat_eta)
+                            coat_eta=coat_eta,
+                            tags_present=pool.bxdf_tags_present)

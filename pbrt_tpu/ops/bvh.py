@@ -311,12 +311,14 @@ def brute_force_intersect_triangles(tri_p0, tri_p1, tri_p2, o, d, t_max,
                                tri_p0[None, s:e], tri_p1[None, s:e], tri_p2[None, s:e])
         t = jnp.where(r["hit"], r["t"], jnp.inf)  # (N, chunk)
         tk = jnp.min(t, axis=1)
-        # one-hot argmin extraction (no take_along_axis -> no gather)
+        # one-hot argmin extraction (no take_along_axis -> no gather);
+        # first-minimum tie-break via min-iota (a cumsum here lowers to a
+        # reduce_window that costs ~0.3ms per call on TPU)
         oh = (t == tk[:, None]) & jnp.isfinite(t)
-        # break ties: keep only the first minimal entry
-        first = jnp.cumsum(oh.astype(jnp.int32), axis=1) == 1
-        oh = (oh & first).astype(jnp.float32)
-        k = jnp.sum(oh * jnp.arange(e - s, dtype=jnp.float32)[None, :], axis=1)
+        iota = jnp.arange(e - s, dtype=jnp.int32)[None, :]
+        kmin = jnp.min(jnp.where(oh, iota, e - s), axis=1)
+        oh = (iota == kmin[:, None]).astype(jnp.float32)
+        k = kmin.astype(jnp.float32)
         better = tk < t_best
         t_best = jnp.where(better, tk, t_best)
         prim_best = jnp.where(better, s + k.astype(jnp.int32), prim_best)

@@ -117,46 +117,6 @@ def ray_sphere(o, d, t_max, radius, z_min=None, z_max=None, phi_max=None):
     return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), p=p, phi=phi)
 
 
-def ray_disk(o, d, t_max, h, radius, inner_radius=0.0, phi_max=2 * np.pi):
-    """Ray-disk at z = h in object space (reference shapes.h:404)."""
-    dz = d[..., 2]
-    t = safe_div(h - o[..., 2], dz)
-    p = o + t[..., None] * d
-    dist2 = sqr(p[..., 0]) + sqr(p[..., 1])
-    phi = jnp.arctan2(p[..., 1], p[..., 0])
-    phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
-    hit = (dz != 0.0) & (t > 1e-7) & (t < t_max) & \
-        (dist2 <= sqr(radius)) & (dist2 >= sqr(inner_radius)) & (phi <= phi_max)
-    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), p=p, phi=phi)
-
-
-def ray_cylinder(o, d, t_max, radius, z_min, z_max, phi_max=2 * np.pi):
-    """Ray-cylinder about z axis (reference shapes.h:574)."""
-    a = sqr(d[..., 0]) + sqr(d[..., 1])
-    b = 2.0 * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1])
-    c = sqr(o[..., 0]) + sqr(o[..., 1]) - sqr(radius)
-    has, t0, t1 = quadratic(a, b, c)
-
-    def clip(t):
-        p = o + t[..., None] * d
-        hit_r = jnp.sqrt(jnp.maximum(sqr(p[..., 0]) + sqr(p[..., 1]), 1e-20))
-        p = jnp.concatenate(
-            [p[..., :2] * (radius / hit_r)[..., None], p[..., 2:]], axis=-1)
-        phi = jnp.arctan2(p[..., 1], p[..., 0])
-        phi = jnp.where(phi < 0, phi + 2 * np.pi, phi)
-        ok = (t > 1e-7) & (t < t_max) & (p[..., 2] >= z_min) & (p[..., 2] <= z_max) & (phi <= phi_max)
-        return ok, t, p, phi
-
-    ok0, t0v, p0v, phi0 = clip(t0)
-    ok1, t1v, p1v, phi1 = clip(t1)
-    use0 = ok0
-    hit = has & (ok0 | ok1)
-    t = jnp.where(use0, t0v, t1v)
-    p = jnp.where(use0[..., None], p0v, p1v)
-    phi = jnp.where(use0, phi0, phi1)
-    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), p=p, phi=phi)
-
-
 def sphere_geometry(p, radius, z_min, z_max, phi_max, phi):
     """Surface frame for a sphere hit in object space: returns (n, uv, dpdu, dpdv)."""
     theta = jnp.arccos(jnp.clip(p[..., 2] / radius, -1.0, 1.0))

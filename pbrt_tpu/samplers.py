@@ -122,6 +122,38 @@ _PERMS_PACKED = np.asarray(
     np.float32)
 
 
+def _zsobol_index_bits(params: SamplerParams):
+    """Meaningful bit count of the z-curve morton|spp index."""
+    return 2 * params.n_base4_digits - (params.log2_spp & 1)
+
+
+def _zsobol_sample_index_fast(params: SamplerParams, px, py, sample_index,
+                              dim_pair):
+    """Nested-uniform shuffled sample index, arithmetic form.
+
+    The reference (samplers.h:258-316) walks the base-4 digits of the
+    morton|spp index and permutes each through a hashed pick of the 24
+    digit permutations. On TPU that costs 12 hash+one-hot-table rounds per
+    dimension pair (profiled at ~40% of the whole sampler stage). This
+    variant applies a base-2 Owen shuffle of the SAME index instead: align
+    the B meaningful bits to the top, bit-reverse, Laine-Karras multiply
+    mix (each bit perturbed by the bits above it in the tree = its z-curve
+    prefix), reverse back. Base-2 nested scrambles are a subgroup of the
+    base-4 ones (every power-of-4 block is a power-of-2 block), so the
+    shuffle remains a valid nested uniform permutation — same blue-noise
+    mechanism, ~30x fewer vector ops."""
+    morton = prng.encode_morton_2(px.astype(_U32), py.astype(_U32))
+    morton_index = (morton << np.uint32(params.log2_spp)) | \
+        sample_index.astype(_U32)
+    B = _zsobol_index_bits(params)
+    seed = prng.hash_u32(jnp.asarray(dim_pair, _U32),
+                         _U32(np.uint32(params.seed)),
+                         np.uint32(0x9dbf6d7c))
+    v = morton_index << np.uint32(32 - B)
+    v = ld.fast_owen_scramble(v, seed)
+    return v >> np.uint32(32 - B)
+
+
 def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
     """Blue-noise shuffled sample index (reference samplers.h:258-316)."""
     from .ops.gather import onehot_lookup
@@ -205,7 +237,7 @@ def sample_1d(params: SamplerParams, px, py, sample_index, dim):
                                    np.uint32(0x55aa55aa)) if params.jitter else 0.5
         return (stratum.astype(jnp.float32) + delta) / params.spp
     if params.kind == SAMPLER_ZSOBOL:
-        idx = _zsobol_sample_index(params, px, py, sample_index, dim)
+        idx = _zsobol_sample_index_fast(params, px, py, sample_index, dim)
         h = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed))
         m = jnp.asarray(ld.sobol_matrices())
         v = ld.sobol_sample_u32(idx, 0, m)
@@ -259,7 +291,7 @@ def sample_2d(params: SamplerParams, px, py, sample_index, dim):
         return jnp.stack([(sx + dx) / params.x_strata,
                           (sy + dy) / params.y_strata], axis=-1)
     if params.kind == SAMPLER_ZSOBOL:
-        idx = _zsobol_sample_index(params, px, py, sample_index, dim)
+        idx = _zsobol_sample_index_fast(params, px, py, sample_index, dim)
         ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed))
         hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x4df5))
         ua, ub = _sobol_01(idx, ha, hb)

@@ -63,6 +63,10 @@ class Scene:
     media: object = None  # media.MediumPool
     has_media: bool = struct.field(pytree_node=False, default=False)
     use_bvh: bool = struct.field(pytree_node=False, default=True)
+    # Pallas brute-force kernel (TPU only): triangle pool flat-packed for
+    # SMEM scalar prefetch (ops/pallas_intersect.py)
+    tri_pallas: jnp.ndarray = None
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
     has_area_lights: bool = struct.field(pytree_node=False, default=False)
@@ -410,6 +414,13 @@ class SceneBuilder:
         tri_geo = bvh_mod.pack_tri_geo(p0, p1, p2)
         tri_geo_bvh = bvh_mod.pack_tri_geo(p0, p1, p2,
                                            order=np.asarray(bvh.prim_indices))
+        # Pallas brute-force path: TPU backend + small scene (the kernel
+        # streams rays against the whole pool; BVH wins above the crossover)
+        import jax as _jax
+        use_pallas = (not use_bvh) and _jax.default_backend() == "tpu"
+        from .ops import pallas_intersect as pli
+        tri_pallas = pli.pad_triangles(np.asarray(tri_geo)) if use_pallas \
+            else jnp.zeros((16,), jnp.float32)
         tri_shade = np.concatenate([
             np.stack(self.n0), np.stack(self.n1), np.stack(self.n2),
             np.stack(self.uv0), np.stack(self.uv1), np.stack(self.uv2),
@@ -428,7 +439,8 @@ class SceneBuilder:
             scene_radius=jnp.asarray(radius, jnp.float32),
             quadrics=jnp.asarray(quad), quadric_tags=quad_tags,
             n_spheres=sum(1 for t in quad_tags if t == QUADRIC_SPHERE),
-            use_bvh=use_bvh, n_infinite=n_inf, inf_indices=inf_indices,
+            use_bvh=use_bvh, tri_pallas=tri_pallas, use_pallas=use_pallas,
+            n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] in (lgt.LIGHT_AREA_TRI,
                                              lgt.LIGHT_AREA_SPHERE)
                                 for r in rows))
@@ -444,6 +456,10 @@ def intersect(scene: Scene, o, d, t_max):
     if scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max)
+    elif scene.use_pallas:
+        from .ops import pallas_intersect as pli
+        r = pli.brute_force_intersect(scene.tri_pallas, o, d, t_max,
+                                      n_real=scene.tri_geo.shape[0])
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
@@ -582,6 +598,11 @@ def intersect_p(scene: Scene, o, d, t_max):
     if scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max, any_hit=True)
+    elif scene.use_pallas:
+        from .ops import pallas_intersect as pli
+        r = pli.brute_force_intersect(scene.tri_pallas, o, d, t_max,
+                                      n_real=scene.tri_geo.shape[0],
+                                      any_hit=True)
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)

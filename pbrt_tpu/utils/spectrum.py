@@ -113,9 +113,15 @@ def eval_dense(table, lam):
     x = jnp.clip(lam - LAMBDA_MIN, 0.0, N_CIE - 1.000001)
     i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, N_CIE - 2)
     frac = x - i0.astype(jnp.float32)
-    # one fused gather for both interpolation taps (TPU gathers ~1ms flat)
-    idx = jnp.stack([i0, i0 + 1], axis=-1)
-    v = jnp.take(table, idx, axis=-1, mode="clip")
+    if table.ndim == 1:
+        # ROW gather of both interpolation taps from an in-program pair
+        # table: element gathers run ~400x slower on TPU (see
+        # lights.eval_light_spectrum)
+        pairs = jnp.stack([table, jnp.roll(table, -1)], axis=-1)  # (471, 2)
+        v = pairs[i0]                                             # (..., 2)
+    else:
+        idx = jnp.stack([i0, i0 + 1], axis=-1)
+        v = jnp.take(table, idx, axis=-1, mode="clip")
     out = v[..., 0] * (1.0 - frac) + v[..., 1] * frac
     return jnp.where((lam >= LAMBDA_MIN) & (lam <= LAMBDA_MAX), out, 0.0)
 

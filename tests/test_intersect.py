@@ -96,11 +96,13 @@ def test_partial_sphere():
 def test_disk_intersect():
     o = jnp.asarray([0.3, 0.0, 5.0])
     d = jnp.asarray([0.0, 0.0, -1.0])
-    r = isect.ray_disk(o, d, jnp.float32(1e30), jnp.float32(0.0), jnp.float32(1.0))
+    r = isect.ray_disk(o, d, jnp.float32(1e30), jnp.float32(1.0),
+                       height=jnp.float32(0.0))
     assert bool(r["hit"]) and abs(float(r["t"]) - 5.0) < 1e-4
     # inner radius hole
-    r2 = isect.ray_disk(o, d, jnp.float32(1e30), jnp.float32(0.0),
-                        jnp.float32(1.0), inner_radius=jnp.float32(0.5))
+    r2 = isect.ray_disk(o, d, jnp.float32(1e30), jnp.float32(1.0),
+                        height=jnp.float32(0.0),
+                        inner_radius=jnp.float32(0.5))
     assert not bool(r2["hit"])
 
 
