@@ -2,6 +2,8 @@
 
 Usage: python -m pbrt_tpu.cmd.main scene.pbrt [--outfile out.exr] [--spp N]
        [--maxdepth N] [--resolution WxH] [--cpu] [--stats] [--quiet]
+       [--log-level LEVEL] [--log-file F] [--checkpoint F] [--seed N]
+       [--pixelbounds X0,X1,Y0,Y1] [--mse-reference-image F]
 """
 from __future__ import annotations
 
@@ -20,27 +22,45 @@ def main(argv=None):
     ap.add_argument("--maxdepth", type=int, default=None)
     ap.add_argument("--resolution", default=None, help="WxH override")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    ap.add_argument("--stats", action="store_true", help="print render stats")
+    ap.add_argument("--stats", action="store_true",
+                    help="print render statistics report")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--png", action="store_true", help="also write .png preview")
+    ap.add_argument("--seed", type=int, default=0, help="sampler seed")
+    ap.add_argument("--log-level", default="warning",
+                    help="error|warning|info|verbose (reference --log-level)")
+    ap.add_argument("--log-file", default=None,
+                    help="write log output to a file")
+    ap.add_argument("--checkpoint", default=None,
+                    help="film checkpoint file: resume if it exists, save "
+                         "every --checkpoint-every waves")
+    ap.add_argument("--checkpoint-every", type=int, default=8)
+    ap.add_argument("--mse-reference-image", default=None,
+                    help="compute MSE vs this EXR after rendering "
+                         "(reference --mse-reference-image)")
     args = ap.parse_args(argv)
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from ..utils import log
+    log.set_log_level(args.log_level)
+    if args.log_file:
+        log.set_log_file(args.log_file)
+
     from ..scene import parser as pparser
     from ..integrators import render as rdr
     from ..integrators.path import PathOptions
     from .. import samplers as smp
     from ..utils import image as pimg
+    from ..utils.stats import StatsAccumulator
 
     t0 = time.time()
     desc = pparser.parse_file(args.scene)
-    if not args.quiet:
-        print(f"parsed + compiled scene in {time.time() - t0:.2f}s "
-              f"({desc.scene.tri_p0.shape[0]} triangles, "
-              f"{desc.scene.lights.packed.shape[0]} lights)", file=sys.stderr)
+    log.info("parsed + compiled scene in %.2fs (%d triangles, %d lights)",
+             time.time() - t0, desc.scene.tri_p0.shape[0],
+             desc.scene.lights.packed.shape[0])
 
     cam = desc.camera
     if args.resolution:
@@ -48,13 +68,18 @@ def main(argv=None):
         cam = cam.replace(width=w, height=h)
         desc.film_params["xres"], desc.film_params["yres"] = w, h
     sampler = desc.sampler
-    if args.spp:
-        sampler = smp.make_sampler("zsobol", spp=args.spp,
+    if args.spp or args.seed:
+        sampler = smp.make_sampler("zsobol",
+                                   spp=args.spp or sampler.spp,
+                                   seed=args.seed,
                                    full_resolution=(cam.width, cam.height))
     opts = PathOptions(max_depth=args.maxdepth or desc.integrator["max_depth"])
 
+    acc = StatsAccumulator() if args.stats else None
     img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
-                            verbose=not args.quiet)
+                            progress=not args.quiet, stats=acc,
+                            checkpoint_path=args.checkpoint,
+                            checkpoint_every=args.checkpoint_every)
     out = args.outfile or desc.film_params["filename"]
     if out.endswith(".pfm"):
         pimg.write_pfm(out, img)
@@ -71,9 +96,19 @@ def main(argv=None):
         import numpy as np
         pimg.write_png(out.rsplit(".", 1)[0] + ".png",
                        np.asarray(linear_to_srgb(jnp.asarray(img))))
-    if not args.quiet:
-        print(f"wrote {out}", file=sys.stderr)
+    log.info("wrote %s", out)
+    if args.mse_reference_image:
+        import numpy as np
+        ref = pimg.read_image(args.mse_reference_image)
+        if ref.shape == img.shape:
+            mse = float(np.mean((np.asarray(img) - ref) ** 2))
+            print(json.dumps({"mse": mse, "spp": stats["spp"]}))
+        else:
+            log.error("MSE reference resolution %s != render %s",
+                      ref.shape, img.shape)
     if args.stats:
+        acc.count("render/paths", int(stats["paths_per_sec"] * stats["seconds"]))
+        print(acc.report())
         print(json.dumps(stats))
     return 0
 

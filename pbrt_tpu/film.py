@@ -142,6 +142,27 @@ def add_splats(film: Film, pixel_index, rgb) -> Film:
     return film.replace(splat_sum=film.splat_sum.at[pixel_index].add(rgb))
 
 
+def save_checkpoint(film: Film, path, waves_done: int):
+    """Persist film accumulators so a killed render can resume (role of the
+    reference's partial-image checkpointing, options.h:42
+    --write-partial-images / cpu render recovery)."""
+    np.savez(path, rgb_sum=np.asarray(film.rgb_sum),
+             weight_sum=np.asarray(film.weight_sum),
+             splat_sum=np.asarray(film.splat_sum),
+             width=film.width, height=film.height,
+             waves_done=int(waves_done))
+
+
+def load_checkpoint(path):
+    """Returns (Film, waves_done). Raises on shape mismatch upstream."""
+    z = np.load(path)
+    film = Film(rgb_sum=jnp.asarray(z["rgb_sum"]),
+                weight_sum=jnp.asarray(z["weight_sum"]),
+                splat_sum=jnp.asarray(z["splat_sum"]),
+                width=int(z["width"]), height=int(z["height"]))
+    return film, int(z["waves_done"])
+
+
 def get_image(film: Film, sensor: PixelSensor, colorspace=None,
               splat_scale=1.0) -> np.ndarray:
     """Resolve to (H, W, 3) linear RGB in the output color space (reference

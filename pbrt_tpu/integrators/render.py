@@ -61,10 +61,17 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            sampler: smp.SamplerParams = None, filt: flt.Filter = None,
            sensor=None, opts: path_mod.PathOptions = None,
            max_rays_per_wave=1 << 20, verbose=False, colorspace=None,
-           max_waves=None):
+           max_waves=None, progress=False, checkpoint_path=None,
+           checkpoint_every=0, stats=None):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
-    max_waves: stop after this many sample waves (warmup/benchmark use)."""
+    max_waves: stop after this many sample waves (warmup/benchmark use).
+    progress: draw a terminal progress bar (reference ProgressReporter).
+    checkpoint_path/checkpoint_every: persist film accumulators every N
+    waves and resume from an existing checkpoint (reference partial-image
+    recovery, options.h:42).
+    stats: optional utils.stats.StatsAccumulator to fill with per-wave
+    counters (reference --stats report, util/stats.h)."""
     W, H = camera.width, camera.height
     if sampler is None:
         sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
@@ -75,14 +82,26 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     if opts is None:
         opts = path_mod.PathOptions()
     film = film_mod.make_film(W, H)
+    s = 0
+    n_waves = sampler.spp if max_waves is None else min(max_waves, sampler.spp)
+    if checkpoint_path:
+        import os
+        if os.path.exists(checkpoint_path):
+            ck_film, s = film_mod.load_checkpoint(checkpoint_path)
+            if (ck_film.width, ck_film.height) == (W, H) and s <= n_waves:
+                film = ck_film
+                from ..utils import log
+                log.info("resumed from %s at wave %d", checkpoint_path, s)
+            else:
+                s = 0
     n_pix = W * H
     chunk = min(n_pix, max_rays_per_wave)
     all_pix = np.arange(n_pix, dtype=np.int32)
     t0 = time.time()
     n_paths = 0
-    n_waves = sampler.spp if max_waves is None else min(max_waves, sampler.spp)
     k = min(8, n_waves)  # waves fused per dispatch
-    s = 0
+    from ..utils.progress import ProgressReporter
+    prog = ProgressReporter(n_waves - s, enabled=bool(progress))
     while s < n_waves:
         kk = min(k, n_waves - s)
         for c0 in range(0, n_pix, chunk):
@@ -93,11 +112,22 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
             film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
                                    pixel_idx, jnp.asarray(s, jnp.int32), opts, kk)
             n_paths += chunk * kk
-        if verbose:
-            print(f"wave {s + kk}/{n_waves}  {time.time() - t0:.2f}s")
         s += kk
+        if verbose:
+            print(f"wave {s}/{n_waves}  {time.time() - t0:.2f}s")
+        prog.update(kk)
+        if stats is not None:
+            stats.count("render/camera rays", chunk * kk)
+            stats.count("render/waves", kk)
+        if checkpoint_path and checkpoint_every and \
+                (s % checkpoint_every == 0 or s >= n_waves):
+            jax.block_until_ready(film.rgb_sum)
+            film_mod.save_checkpoint(film, checkpoint_path, s)
     jax.block_until_ready(film.rgb_sum)
+    prog.finish()
     dt = time.time() - t0
+    if stats is not None:
+        stats.add_time("render/wave loop", dt)
     img = film_mod.get_image(film, sensor, colorspace)
     return img, dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),
                      spp=sampler.spp)

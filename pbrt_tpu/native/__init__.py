@@ -78,8 +78,10 @@ def build_bvh_native(prim_lo: np.ndarray, prim_hi: np.ndarray, max_leaf=4):
     return nodes[:n_nodes.value].copy(), order
 
 
-def tokenize_native(text: bytes):
-    """Returns the parser's token list (str | float) or None if no lib."""
+def tokenize_native(text: bytes, with_offsets=False):
+    """Returns the parser's token list (str | float), or with_offsets=True
+    the pair (tokens, byte_offsets) for FileLoc diagnostics. None if the
+    native library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -111,4 +113,6 @@ def tokenize_native(text: bytes):
             out.append("]")
         else:
             out.append(text[offsets[i]:offsets[i] + lengths[i]].decode())
+    if with_offsets:
+        return out, offsets[:count].tolist()
     return out

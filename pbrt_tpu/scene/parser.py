@@ -44,14 +44,21 @@ def tokenize(text: bytes):
     """pbrt tokens: quoted strings, brackets, atoms; # comments stripped
     (reference Tokenizer, parser.cpp:130-266). Numbers come back pre-parsed
     as floats. Uses the native C++ tokenizer when available."""
+    return tokenize_with_offsets(text)[0]
+
+
+def tokenize_with_offsets(text: bytes):
+    """Returns (tokens, byte_offsets) — offsets drive FileLoc diagnostics
+    (reference util/error.h FileLoc carried by Token, parser.h:46)."""
     try:
         from ..native import tokenize_native
-        toks = tokenize_native(text)
-        if toks is not None:
-            return toks
+        r = tokenize_native(text, with_offsets=True)
+        if r is not None:
+            return r
     except Exception:
         pass
     out = []
+    offs = []
     for m in _TOKEN_RE.finditer(text):
         t = m.group(0)
         if t.startswith(b"#"):
@@ -60,11 +67,13 @@ def tokenize(text: bytes):
         if tok not in ("[", "]") and not tok.startswith('"'):
             try:
                 out.append(float(tok))
+                offs.append(m.start())
                 continue
             except ValueError:
                 pass
         out.append(tok)
-    return out
+        offs.append(m.start())
+    return out, offs
 
 
 _DIRECTIVES = {
@@ -184,10 +193,26 @@ def _parse_value(tok):
 
 
 class Parser:
-    def __init__(self, tokens, base_dir="."):
+    def __init__(self, tokens, base_dir=".", offsets=None, fname=None,
+                 text=None):
         self.toks = tokens
         self.pos = 0
         self.base_dir = Path(base_dir)
+        self.offsets = offsets
+        self.fname = fname
+        self.text = text
+
+    def loc(self, pos=None) -> str:
+        """'file:line:col' of the token at pos (default: last consumed) —
+        the reference's FileLoc (util/error.h:19)."""
+        if self.offsets is None or self.text is None:
+            return f"{self.fname or '<scene>'}:token {self.pos}"
+        pos = self.pos - 1 if pos is None else pos
+        pos = min(max(pos, 0), len(self.offsets) - 1)
+        off = self.offsets[pos]
+        line = self.text.count(b"\n", 0, off) + 1
+        col = off - (self.text.rfind(b"\n", 0, off) + 1) + 1
+        return f"{self.fname or '<scene>'}:{line}:{col}"
 
     def peek(self):
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -251,14 +276,17 @@ class PbrtSceneDescription:
 
 def parse_file(path, **overrides) -> PbrtSceneDescription:
     text = Path(path).read_bytes()
-    return parse_string(text, base_dir=Path(path).parent, **overrides)
+    return parse_string(text, base_dir=Path(path).parent, fname=str(path),
+                        **overrides)
 
 
 def parse_string(text, base_dir=".", light_sampler="power",
-                 force_bvh=None, sphere_subdiv=4) -> PbrtSceneDescription:
+                 force_bvh=None, sphere_subdiv=4,
+                 fname=None) -> PbrtSceneDescription:
     if isinstance(text, str):
         text = text.encode()
-    p = Parser(tokenize(text), base_dir)
+    toks, offs = tokenize_with_offsets(text)
+    p = Parser(toks, base_dir, offsets=offs, fname=fname, text=text)
     b = sc.SceneBuilder()
     cs = b.cs
 
@@ -365,14 +393,14 @@ def parse_string(text, base_dir=".", light_sampler="power",
             names = ps._get("materials", ("string",))
             if not names or len(names) != 2:
                 raise ParseError(
-                    "mix material needs \"string materials\" [two names]")
+                    f"{p.loc()}: mix material needs \"string materials\" [two names]")
             m1 = named_materials.get(names[0])
             m2 = named_materials.get(names[1])
             if m1 is None or m2 is None:
                 raise ParseError(
-                    f"mix material references unknown materials {names}")
+                    f"{p.loc()}: mix material references unknown materials {names}")
             return b.materials.add_mix(m1, m2, ps.float("amount", 0.5))
-        raise ParseError(f"material '{name}' is not supported")
+        raise ParseError(f"{p.loc()}: material '{name}' is not supported")
 
     def add_shape(name, ps: ParamSet, gs: GraphicsState):
         mat = gs.material if gs.material is not None else cur_material()
@@ -440,14 +468,14 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 # (reference shapes.h:107; zmin/zmax clipping pending)
                 if not full:
                     raise ParseError(
-                        "partial spheres (zmin/zmax/phimax) are not yet "
+                        f"{p.loc()}: partial spheres (zmin/zmax/phimax) are not yet "
                         "supported as exact quadrics")
                 b.add_quadric_sphere(np.asarray(xf.m, np.float64), radius,
                                      mat)
                 return
         elif name == "disk":
             if emission is not None:
-                raise ParseError("area lights on disks are not supported yet")
+                raise ParseError(f"{p.loc()}: area lights on disks are not supported yet")
             b.add_disk(np.asarray(xf.m, np.float64),
                        ps.float("radius", 1.0), mat,
                        height=ps.float("height", 0.0),
@@ -457,7 +485,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif name == "cylinder":
             if emission is not None:
                 raise ParseError(
-                    "area lights on cylinders are not supported yet")
+                    f"{p.loc()}: area lights on cylinders are not supported yet")
             b.add_cylinder(np.asarray(xf.m, np.float64),
                            ps.float("radius", 1.0),
                            ps.float("zmin", -1.0), ps.float("zmax", 1.0), mat,
@@ -471,7 +499,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
             uv = ps.point2s("uv", None)
         else:
             raise ParseError(
-                f"shape '{name}' is not supported — refusing to render a "
+                f"{p.loc()}: shape '{name}' is not supported — refusing to render a "
                 f"silently-wrong image (reference errors with FileLoc)")
         P = np.asarray(xf.apply_point(np.asarray(P, np.float32)))
         if N is not None:
@@ -486,9 +514,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
                    emission_scale=escale, two_sided=two)
 
     while p.peek() is not None:
+        directive_pos = p.pos
         tok = p.next()
         if not isinstance(tok, str):
-            raise ValueError(f"unexpected token {tok!r}")
+            raise ParseError(f"{p.loc(directive_pos)}: "
+                             f"unexpected token {tok!r}")
         if tok == "Include" or tok == "Import":
             fn = p.parse_string()
             sub = Path(base_dir) / fn
@@ -588,7 +618,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                                  g=g, scale=mscale)
             else:
                 import warnings
-                raise ParseError(f"medium type '{mtype}' is not supported")
+                raise ParseError(f"{p.loc()}: medium type '{mtype}' is not supported")
         elif tok in ("Option", "ColorSpace", "MediumInterface",
                      "Attribute", "ActiveTransform",
                      "TransformTimes", "StartTime", "EndTime"):
@@ -705,7 +735,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                     b.add_image_infinite_light(img, scale)
             else:
                 import warnings
-                raise ParseError(f"light '{name}' is not supported")
+                raise ParseError(f"{p.loc()}: light '{name}' is not supported")
         elif tok == "AreaLightSource":
             _name = p.parse_string()
             ps = p.parse_params()
@@ -714,7 +744,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
             gs.area_light = (s, ps.float("scale", 1.0),
                              ps.bool("twosided", False))
         else:
-            raise ValueError(f"unknown directive {tok!r} at token {p.pos}")
+            raise ParseError(f"{p.loc(directive_pos)}: "
+                             f"unknown directive {tok!r}")
 
     scene = b.build(light_sampler=light_sampler, force_bvh=force_bvh)
     camera = cam_mod.make_camera(
