@@ -132,3 +132,14 @@ def camera_ray_differentials(cam: Camera):
         return float(2 * np.asarray(cam.tan_half_fov) *
                      (cam.screen_max[0] - cam.screen_min[0]) / 2 / cam.width)
     return 1.0 / cam.width
+
+
+def pixel_cone_spread(cam: Camera):
+    """Traced scalar: angular width of one pixel's ray cone — feeds texture
+    MIP selection through the path integrator's cone state (the TPU
+    substitution for dual differential rays, cameras.h:140). Works under
+    jit (uses jnp on traced camera fields)."""
+    if cam.kind == CAMERA_PERSPECTIVE and cam.tan_half_fov is not None:
+        return 2.0 * cam.tan_half_fov * \
+            (cam.screen_max[0] - cam.screen_min[0]) / 2.0 / cam.width
+    return jnp.float32(1.0 / cam.width)

@@ -50,10 +50,15 @@ def _to_world(ns, t1, t2, w):
 
 def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                 sample_index, o, d, swl: spc.SampledWavelengths,
-                opts: PathOptions):
+                opts: PathOptions, cone_spread=None):
     """Trace one wave of paths. px/py: (N,) pixel ints; o, d: (N, 3) camera
     rays. Returns L (N, 4) spectral radiance estimates (pdf NOT divided out —
-    the film's sensor projection divides by swl.pdf)."""
+    the film's sensor projection divides by swl.pdf).
+
+    cone_spread: per-ray angular spread (radians/unit-length) of the pixel
+    ray cone — the TPU substitution for the reference's dual differential
+    rays (cameras.h:140 Approximate_dp_dxy): texture LOD at a hit comes
+    from the cone width divided by the surface's dpdu/dpdv lengths."""
     N = o.shape[0]
     lam = swl.lam
     # wavelengths are fixed along a path: evaluate EVERY pool spectrum once
@@ -94,8 +99,10 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
     def body(depth, state):
         (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale,
-         sec_term) = state
+         sec_term, cone_w, cone_s) = state
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+        # ray cone at the hit: width grows linearly with distance
+        cone_w = cone_w + cone_s * jnp.where(isect["hit"], isect["t"], 0.0)
         hit = isect["hit"] & active
 
         # --- emitted radiance at hits of emissive triangles ---
@@ -160,10 +167,15 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         ng = isect["ng"]
         t1, t2 = vm.coordinate_system(ns)
         wo_local = _to_local(ns, t1, t2, isect["wo"])
+        # uv-space footprint of the cone (for MIP selection): cone width
+        # projected through the parametric derivatives
+        inv_dpdu = 1.0 / jnp.maximum(vm.length(isect["dpdu"]), 1e-8)
+        inv_dpdv = 1.0 / jnp.maximum(vm.length(isect["dpdv"]), 1e-8)
+        footprint = cone_w * jnp.maximum(inv_dpdu, inv_dpdv)
         bp = mtl.get_bsdf_params(scene.materials, mat_res, lam,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"],
-                                 spec_cache=spec_cache)
+                                 spec_cache=spec_cache, footprint=footprint)
 
         # --- NEE ---
         if scene.light_sampler.n_lights > 0:
@@ -208,9 +220,16 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
         o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        # cone spread widens on non-specular bounces (curvature/roughness
+        # spread heuristic; reference carries full dual differentials,
+        # surfscatter.cpp:75-105 — ray cones are the O(1)-state analog)
+        cone_s = cone_s + jnp.where(bs["specular"], 0.0, 0.25)
         return (o_next, wi_world, beta, L,
-                active, sel_spec, sel_pdf, eta_scale, sec_term)
+                active, sel_spec, sel_pdf, eta_scale, sec_term,
+                cone_w, cone_s)
 
+    spread0 = jnp.zeros((N,), jnp.float32) if cone_spread is None else \
+        jnp.broadcast_to(jnp.asarray(cone_spread, jnp.float32), (N,))
     state = (o, d,
              jnp.ones((N, 4), jnp.float32),       # beta
              jnp.zeros((N, 4), jnp.float32),      # L
@@ -218,7 +237,9 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
              jnp.zeros((N,), bool),               # specular bounce
              jnp.ones((N,), jnp.float32),         # prev bsdf pdf
              jnp.ones((N,), jnp.float32),         # eta_scale
-             jnp.zeros((N,), bool))               # secondaries terminated
+             jnp.zeros((N,), bool),               # secondaries terminated
+             jnp.zeros((N,), jnp.float32),        # ray-cone width
+             spread0)                             # ray-cone spread
     state = jax.lax.fori_loop(0, opts.max_depth, body, state)
     return state[3]
 
@@ -245,5 +266,7 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
     p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + f_off[..., 0],
                         py.astype(jnp.float32) + 0.5 + f_off[..., 1]], axis=-1)
     o, d, _time = cam_mod.generate_ray(camera, p_film, u_lens, u_time)
-    L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts)
+    cone_spread = cam_mod.pixel_cone_spread(camera)
+    L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts,
+                    cone_spread=cone_spread)
     return L, swl, f_weight

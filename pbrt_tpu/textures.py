@@ -38,8 +38,14 @@ TEX_COLS = 16
 class TexturePool:
     desc: jnp.ndarray    # (K, TEX_COLS) f32 descriptor rows
     atlas: jnp.ndarray   # (A, 4) flat texel pool: [c0, c1, c2, scale]
+    # MIP pyramid (reference util/mipmap.h:49): per-texture level count +
+    # up to 15 level offsets into the atlas; level l has dims
+    # (max(w>>l,1), max(h>>l,1)). Built by 2x2 box downsampling of the
+    # pow2-resampled base image.
+    mips: jnp.ndarray = None   # (K, 16): [n_levels, off0..off14]
     has_image: bool = struct.field(pytree_node=False, default=False)
     has_procedural: bool = struct.field(pytree_node=False, default=False)
+    has_mips: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuilder:
@@ -47,6 +53,7 @@ class TextureBuilder:
         from .utils import color as pcolor
         self.cs = colorspace or pcolor.srgb()
         self.rows = []
+        self.mip_rows = []
         self.atlas = [np.zeros((1, 4), np.float32)]
         self.atlas_size = 1
 
@@ -58,6 +65,51 @@ class TextureBuilder:
         scale = np.where(rgb.max(axis=-1) > 1.0, 2.0 * m, 1.0).astype(np.float32)
         coeffs = self.cs.to_spectrum_coeffs(rgb / scale[:, None])
         return coeffs, scale
+
+    @staticmethod
+    def _resample_pow2(img):
+        """Box-resample (H, W, C) to the next pow2 dims (reference
+        MIPMap generation resamples to pow2, mipmap.cpp)."""
+        h, w = img.shape[:2]
+        ph = 1 << max(int(np.ceil(np.log2(max(h, 1)))), 0)
+        pw = 1 << max(int(np.ceil(np.log2(max(w, 1)))), 0)
+        if (ph, pw) == (h, w):
+            return img
+        ys = np.minimum((np.arange(ph) * h) // ph, h - 1)
+        xs = np.minimum((np.arange(pw) * w) // pw, w - 1)
+        return img[ys][:, xs]
+
+    @staticmethod
+    def _pyramid(img):
+        """[level0, level1, ...] by 2x2 box filter down to 1x1."""
+        levels = [img]
+        while img.shape[0] > 1 or img.shape[1] > 1:
+            h, w = img.shape[:2]
+            h2, w2 = max(h // 2, 1), max(w // 2, 1)
+            if h > 1 and w > 1:
+                img = 0.25 * (img[0::2, 0::2][:h2, :w2] +
+                              img[1::2, 0::2][:h2, :w2] +
+                              img[0::2, 1::2][:h2, :w2] +
+                              img[1::2, 1::2][:h2, :w2])
+            elif h > 1:
+                img = 0.5 * (img[0::2][:h2] + img[1::2][:h2])
+            else:
+                img = 0.5 * (img[:, 0::2][:, :w2] + img[:, 1::2][:, :w2])
+            levels.append(img)
+        return levels
+
+    def _add_mip_levels(self, img, to_texels):
+        """Append the full pyramid of `img` to the atlas; returns
+        (base_offset, n_levels, offsets list). to_texels maps an (N, C)
+        image slab to (N, 4) atlas texels."""
+        img = self._resample_pow2(img)
+        offsets = []
+        for lv in self._pyramid(img):
+            offsets.append(self.atlas_size)
+            t = to_texels(lv.reshape(-1, lv.shape[-1]))
+            self.atlas.append(t)
+            self.atlas_size += t.shape[0]
+        return img, offsets
 
     def _add_row(self, **kw):
         row = np.zeros(TEX_COLS, np.float32)
@@ -74,21 +126,38 @@ class TextureBuilder:
         row[14] = kw.get("octaves", 6)
         row[15] = kw.get("omega", 0.5)
         self.rows.append(row)
+        mip = np.zeros(16, np.float32)
+        offs = kw.get("mip_offsets") or []
+        mip[0] = len(offs)
+        mip[1:1 + min(len(offs), 15)] = offs[:15]
+        self.mip_rows.append(mip)
         return len(self.rows) - 1
 
     def add_constant(self, rgb):
         c, s = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb, np.float32), (1, 3)))
         return self._add_row(tag=TEX_CONSTANT, value_a=c[0], value_b=(s[0], 0, 0))
 
-    def add_image(self, img, su=1.0, sv=1.0, du=0.0, dv=0.0, scale=1.0):
-        """img: (H, W, 3) float32 linear RGB (texels baked to coeffs)."""
+    def add_image(self, img, su=1.0, sv=1.0, du=0.0, dv=0.0, scale=1.0,
+                  mip=True):
+        """img: (H, W, 3) float32 linear RGB (texels baked to coeffs).
+        mip=True builds the full pyramid (reference mipmap.h:49)."""
         img = np.asarray(img, np.float32)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, -1)
+
+        def to_texels(flat_rgb):
+            c, s = self._rgb_to_coeffs_scale(flat_rgb * scale)
+            return np.concatenate([c, s[:, None]], 1)
+
+        if mip:
+            img, offs = self._add_mip_levels(img, to_texels)
+            h, w = img.shape[:2]
+            return self._add_row(tag=TEX_IMAGE, img_offset=offs[0], width=w,
+                                 height=h, su=su, sv=sv, du=du, dv=dv,
+                                 mip_offsets=offs)
         h, w = img.shape[:2]
-        c, s = self._rgb_to_coeffs_scale(img.reshape(-1, 3) * scale)
         off = self.atlas_size
-        self.atlas.append(np.concatenate([c, s[:, None]], 1))
+        self.atlas.append(to_texels(img.reshape(-1, 3)))
         self.atlas_size += h * w
         return self._add_row(tag=TEX_IMAGE, img_offset=off, width=w, height=h,
                              su=su, sv=sv, du=du, dv=dv)
@@ -144,10 +213,13 @@ class TextureBuilder:
         if not self.rows:
             self._add_row(tag=TEX_CONSTANT, value_a=(0.5, 0.5, 0.5))
         tags = {int(r[0]) for r in self.rows}
+        mips = np.stack(self.mip_rows)
         return TexturePool(desc=jnp.asarray(np.stack(self.rows)),
                            atlas=jnp.asarray(np.concatenate(self.atlas)),
+                           mips=jnp.asarray(mips),
                            has_image=TEX_IMAGE in tags,
-                           has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE}))
+                           has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE}),
+                           has_mips=bool((mips[:, 0] > 1).any()))
 
 
 # ---------------------------------------------------------------------------
@@ -204,10 +276,9 @@ def fbm(p, octaves, omega):
 # ---------------------------------------------------------------------------
 # Evaluation
 
-def _image_bilinear(pool: TexturePool, row, u, v):
-    """Bilinear 4-tap fetch over (c0,c1,c2,scale) texels; ONE fused gather."""
-    w_img = jnp.maximum(row[..., 2], 1.0)
-    h_img = jnp.maximum(row[..., 3], 1.0)
+def _bilinear_at(pool: TexturePool, base, w_img, h_img, u, v):
+    """Bilinear 4-tap fetch at an explicit level (base offset + dims);
+    ONE fused gather."""
     uu = (u - jnp.floor(u)) * w_img - 0.5
     vv = (v - jnp.floor(v)) * h_img - 0.5
     x0 = jnp.floor(uu)
@@ -220,7 +291,6 @@ def _image_bilinear(pool: TexturePool, row, u, v):
 
     xs = jnp.stack([wrap(x0, w_img), wrap(x0 + 1, w_img)], -1)  # (N, 2)
     ys = jnp.stack([wrap(y0, h_img), wrap(y0 + 1, h_img)], -1)
-    base = row[..., 1]
     idx = (base[..., None, None] + ys[..., :, None] * w_img[..., None, None] +
            xs[..., None, :])                            # (N, 2, 2)
     texels = pool.atlas[f32_to_i32(idx)]                # ONE gather (N,2,2,4)
@@ -228,6 +298,77 @@ def _image_bilinear(pool: TexturePool, row, u, v):
     c10, c11 = texels[..., 1, 0, :], texels[..., 1, 1, :]
     return (c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy) +
             c10 * (1 - fx) * fy + c11 * fx * fy)
+
+
+def _image_bilinear(pool: TexturePool, row, u, v):
+    """Base-level bilinear fetch."""
+    return _bilinear_at(pool, row[..., 1], jnp.maximum(row[..., 2], 1.0),
+                        jnp.maximum(row[..., 3], 1.0), u, v)
+
+
+def _mip_level_geom(row, mip_row, level):
+    """(base_offset, w, h) of an integer mip level (per-lane)."""
+    n_lv = jnp.maximum(mip_row[..., 0], 1.0)
+    level = jnp.clip(level, 0.0, n_lv - 1.0)
+    # one-hot select of the level offset (15 candidates; gather-free)
+    lv_i = level[..., None] == jnp.arange(15, dtype=jnp.float32)
+    base = jnp.sum(mip_row[..., 1:16] * lv_i, axis=-1)
+    scale = jnp.exp2(-level)
+    w = jnp.maximum(jnp.floor(jnp.maximum(row[..., 2], 1.0) * scale), 1.0)
+    h = jnp.maximum(jnp.floor(jnp.maximum(row[..., 3], 1.0) * scale), 1.0)
+    return base, w, h
+
+
+def _image_trilinear(pool: TexturePool, row, mip_row, u, v, lod):
+    """Trilinear MIP filtering (reference MIPMap::Filter trilinear path,
+    util/mipmap.cpp): bilinear taps at floor/ceil levels, lerped. lod is
+    log2(texture-space footprint in texels at level 0)."""
+    n_lv = jnp.maximum(mip_row[..., 0], 1.0)
+    lod = jnp.clip(lod, 0.0, n_lv - 1.0)
+    l0 = jnp.floor(lod)
+    f = (lod - l0)[..., None]
+    b0, w0, h0 = _mip_level_geom(row, mip_row, l0)
+    b1, w1, h1 = _mip_level_geom(row, mip_row, l0 + 1.0)
+    v0 = _bilinear_at(pool, b0, w0, h0, u, v)
+    v1 = _bilinear_at(pool, b1, w1, h1, u, v)
+    return v0 * (1.0 - f) + v1 * f
+
+
+def _image_ewa(pool: TexturePool, row, mip_row, u, v, duv0, duv1):
+    """EWA anisotropic filtering (reference MIPMap::EWA, mipmap.cpp:225),
+    TPU form: the reference loops over the ellipse's texel bbox (a
+    data-dependent loop); here the ellipse is sampled with a FIXED 3x3
+    Gaussian-weighted tap grid at the level chosen by the MINOR axis, which
+    bounds the kernel statically (XLA needs static trip counts) while
+    keeping anisotropic sharpening over trilinear.
+
+    duv0/duv1: (N, 2) texture-space footprint axes at level 0 (in uv)."""
+    w0 = jnp.maximum(row[..., 2], 1.0)
+    h0 = jnp.maximum(row[..., 3], 1.0)
+    # axes in texels
+    a0 = jnp.stack([duv0[..., 0] * w0, duv0[..., 1] * h0], -1)
+    a1 = jnp.stack([duv1[..., 0] * w0, duv1[..., 1] * h0], -1)
+    len0 = jnp.sqrt(jnp.maximum(jnp.sum(a0 * a0, -1), 1e-16))
+    len1 = jnp.sqrt(jnp.maximum(jnp.sum(a1 * a1, -1), 1e-16))
+    major = jnp.maximum(len0, len1)
+    minor = jnp.minimum(len0, len1)
+    # clamp eccentricity like the reference (maxAnisotropy = 8)
+    minor = jnp.maximum(minor, major / 8.0)
+    lod = jnp.maximum(jnp.log2(jnp.maximum(minor, 1e-6)), 0.0)
+    n_lv = jnp.maximum(mip_row[..., 0], 1.0)
+    lod = jnp.clip(lod, 0.0, n_lv - 1.0)
+    base, wl, hl = _mip_level_geom(row, mip_row, jnp.floor(lod))
+    # 3x3 taps along the major axis direction across the ellipse
+    dir_major = jnp.where((len0 >= len1)[..., None], duv0, duv1)
+    acc = 0.0
+    wsum = 0.0
+    for i, t in enumerate((-0.66, 0.0, 0.66)):
+        wgt = (0.27, 0.46, 0.27)[i]
+        uu = u + t * dir_major[..., 0]
+        vv = v + t * dir_major[..., 1]
+        acc = acc + wgt * _bilinear_at(pool, base, wl, hl, uu, vv)
+        wsum = wsum + wgt
+    return acc / wsum
 
 
 def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv):
@@ -252,7 +393,8 @@ def eval_texture_float(pool: TexturePool, tex_idx, uv):
     return eval_texture_rgb_raw(pool, tex_idx, uv)[..., 0]
 
 
-def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None):
+def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
+                 footprint=None):
     """Evaluate texture tex_idx (N,) at uv (N, 2).
 
     Returns (coeffs (N, 3), scale (N,)): spectral albedo at the hit is
@@ -273,9 +415,18 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None):
     c_check = jnp.where(is_a[..., None], row[..., 4:7], row[..., 7:10])
     s_check = jnp.where(is_a, row[..., 14], row[..., 15])
 
-    # image: bilinear over (coeffs, scale) texels; ONE fused 4-tap gather
+    # image: bilinear (or trilinear MIP when a footprint is known) over
+    # (coeffs, scale) texels; fused 4-tap gathers
     if pool.has_image:
-        blend = _image_bilinear(pool, row, u, v)
+        if footprint is not None and pool.has_mips:
+            # footprint: isotropic uv-space diameter from the ray cone;
+            # the level is where one texel covers it
+            mip_row = pool_lookup(pool.mips, jnp.maximum(tex_idx, 0))
+            res = jnp.maximum(row[..., 2], row[..., 3])
+            lod = jnp.log2(jnp.maximum(footprint * res, 1.0))
+            blend = _image_trilinear(pool, row, mip_row, u, v, lod)
+        else:
+            blend = _image_bilinear(pool, row, u, v)
         c_img, s_img = blend[..., 0:3], blend[..., 3]
     else:
         c_img, s_img = c_const, s_const
