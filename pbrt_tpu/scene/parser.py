@@ -491,6 +491,44 @@ def parse_string(text, base_dir=".", light_sampler="power",
                            ps.float("zmin", -1.0), ps.float("zmax", 1.0), mat,
                            phi_max=np.deg2rad(ps.float("phimax", 360.0)))
             return
+        elif name == "curve":
+            # reference Shape "curve" (shapes.cpp CreateCurve): cubic Bezier
+            # control points, lerped width, type flat/cylinder/ribbon
+            if emission is not None:
+                raise ParseError(f"{p.loc()}: emissive curves are not "
+                                 "supported")
+            cp = np.asarray(ps.point3s("P"), np.float32)
+            basis = ps.string("basis", "bezier")
+            if basis != "bezier":
+                raise ParseError(f"{p.loc()}: curve basis '{basis}' is not "
+                                 "supported (bezier only; convert b-splines "
+                                 "upstream)")
+            degree = int(ps.float("degree", 3))
+            if degree != 3 or cp.shape[0] < 4:
+                raise ParseError(f"{p.loc()}: only degree-3 bezier curves "
+                                 "with 4+ control points are supported")
+            w = ps.float("width", 1.0)
+            w0 = ps.float("width0", w)
+            w1 = ps.float("width1", w)
+            ctype = ps.string("type", "flat")
+            nrm = ps.point3s("N", None)
+            cp_w = np.asarray(xf.apply_point(cp.reshape(-1, 3)), np.float32)
+            # multiple chained bezier spans: groups of 4 (shared endpoints
+            # use 3*k+1 points; accept both packed layouts)
+            n_spans = max((cp_w.shape[0] - 1) // 3, 1)
+            for si in range(n_spans):
+                a = si * 3
+                span = cp_w[a:a + 4] if cp_w.shape[0] >= a + 4 else cp_w[-4:]
+                u0 = si / n_spans
+                u1 = (si + 1) / n_spans
+                ws0 = w0 + (w1 - w0) * u0
+                ws1 = w0 + (w1 - w0) * u1
+                normals = None
+                if nrm is not None and len(nrm) >= 2:
+                    normals = (nrm[0], nrm[1])
+                b.add_curve(span, ws0, ws1, mat, curve_type=ctype,
+                            normals=normals)
+            return
         elif name == "bilinearmesh":
             P = ps.point3s("P")
             qidx = ps.ints("indices").reshape(-1, 4)

@@ -70,6 +70,12 @@ class Scene:
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
     has_area_lights: bool = struct.field(pytree_node=False, default=False)
+    # curve primitives (reference shapes.h:1219): pre-split Bezier
+    # sub-segments in their own BVH (ops/curves.py)
+    curve_nodes: jnp.ndarray = None    # packed BVH node rows
+    curve_segs: jnp.ndarray = None     # (S, 16) sub-segments, leaf order
+    curve_mats: jnp.ndarray = None     # (C,) int32 material per curve id
+    has_curves: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -95,6 +101,9 @@ class SceneBuilder:
         self.t_mat = []
         self.t_light = []
         self.light_rows = []
+        self.curve_seg_rows = []     # (SEG_COLS,) rows from split_curve
+        self.curve_seg_bounds = []   # (lo, hi) per sub-segment
+        self.curve_mat_list = []     # material index per curve id
         self.quadric_rows = []   # dicts: tag, w2o (3,4), radius, p0, p1,
         #                          mat, light, phi_max, bounds (2,3) world
         self.spectra = []        # list of (471,) arrays
@@ -198,6 +207,27 @@ class SceneBuilder:
             bounds=(wc.min(axis=0).astype(np.float32),
                     wc.max(axis=0).astype(np.float32))))
         return len(self.quadric_rows) - 1
+
+    def add_curve(self, control_points, width0, width1, material: int,
+                  curve_type="flat", normals=None, subdiv=3):
+        """Cubic Bezier curve (reference Shape "curve", shapes.h:1219).
+
+        control_points: (4, 3); width0/width1: widths at u=0/1;
+        curve_type: flat | cylinder | ribbon (ribbon takes `normals`
+        = (n0, n1)); subdiv: split into 2^subdiv linear sub-segments (the
+        reference's recursion depth, computed there from curve length)."""
+        from .ops import curves as crv
+        ctype = {"flat": crv.CURVE_FLAT, "cylinder": crv.CURVE_CYLINDER,
+                 "ribbon": crv.CURVE_RIBBON}[curve_type]
+        cid = len(self.curve_mat_list)
+        n0, n1 = (normals if normals is not None else (None, None))
+        rows, lo, hi = crv.split_curve(control_points, width0, width1,
+                                       subdiv, ctype=ctype, normal0=n0,
+                                       normal1=n1, curve_id=cid)
+        self.curve_seg_rows.append(rows)
+        self.curve_seg_bounds.append((lo, hi))
+        self.curve_mat_list.append(material)
+        return cid
 
     def add_quadric_sphere(self, object_to_world, radius, material: int):
         """Exact sphere quadric under an arbitrary affine transform
@@ -323,7 +353,7 @@ class SceneBuilder:
 
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
-        if n_tri == 0 and self.quadric_rows:
+        if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows):
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
@@ -342,6 +372,9 @@ class SceneBuilder:
         for q in self.quadric_rows:
             world_lo = np.minimum(world_lo, q["bounds"][0])
             world_hi = np.maximum(world_hi, q["bounds"][1])
+        for (clo, chi) in self.curve_seg_bounds:
+            world_lo = np.minimum(world_lo, clo.min(axis=0))
+            world_hi = np.maximum(world_hi, chi.max(axis=0))
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
         # measured on the axon TPU: while-loop BVH traversal pays the ~1GB/s
         # gather floor per visited node, so brute-force broadcast wins up to
@@ -427,7 +460,24 @@ class SceneBuilder:
             np.asarray(self.t_mat, np.float32)[:, None],
             np.asarray(self.t_light, np.float32)[:, None]],
             axis=1).astype(np.float32)
+        # curve pool: dedicated BVH over pre-split Bezier sub-segments
+        if self.curve_seg_rows:
+            from .ops import curves as crv
+            seg_rows = np.concatenate(self.curve_seg_rows)
+            seg_lo = np.concatenate([b[0] for b in self.curve_seg_bounds])
+            seg_hi = np.concatenate([b[1] for b in self.curve_seg_bounds])
+            cbvh = bvh_mod.build_bvh(seg_lo, seg_hi)
+            curve_nodes = cbvh.nodes
+            curve_segs = jnp.asarray(
+                seg_rows[np.asarray(cbvh.prim_indices)])
+            curve_mats = jnp.asarray(self.curve_mat_list, jnp.int32)
+        else:
+            curve_nodes = curve_segs = None
+            curve_mats = None
         return Scene(
+            curve_nodes=curve_nodes, curve_segs=curve_segs,
+            curve_mats=curve_mats,
+            has_curves=bool(self.curve_seg_rows),
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
             tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
             tri_shade=jnp.asarray(tri_shade),
@@ -505,6 +555,8 @@ def intersect(scene: Scene, o, d, t_max):
                dpdu=dpdu, dpdv=dpdv)
     if scene.quadric_tags:
         out = _merge_quadric_hits(scene, o, d, t_max, out)
+    if scene.has_curves:
+        out = _merge_curve_hits(scene, o, d, t_max, out)
     return out
 
 
@@ -593,6 +645,38 @@ def _merge_quadric_hits(scene: Scene, o, d, t_max, out):
     return out
 
 
+def _merge_curve_hits(scene: Scene, o, d, t_max, out):
+    """Merge curve-BVH hits over the triangle/quadric result."""
+    from .ops import curves as crv
+    from .ops.gather import pool_lookup
+    t_best = jnp.where(out["hit"], out["t"], t_max)
+    rc = crv.bvh_intersect_curves(scene.curve_nodes, scene.curve_segs,
+                                  o, d, t_best)
+    hit_c = rc["hit"] & (rc["t"] < t_best)
+    h = hit_c[..., None]
+    p_c = o + rc["t"][..., None] * d
+    n_c = rc["n"]
+    # orient the normal against the ray (curves are two-sided)
+    n_c = jnp.where(vm.dot(n_c, d)[..., None] > 0, -n_c, n_c)
+    uv_c = jnp.stack([rc["u"], rc["v"]], -1)
+    cid = jnp.maximum(rc["curve_id"], 0)
+    mat_c = scene.curve_mats[jnp.clip(cid, 0,
+                                      scene.curve_mats.shape[0] - 1)]
+    t1c, t2c = vm.coordinate_system(n_c)
+    return dict(out,
+                hit=out["hit"] | hit_c,
+                t=jnp.where(hit_c, rc["t"], out["t"]),
+                prim=jnp.where(hit_c, -1000000 - cid, out["prim"]),
+                p=jnp.where(h, p_c, out["p"]),
+                ng=jnp.where(h, n_c, out["ng"]),
+                ns=jnp.where(h, n_c, out["ns"]),
+                uv=jnp.where(h, uv_c, out["uv"]),
+                dpdu=jnp.where(h, t1c, out["dpdu"]),
+                dpdv=jnp.where(h, t2c, out["dpdv"]),
+                mat=jnp.where(hit_c, mat_c, out["mat"]),
+                light=jnp.where(hit_c, -1, out["light"]))
+
+
 def intersect_p(scene: Scene, o, d, t_max):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
     if scene.use_bvh:
@@ -612,6 +696,11 @@ def intersect_p(scene: Scene, o, d, t_max):
         o_obj, d_obj, _A = _quadric_ray(row, o, d)
         rq = _quadric_test(tag, row, o_obj, d_obj, t_max)
         occluded = occluded | rq["hit"]
+    if scene.has_curves:
+        from .ops import curves as crv
+        rc = crv.bvh_intersect_curves(scene.curve_nodes, scene.curve_segs,
+                                      o, d, t_max, any_hit=True)
+        occluded = occluded | rc["hit"]
     return occluded
 
 

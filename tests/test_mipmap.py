@@ -106,7 +106,8 @@ def test_render_with_mipmapped_texture_smoke():
     from pbrt_tpu.utils import transform as tfm
     cam = cam_mod.make_camera(
         "perspective", fov=60, width=24, height=24,
-        camera_from_world=tfm.look_at((0, 1.0, 0), (0, 0.3, -5), (0, 1, 0)))
+        camera_from_world=tfm.look_at((0, 1.0, 0), (0, 0.3, -5),
+                                      (0, 1, 0)).inverse())
     img_out, _ = rdr.render(scene, cam, spp=4, opts=PathOptions(max_depth=2))
     a = np.asarray(img_out)
     assert np.isfinite(a).all() and a.max() > 0
