@@ -413,9 +413,31 @@ def parse_string(text, base_dir=".", light_sampler="power",
                       reverse=gs.reverse_orientation, emission=emission,
                       escale=escale, two_sided=two_sided)
         if current_object is not None:
-            objects[current_object].append(record)
+            objects[current_object]["records"].append(record)
         else:
             instantiate_shape(record, tfm.identity())
+
+    def mesh_data_for_record(rec):
+        """(P, idx, N, uv) for a mesh-kind shape record (object space,
+        BEFORE any transform)."""
+        name, ps = rec["name"], rec["ps"]
+        if name == "trianglemesh":
+            P = ps.point3s("P")
+            idx = ps.ints("indices").reshape(-1, 3)
+            N = ps.point3s("N", None)
+            uv = ps.point2s("uv", ps.point2s("st", None))
+        elif name == "plymesh":
+            fn = ps.string("filename")
+            mesh = plyio.read_ply(Path(base_dir) / fn)
+            P, idx, N, uv = (mesh["vertices"], mesh["indices"],
+                             mesh["normals"], mesh["uvs"])
+        else:  # bilinearmesh
+            P = ps.point3s("P")
+            qidx = ps.ints("indices").reshape(-1, 4)
+            idx = np.concatenate([qidx[:, [0, 1, 3]], qidx[:, [0, 3, 2]]])
+            N = ps.point3s("N", None)
+            uv = ps.point2s("uv", None)
+        return P, idx, N, uv
 
     def instantiate_shape(rec, instance_xf):
         name, ps, ctm = rec["name"], rec["ps"], rec["ctm"]
@@ -684,7 +706,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
             gs.__dict__.update(stack.pop())
         elif tok == "ObjectBegin":
             name = p.parse_string()
-            objects[name] = []
+            objects[name] = dict(records=[], base_ctm=gs.ctm, proto=None)
             current_object = name
             import copy
             stack.append(copy.copy(gs.__dict__))
@@ -692,9 +714,39 @@ def parse_string(text, base_dir=".", light_sampler="power",
             current_object = None
             gs.__dict__.update(stack.pop())
         elif tok == "ObjectInstance":
+            # real instancing (reference TransformedPrimitive,
+            # cpu/primitive.h:83): meshes compile ONCE into a prototype
+            # BLAS; the instance is a transform-table row. Non-mesh shapes
+            # (quadrics, curves) fall back to baked duplication.
             name = p.parse_string()
-            for rec in objects.get(name, []):
-                instantiate_shape(rec, gs.ctm)
+            obj = objects.get(name)
+            if obj is None:
+                raise ParseError(f"{p.loc()}: ObjectInstance of unknown "
+                                 f"object '{name}'")
+            base_inv = obj["base_ctm"].inverse()
+            inst_xf = gs.ctm @ base_inv  # world-from-object at instantiation
+            if obj["proto"] is None:
+                obj["proto"] = b.new_prototype()
+                obj["nonmesh"] = []
+                for rec in obj["records"]:
+                    if rec["name"] in ("trianglemesh", "plymesh",
+                                       "bilinearmesh"):
+                        if rec["emission"] is not None:
+                            raise ParseError(
+                                f"{p.loc()}: emissive instanced geometry "
+                                "is not supported")
+                        obj_xf = base_inv @ rec["ctm"]
+                        P, idx, N, uv = mesh_data_for_record(rec)
+                        Pw = np.asarray(obj_xf.apply_point(P), np.float32)
+                        Nw = np.asarray(obj_xf.apply_normal(N), np.float32) \
+                            if N is not None else None
+                        b.add_proto_mesh(obj["proto"], Pw, idx, rec["mat"],
+                                         normals=Nw, uvs=uv)
+                    else:
+                        obj["nonmesh"].append(rec)
+            b.add_instance(obj["proto"], inst_xf)
+            for rec in obj["nonmesh"]:
+                instantiate_shape(rec, inst_xf)
         elif tok == "ReverseOrientation":
             gs.reverse_orientation = not gs.reverse_orientation
         elif tok == "Shape":

@@ -76,6 +76,13 @@ class Scene:
     curve_segs: jnp.ndarray = None     # (S, 16) sub-segments, leaf order
     curve_mats: jnp.ndarray = None     # (C,) int32 material per curve id
     has_curves: bool = struct.field(pytree_node=False, default=False)
+    # object instancing (reference cpu/primitive.h:83): two-level BVH
+    # (ops/tlas.py); world geometry rides as instance 0 (identity)
+    tlas_nodes: jnp.ndarray = None     # concat BLAS+TLAS node rows
+    inst_rows: jnp.ndarray = None      # (I, 28) instance table
+    tri_geo_tlas: jnp.ndarray = None   # concat BLAS-ordered triangles
+    tlas_root: int = struct.field(pytree_node=False, default=0)
+    has_instances: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -101,6 +108,8 @@ class SceneBuilder:
         self.t_mat = []
         self.t_light = []
         self.light_rows = []
+        self.protos = []             # instancing prototypes (triangle lists)
+        self.instances = []          # dicts: proto, o2w/w2o (3,4)
         self.curve_seg_rows = []     # (SEG_COLS,) rows from split_curve
         self.curve_seg_bounds = []   # (lo, hi) per sub-segment
         self.curve_mat_list = []     # material index per curve id
@@ -207,6 +216,58 @@ class SceneBuilder:
             bounds=(wc.min(axis=0).astype(np.float32),
                     wc.max(axis=0).astype(np.float32))))
         return len(self.quadric_rows) - 1
+
+    def new_prototype(self) -> int:
+        """Open an instancing prototype (reference ObjectBegin). Geometry
+        added with add_proto_mesh is stored ONCE in object space."""
+        self.protos.append(dict(p0=[], p1=[], p2=[], n0=[], n1=[], n2=[],
+                                uv0=[], uv1=[], uv2=[], mat=[]))
+        return len(self.protos) - 1
+
+    def add_proto_mesh(self, proto: int, vertices, indices, material: int,
+                       normals=None, uvs=None):
+        """Add a mesh to a prototype (object space; no area lights —
+        emissive instanced geometry is not supported)."""
+        P = self.protos[proto]
+        vertices = np.asarray(vertices, np.float32)
+        indices = np.asarray(indices, np.int64)
+        p0 = vertices[indices[:, 0]]
+        p1 = vertices[indices[:, 1]]
+        p2 = vertices[indices[:, 2]]
+        if normals is not None:
+            normals = np.asarray(normals, np.float32)
+            n0, n1, n2 = (normals[indices[:, i]] for i in range(3))
+        else:
+            ng = np.cross(p1 - p0, p2 - p0)
+            ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True),
+                             1e-20)
+            n0 = n1 = n2 = ng
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float32)
+            uv0, uv1, uv2 = (uvs[indices[:, i]] for i in range(3))
+        else:
+            uv0 = np.zeros((len(p0), 2), np.float32)
+            uv1 = np.tile(np.array([[1, 0]], np.float32), (len(p0), 1))
+            uv2 = np.tile(np.array([[1, 1]], np.float32), (len(p0), 1))
+        for i in range(len(p0)):
+            P["p0"].append(p0[i]); P["p1"].append(p1[i]); P["p2"].append(p2[i])
+            P["n0"].append(n0[i]); P["n1"].append(n1[i]); P["n2"].append(n2[i])
+            P["uv0"].append(uv0[i]); P["uv1"].append(uv1[i]); P["uv2"].append(uv2[i])
+            P["mat"].append(material)
+
+    def add_instance(self, proto: int, object_to_world):
+        """Instantiate a prototype (reference ObjectInstance).
+        object_to_world: utils.transform.Transform or (4,4) matrix."""
+        from .utils import transform as tfm
+        if hasattr(object_to_world, "m"):
+            o2w4 = np.asarray(object_to_world.m, np.float64)
+        else:
+            o2w4 = np.asarray(object_to_world, np.float64)
+        w2o4 = np.linalg.inv(o2w4)
+        self.instances.append(dict(proto=proto,
+                                   o2w=o2w4[:3, :].astype(np.float32),
+                                   w2o=w2o4[:3, :].astype(np.float32)))
+        return len(self.instances) - 1
 
     def add_curve(self, control_points, width0, width1, material: int,
                   curve_type="flat", normals=None, subdiv=3):
@@ -353,7 +414,8 @@ class SceneBuilder:
 
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
-        if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows):
+        if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows
+                           or self.instances):
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
@@ -375,6 +437,20 @@ class SceneBuilder:
         for (clo, chi) in self.curve_seg_bounds:
             world_lo = np.minimum(world_lo, clo.min(axis=0))
             world_hi = np.maximum(world_hi, chi.max(axis=0))
+        for inst in self.instances:
+            P = self.protos[inst["proto"]]
+            if not P["p0"]:
+                continue
+            pl = np.minimum(np.min(P["p0"], 0),
+                            np.minimum(np.min(P["p1"], 0), np.min(P["p2"], 0)))
+            ph = np.maximum(np.max(P["p0"], 0),
+                            np.maximum(np.max(P["p1"], 0), np.max(P["p2"], 0)))
+            corners = np.stack(np.meshgrid(*zip(pl, ph), indexing="ij"),
+                               -1).reshape(-1, 3)
+            o2w = inst["o2w"]
+            wc = corners @ o2w[:, :3].T + o2w[:, 3]
+            world_lo = np.minimum(world_lo, wc.min(axis=0))
+            world_hi = np.maximum(world_hi, wc.max(axis=0))
         radius = 0.5 * float(np.linalg.norm(world_hi - world_lo)) + 1e-3
         # measured on the axon TPU: while-loop BVH traversal pays the ~1GB/s
         # gather floor per visited node, so brute-force broadcast wins up to
@@ -460,6 +536,65 @@ class SceneBuilder:
             np.asarray(self.t_mat, np.float32)[:, None],
             np.asarray(self.t_light, np.float32)[:, None]],
             axis=1).astype(np.float32)
+        # object instancing: per-proto BLAS + TLAS (ops/tlas.py); world
+        # geometry rides as instance 0 with the identity transform
+        if self.instances:
+            from .ops import tlas as tlas_mod
+            blas_list = [(np.asarray(bvh.nodes),
+                          np.asarray(bvh.prim_indices), lo, hi)]
+            ordered_chunks = [np.asarray(tri_geo_bvh)]
+            extra_geo = []
+            extra_shade = []
+            gbase = n_tri
+            inst_list = [dict(proto=0,
+                              o2w=np.eye(4, dtype=np.float32)[:3],
+                              w2o=np.eye(4, dtype=np.float32)[:3])]
+            proto_index_map = {}
+            for pi, P in enumerate(self.protos):
+                if not P["p0"]:
+                    continue
+                pp0 = np.stack(P["p0"]); pp1 = np.stack(P["p1"])
+                pp2 = np.stack(P["p2"])
+                plo = np.minimum(np.minimum(pp0, pp1), pp2)
+                phi = np.maximum(np.maximum(pp0, pp1), pp2)
+                pbvh = bvh_mod.build_bvh(plo, phi)
+                ordered = np.array(bvh_mod.pack_tri_geo(
+                    pp0, pp1, pp2, order=np.asarray(pbvh.prim_indices)))
+                # rebase the coded original index to the GLOBAL pool
+                ordered[:, 9] = ordered[:, 9] + gbase
+                ordered_chunks.append(ordered)
+                eg = np.array(bvh_mod.pack_tri_geo(pp0, pp1, pp2))
+                eg[:, 9] += gbase
+                extra_geo.append(eg)
+                eshade = np.concatenate([
+                    np.stack(P["n0"]), np.stack(P["n1"]), np.stack(P["n2"]),
+                    np.stack(P["uv0"]), np.stack(P["uv1"]),
+                    np.stack(P["uv2"]),
+                    np.asarray(P["mat"], np.float32)[:, None],
+                    np.full((len(P["p0"]), 1), -1, np.float32)],
+                    axis=1).astype(np.float32)
+                extra_shade.append(eshade)
+                proto_index_map[pi] = len(blas_list)
+                blas_list.append((np.asarray(pbvh.nodes),
+                                  np.asarray(pbvh.prim_indices), plo, phi))
+                gbase += len(pp0)
+            for inst in self.instances:
+                if inst["proto"] not in proto_index_map:
+                    continue
+                inst_list.append(dict(proto=proto_index_map[inst["proto"]],
+                                      o2w=inst["o2w"], w2o=inst["w2o"]))
+            tlas_nodes, inst_rows_packed, _pb, tlas_root = \
+                tlas_mod.build_two_level(blas_list, inst_list)
+            # fix ordered concat prim bases: build_two_level rebased leaf
+            # roffs assuming chunk order == blas_list order (it is)
+            tri_geo_tlas = jnp.asarray(np.concatenate(ordered_chunks))
+            has_instances = True
+        else:
+            tlas_nodes = inst_rows_packed = tri_geo_tlas = None
+            tlas_root = 0
+            extra_geo = []
+            extra_shade = []
+            has_instances = False
         # curve pool: dedicated BVH over pre-split Bezier sub-segments
         if self.curve_seg_rows:
             from .ops import curves as crv
@@ -474,10 +609,17 @@ class SceneBuilder:
         else:
             curve_nodes = curve_segs = None
             curve_mats = None
+        if extra_geo:
+            tri_geo = jnp.asarray(np.concatenate([np.asarray(tri_geo)]
+                                                 + extra_geo))
+            tri_shade = np.concatenate([tri_shade] + extra_shade)
         return Scene(
             curve_nodes=curve_nodes, curve_segs=curve_segs,
             curve_mats=curve_mats,
             has_curves=bool(self.curve_seg_rows),
+            tlas_nodes=tlas_nodes, inst_rows=inst_rows_packed,
+            tri_geo_tlas=tri_geo_tlas, tlas_root=int(tlas_root),
+            has_instances=has_instances,
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
             tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
             tri_shade=jnp.asarray(tri_shade),
@@ -503,7 +645,12 @@ def intersect(scene: Scene, o, d, t_max):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
 
     Gather budget after traversal: 2 packed rows (geo + shade)."""
-    if scene.use_bvh:
+    if scene.has_instances:
+        from .ops import tlas as tlas_mod
+        r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
+                                         scene.tri_geo_tlas,
+                                         scene.tlas_root, o, d, t_max)
+    elif scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max)
     elif scene.use_pallas:
@@ -521,11 +668,32 @@ def intersect(scene: Scene, o, d, t_max):
     p0 = geo[..., 0:3]
     p1 = geo[..., 3:6]
     p2 = geo[..., 6:9]
+    shade_n0 = shade[..., 0:3]
+    shade_n1 = shade[..., 3:6]
+    shade_n2 = shade[..., 6:9]
+    if scene.has_instances:
+        # instanced prototypes store geometry in object space: map the hit
+        # triangle to world by the instance's o2w; normals by w2o^T
+        irow = pool_lookup(scene.inst_rows, jnp.maximum(r["inst"], 0))
+        Rw2o = irow[..., 0:12].reshape(irow.shape[:-1] + (3, 4))[..., :3]
+        A = irow[..., 12:24].reshape(irow.shape[:-1] + (3, 4))
+
+        def _pt(x):
+            return jnp.einsum("...ij,...j->...i", A[..., :3], x) + A[..., 3]
+
+        p0, p1, p2 = _pt(p0), _pt(p1), _pt(p2)
+
+        def _nrm(n):
+            return jnp.einsum("...ji,...j->...i", Rw2o, n)
+
+        shade_n0 = _nrm(shade_n0)
+        shade_n1 = _nrm(shade_n1)
+        shade_n2 = _nrm(shade_n2)
     p = b0[..., None] * p0 + b1[..., None] * p1 + b2[..., None] * p2
     ng = vm.normalize(vm.cross(p1 - p0, p2 - p0))
-    ns = vm.normalize(b0[..., None] * shade[..., 0:3] +
-                      b1[..., None] * shade[..., 3:6] +
-                      b2[..., None] * shade[..., 6:9])
+    ns = vm.normalize(b0[..., None] * shade_n0 +
+                      b1[..., None] * shade_n1 +
+                      b2[..., None] * shade_n2)
     # orient ns into same hemisphere as ng convention: flip ng toward ns
     ng = jnp.where(vm.dot(ng, ns)[..., None] < 0, -ng, ng)
     uv = b0[..., None] * shade[..., 9:11] + b1[..., None] * shade[..., 11:13] + \
@@ -679,7 +847,13 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
 
 def intersect_p(scene: Scene, o, d, t_max):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
-    if scene.use_bvh:
+    if scene.has_instances:
+        from .ops import tlas as tlas_mod
+        r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
+                                         scene.tri_geo_tlas,
+                                         scene.tlas_root, o, d, t_max,
+                                         any_hit=True)
+    elif scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max, any_hit=True)
     elif scene.use_pallas:

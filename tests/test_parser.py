@@ -108,8 +108,18 @@ def test_parse_object_instancing():
     ObjectInstance "tri"
     '''
     desc = pp.parse_string(scene_txt)
-    assert desc.scene.tri_p0.shape[0] == 2
-    np.testing.assert_allclose(np.asarray(desc.scene.tri_p0[1]), [5, 0, 0], atol=1e-5)
+    # REAL instancing (round 2): the prototype triangle is stored once and
+    # the two placements are transform-table rows (cpu/primitive.h:83)
+    scene = desc.scene
+    assert scene.has_instances
+    assert scene.inst_rows.shape[0] == 3  # world + 2 instances
+    import jax.numpy as jnp
+    from pbrt_tpu import scene_core as sc
+    o = jnp.asarray([[0.2, 0.2, 5.0], [5.2, 0.2, 5.0], [9.0, 0.2, 5.0]])
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (3, 1))
+    r = sc.intersect(scene, o, d, jnp.full((3,), 1e30))
+    hit = np.asarray(r["hit"])
+    assert hit[0] and hit[1] and not hit[2]
 
 
 def test_parse_sphere_analytic():
