@@ -11,7 +11,7 @@ import numpy as np
 from flax import struct
 
 from .math import PI, INV_PI, INV_2PI, INV_4PI, ONE_MINUS_EPSILON, safe_sqrt, sqr, lerp, safe_div
-from .vecmath import v3
+from .vecmath import v3, dot, cross, normalize, length
 
 
 # ---------------------------------------------------------------------------
@@ -346,3 +346,164 @@ def variance_update(state, x):
 def variance_value(state):
     mean, m2, n = state
     return jnp.where(n > 1, m2 / jnp.maximum(n - 1, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Spherical triangle sampling (reference sampling.h:76 SampleSphericalTriangle
+# / Arvo 1995): uniform solid-angle sampling of a triangle seen from p.
+
+def spherical_triangle_area(a, b, c):
+    """Solid angle of the spherical triangle with unit vertices a, b, c
+    (reference SphericalTriangleArea, vecmath.h): Girard via atan2 of the
+    scalar triple product — numerically stable near zero area."""
+    num = jnp.abs(dot(a, cross(b, c)))
+    den = 1.0 + dot(a, b) + dot(a, c) + dot(b, c)
+    return 2.0 * jnp.arctan2(num, den)
+
+
+def sample_spherical_triangle(v0, v1, v2, p, u2):
+    """Uniform solid-angle triangle sample (reference Arvo's algorithm).
+
+    v0/v1/v2: (N, 3) triangle vertices; p: (N, 3) reference point;
+    u2: (N, 2). Returns (bary (N, 3), pdf_solid_angle (N,)) — pdf 0 when
+    the subtended solid angle vanishes."""
+    a = normalize(v0 - p)
+    b = normalize(v1 - p)
+    c = normalize(v2 - p)
+    area = spherical_triangle_area(a, b, c)
+    # sample sub-triangle area fraction
+    Ap = u2[..., 0] * area
+    # Arvo: compute the new vertex c' on edge (a, c)
+    cos_alpha = dot(b - a * dot(a, b)[..., None],
+                    c - a * dot(a, c)[..., None])
+    # dihedral angle at vertex a
+    n_ab = cross(a, b)
+    n_ac = cross(a, c)
+    n_ab = n_ab / jnp.maximum(length(n_ab), 1e-12)[..., None]
+    n_ac = n_ac / jnp.maximum(length(n_ac), 1e-12)[..., None]
+    cos_a = jnp.clip(-dot(n_ab, n_ac), -1.0, 1.0)
+    alpha = jnp.arccos(cos_a)
+    sin_a = jnp.sin(alpha)
+    # spherical triangle angles via spherical trig (Girard)
+    # Arvo's closed form:
+    s = jnp.sin(Ap - alpha)
+    t = jnp.cos(Ap - alpha)
+    uu = t - jnp.cos(alpha)
+    vv = s + sin_a * dot(a, b)
+    q = safe_div((vv * t - uu * s) * jnp.cos(alpha) - vv,
+                 (vv * s + uu * t) * sin_a)
+    q = jnp.clip(q, -1.0, 1.0)
+    c_hat = q[..., None] * a + jnp.sqrt(jnp.maximum(1 - q * q, 0.0))[..., None] * \
+        normalize(c - a * dot(a, c)[..., None])
+    z = 1.0 - u2[..., 1] * (1.0 - dot(c_hat, b))
+    z = jnp.clip(z, -1.0, 1.0)
+    w = z[..., None] * b + jnp.sqrt(jnp.maximum(1 - z * z, 0.0))[..., None] * \
+        normalize(c_hat - b * dot(b, c_hat)[..., None])
+    # intersect the ray (p, w) with the triangle plane for barycentrics
+    n = cross(v1 - v0, v2 - v0)
+    denom = dot(w, n)
+    tt = safe_div(dot(v0 - p, n), denom)
+    hit_p = p + tt[..., None] * w
+    # barycentric via areas
+    n2 = jnp.maximum(dot(n, n), 1e-20)
+    b1 = dot(cross(v2 - v0, hit_p - v0), n) / n2
+    b2 = dot(cross(hit_p - v0, v1 - v0), n) / n2
+    b1 = jnp.clip(b1, 0.0, 1.0)
+    b2 = jnp.clip(b2, 0.0, 1.0 - b1)
+    bary = jnp.stack([1.0 - b1 - b2, b1, b2], -1)
+    pdf = jnp.where(area > 1e-7, safe_div(1.0, area), 0.0)
+    return bary, pdf
+
+
+# ---------------------------------------------------------------------------
+# Summed-area table + windowed 2D distribution (reference sampling.h:830
+# SummedAreaTable, :895 WindowedPiecewiseConstant2D) — the machinery behind
+# PortalImageInfiniteLight.
+
+from flax import struct as _struct
+
+
+@_struct.dataclass
+class SummedAreaTable:
+    """Inclusive 2D prefix sums of a (H, W) function; integrals over any
+    axis-aligned window in O(1) (4 taps)."""
+    sums: jnp.ndarray  # (H+1, W+1) f64-ish f32 prefix sums
+
+    @staticmethod
+    def build(f):
+        f = jnp.asarray(f, jnp.float32)
+        s = jnp.cumsum(jnp.cumsum(f, axis=0), axis=1)
+        s = jnp.pad(s, ((1, 0), (1, 0)))
+        return SummedAreaTable(sums=s)
+
+    def integral(self, x0, y0, x1, y1):
+        """Sum of f over texel window [x0, x1) x [y0, y1) (int coords)."""
+        s = self.sums
+        return (s[y1, x1] - s[y0, x1] - s[y1, x0] + s[y0, x0])
+
+
+@_struct.dataclass
+class WindowedPiecewiseConstant2D:
+    """Sample proportionally to f restricted to a window (reference
+    WindowedPiecewiseConstant2D, sampling.h:895): conditional inversion by
+    binary search on SAT column/row integrals."""
+    sat: SummedAreaTable
+    f: jnp.ndarray  # (H, W)
+
+    @staticmethod
+    def build(f):
+        f = jnp.asarray(f, jnp.float32)
+        return WindowedPiecewiseConstant2D(sat=SummedAreaTable.build(f), f=f)
+
+    def sample(self, u2, x0, y0, x1, y1):
+        """u2: (N, 2); window texel bounds (N,) int32. Returns (x, y texel
+        coords (N,), pdf (N,) in texel measure). pdf 0 if the window
+        integral vanishes."""
+        H, W = self.f.shape
+        total = self.sat.integral(x0, y0, x1, y1)
+
+        # sample x: invert the marginal via bisection over columns
+        def bisect(lo, hi, target, integral_fn, iters):
+            for _ in range(iters):
+                mid = (lo + hi) // 2
+                below = integral_fn(mid) <= target
+                lo = jnp.where(below, mid, lo)
+                hi = jnp.where(below, hi, mid)
+            return lo
+
+        tx = u2[..., 0] * total
+        n_iter = int(np.ceil(np.log2(max(W, 2)))) + 1
+        x = bisect(x0, x1, tx,
+                   lambda m: self.sat.integral(x0, y0, m, y1), n_iter)
+        x = jnp.clip(x, x0, x1 - 1)
+        # sample y within column x
+        col = self.sat.integral(x, y0, x + 1, y1)
+        ty = u2[..., 1] * col
+        n_iter_y = int(np.ceil(np.log2(max(H, 2)))) + 1
+        y = bisect(y0, y1, ty,
+                   lambda m: self.sat.integral(x, y0, x + 1, m), n_iter_y)
+        y = jnp.clip(y, y0, y1 - 1)
+        fxy = self.f[y, x]
+        pdf = jnp.where(total > 0, safe_div(fxy, total), 0.0)
+        return x, y, pdf
+
+    def pdf(self, x, y, x0, y0, x1, y1):
+        total = self.sat.integral(x0, y0, x1, y1)
+        return jnp.where(total > 0, safe_div(self.f[y, x], total), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (reference sampling.h:593
+# WeightedReservoirSampler) — functional single-slot reservoir.
+
+def reservoir_init(shape=()):
+    """state = (weight_sum, reservoir_value_index, rng_carry)."""
+    return (jnp.zeros(shape, jnp.float32), jnp.full(shape, -1, jnp.int32))
+
+
+def reservoir_add(state, index, weight, u):
+    """Consider `index` with `weight`; u: uniform [0,1). Returns state."""
+    wsum, cur = state
+    wsum_new = wsum + weight
+    take = u * wsum_new < weight
+    return (wsum_new, jnp.where(take & (weight > 0), index, cur))
