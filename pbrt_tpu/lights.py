@@ -27,6 +27,8 @@ LIGHT_AREA_TRI = 3
 LIGHT_UNIFORM_INFINITE = 4
 LIGHT_IMAGE_INFINITE = 5
 LIGHT_AREA_SPHERE = 6  # analytic sphere emitter; center in p, radius in cfs
+LIGHT_PROJECTION = 7   # image-projection delta light (reference lights.h:516)
+LIGHT_GONIOMETRIC = 8  # equal-area image intensity (reference lights.h:599)
 
 
 @struct.dataclass
@@ -48,10 +50,15 @@ class LightPool:
     # reference wavefront's per-type kernel specialization,
     # wavefront/integrator.h:139)
     tags_present: tuple = struct.field(pytree_node=False, default=None)
+    # shared texel atlas for projection/goniometric lights: (A, 4) rows of
+    # [sigmoid coeffs (3), scale]; per-light offset/dims ride in the packed
+    # row (tri slot = offset, cfs/cfe = width/height, two_sided slot =
+    # tan_half_fov for projection)
+    img_atlas: jnp.ndarray = None
 
 
 def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
-                    is_delta, pmf, power) -> LightPool:
+                    is_delta, pmf, power, img_atlas=None) -> LightPool:
     tag = np.asarray(tag, np.int32)
     packed = np.concatenate([
         tag[:, None].astype(np.float32),                  # value-encoded ints
@@ -69,7 +76,10 @@ def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
                      power=jnp.asarray(np.asarray(power, np.float32)),
                      scale=jnp.asarray(np.asarray(scale, np.float32)),
                      spec_idx=jnp.asarray(np.asarray(spec_idx, np.int32)),
-                     tags_present=tuple(sorted(set(int(t) for t in tag))))
+                     tags_present=tuple(sorted(set(int(t) for t in tag))),
+                     img_atlas=(jnp.asarray(img_atlas)
+                                if img_atlas is not None else
+                                jnp.zeros((1, 4), jnp.float32)))
 
 
 def _val_i32(f):
@@ -88,6 +98,7 @@ class LightRow:
         self.scale = rows[..., 8]
         self.tri = _val_i32(rows[..., 9])
         self.two_sided = rows[..., 10] > 0.5
+        self.two_sided_raw = rows[..., 10]
         self.cfs = rows[..., 11]
         self.cfe = rows[..., 12]
         self.is_delta = rows[..., 13] > 0.5
@@ -149,6 +160,57 @@ def _lspec(spectra_pool, spec_idx, scale, lam, spec_cache=None):
     if spec_cache is not None:
         return select_spectrum(spec_cache, spec_idx, scale)
     return eval_light_spectrum(spectra_pool, spec_idx, scale, lam)
+
+
+def _atlas_bilinear(atlas, off, w, h, u, v, lam):
+    """Bilinear (coeffs, scale) fetch from the light image atlas; returns
+    the spectral modulation factor (N, 4). u, v in [0, 1]."""
+    from .utils import color as pcolor
+    ux = jnp.clip(u, 0.0, 1.0) * w - 0.5
+    uy = jnp.clip(v, 0.0, 1.0) * h - 0.5
+    x0 = jnp.floor(ux)
+    y0 = jnp.floor(uy)
+    fx = (ux - x0)[..., None]
+    fy = (uy - y0)[..., None]
+    xs = jnp.clip(jnp.stack([x0, x0 + 1], -1), 0, jnp.maximum(w - 1, 0)[..., None])
+    ys = jnp.clip(jnp.stack([y0, y0 + 1], -1), 0, jnp.maximum(h - 1, 0)[..., None])
+    idx = (off[..., None, None] + ys[..., :, None] * w[..., None, None] +
+           xs[..., None, :]).astype(jnp.int32)
+    rows = atlas[idx]                            # (N, 2, 2, 4)
+    c = (rows[..., 0, 0, :] * (1 - fx) * (1 - fy) +
+         rows[..., 0, 1, :] * fx * (1 - fy) +
+         rows[..., 1, 0, :] * (1 - fx) * fy +
+         rows[..., 1, 1, :] * fx * fy)
+    return pcolor.eval_rgb_sigmoid_polynomial(c[..., 0:3], lam) * c[..., 3:4]
+
+
+def _image_delta_modulation(lights, row, wi_pt, lam, tag_is_proj):
+    """Directional modulation of a projection/goniometric delta light for
+    the light->receiver direction -wi_pt. Frame from row.dir via
+    coordinate_system (scene files cannot set roll — documented TPU
+    simplification of the reference's full light-from-render transform)."""
+    w = -wi_pt  # receiver as seen FROM the light
+    t1, t2 = vm.coordinate_system(row.dir)
+    lx = vm.dot(w, t1)
+    ly = vm.dot(w, t2)
+    lz = vm.dot(w, row.dir)
+    off = row.tri.astype(jnp.float32)
+    iw = row.cfs
+    ih = row.cfe
+    # projection: perspective window at tan_half_fov (lights.h:516)
+    thf = jnp.maximum(row.two_sided_raw, 1e-6)
+    pu = 0.5 + safe_div(lx, lz) / (2.0 * thf)
+    pv = 0.5 + safe_div(ly, lz) / (2.0 * thf)
+    in_window = (lz > 0) & (pu >= 0) & (pu <= 1) & (pv >= 0) & (pv <= 1)
+    m_proj = jnp.where(in_window[..., None],
+                       _atlas_bilinear(lights.img_atlas, off, iw, ih,
+                                       pu, pv, lam), 0.0)
+    # goniometric: equal-area square over the full sphere (lights.h:599)
+    uv = vm.equal_area_sphere_to_square(
+        jnp.stack([lx, ly, lz], -1))
+    m_gon = _atlas_bilinear(lights.img_atlas, off, iw, ih,
+                            uv[..., 0], uv[..., 1], lam)
+    return jnp.where(tag_is_proj[..., None], m_proj, m_gon)
 
 
 def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
@@ -214,6 +276,25 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
             wi, L, pdf, p_light = pick(
                 LIGHT_SPOT, (wi_pt, L_pt * falloff[..., None], pdf_pt, lp),
                 wi, L, pdf, p_light)
+
+    if LIGHT_PROJECTION in present or LIGHT_GONIOMETRIC in present:
+        # image-modulated delta lights: point-light geometry with a
+        # directional spectral modulation from the shared atlas
+        d_il = lp - p_ref
+        dist2_il = jnp.maximum(vm.length_squared(d_il), 1e-12)
+        wi_il = d_il / jnp.sqrt(dist2_il)[..., None]
+        mod = _image_delta_modulation(lights, row, wi_il, lam,
+                                      tag == LIGHT_PROJECTION)
+        L_il = Lspec * mod / dist2_il[..., None]
+        pdf_il = jnp.ones_like(dist2_il)
+        if LIGHT_PROJECTION in present:
+            wi, L, pdf, p_light = pick(LIGHT_PROJECTION,
+                                       (wi_il, L_il, pdf_il, lp),
+                                       wi, L, pdf, p_light)
+        if LIGHT_GONIOMETRIC in present:
+            wi, L, pdf, p_light = pick(LIGHT_GONIOMETRIC,
+                                       (wi_il, L_il, pdf_il, lp),
+                                       wi, L, pdf, p_light)
 
     if LIGHT_DISTANT in present:
         # --- distant: radiance from direction -dir at "infinity" ---
@@ -409,11 +490,28 @@ def _env_texel_radiance(env: EnvLight, texel_idx, lam):
 
 
 def env_radiance(env: EnvLight, d, lam):
-    """Le for escaped rays (nearest-texel; reference uses bilinear)."""
+    """Le for escaped rays: BILINEAR over the equal-area texels (reference
+    ImageInfiniteLight::ImageLe, lights.h:544 — bilinear image lookup).
+    One fused (N, 2, 2, 4) gather; octahedral seams use edge clamp."""
+    from .utils import color as pcolor
     uv = vm.equal_area_sphere_to_square(d)
-    x = jnp.clip((uv[..., 0] * env.width).astype(jnp.int32), 0, env.width - 1)
-    y = jnp.clip((uv[..., 1] * env.height).astype(jnp.int32), 0, env.height - 1)
-    return _env_texel_radiance(env, y * env.width + x, lam)
+    ux = uv[..., 0] * env.width - 0.5
+    uy = uv[..., 1] * env.height - 0.5
+    x0 = jnp.floor(ux)
+    y0 = jnp.floor(uy)
+    fx = (ux - x0)[..., None]
+    fy = (uy - y0)[..., None]
+    xs = jnp.clip(jnp.stack([x0, x0 + 1], -1), 0, env.width - 1)
+    ys = jnp.clip(jnp.stack([y0, y0 + 1], -1), 0, env.height - 1)
+    idx = (ys[..., :, None] * env.width + xs[..., None, :]).astype(jnp.int32)
+    rows = env.texels[idx]                       # (N, 2, 2, 4)
+    c = (rows[..., 0, 0, :] * (1 - fx) * (1 - fy) +
+         rows[..., 0, 1, :] * fx * (1 - fy) +
+         rows[..., 1, 0, :] * (1 - fx) * fy +
+         rows[..., 1, 1, :] * fx * fy)
+    refl = pcolor.eval_rgb_sigmoid_polynomial(c[..., 0:3], lam)
+    illum = spc.eval_dense(env.illum, lam)
+    return refl * c[..., 3:4] * illum * env.scale
 
 
 def env_sample_li(env: EnvLight, p_ref, u2, lam, scene_radius):
@@ -468,4 +566,13 @@ def compute_light_power(tag, scale, spectrum: spc.Spectrum, area=None,
         return (2 if two_sided else 1) * np.pi * area * lum
     if tag == LIGHT_UNIFORM_INFINITE:
         return 4 * np.pi * np.pi * scene_radius ** 2 * lum
+    if tag == LIGHT_PROJECTION:
+        # image mean x projection window solid angle (reference
+        # ProjectionLight::Phi integrates the image over the window)
+        img_mean, tan_half = area if area is not None else (1.0, 1.0)
+        sa = 4.0 * np.arctan(tan_half) * np.arctan(tan_half)
+        return img_mean * sa * lum
+    if tag == LIGHT_GONIOMETRIC:
+        img_mean = area if area is not None else 1.0
+        return 4 * np.pi * img_mean * lum
     return lum

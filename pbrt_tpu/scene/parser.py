@@ -402,6 +402,15 @@ def parse_string(text, base_dir=".", light_sampler="power",
             return b.materials.add_mix(m1, m2, ps.float("amount", 0.5))
         raise ParseError(f"{p.loc()}: material '{name}' is not supported")
 
+    def _read_any_image(fp):
+        from ..utils import image as pimg
+        fp = str(fp)
+        if fp.endswith(".exr"):
+            return pimg.read_exr(fp)
+        if fp.endswith(".pfm"):
+            return pimg.read_pfm(fp)
+        return pimg.read_png(fp).astype(np.float32) / 255.0
+
     def add_shape(name, ps: ParamSet, gs: GraphicsState):
         mat = gs.material if gs.material is not None else cur_material()
         emission = None
@@ -823,8 +832,31 @@ def parse_string(text, base_dir=".", light_sampler="power",
                         # lat-long: resample to equal-area octahedral
                         img = image_env.equalarea_from_latlong(img)
                     b.add_image_infinite_light(img, scale)
+            elif name == "projection":
+                sI = ps.spectrum("I", cs, kind="illuminant",
+                                 default=spc.d65_spectrum())
+                fn = ps.string("filename", None)
+                img = _read_any_image(Path(base_dir) / fn) if fn else \
+                    np.ones((2, 2, 3), np.float32)
+                pos = np.asarray(gs.ctm.apply_point(np.zeros(3, np.float32)))
+                d = np.asarray(gs.ctm.apply_vector(
+                    np.asarray([0, 0, 1.0], np.float32)))
+                b.add_projection_light(pos, d, img, sI, scale,
+                                       fov=ps.float("fov", 90.0))
+            elif name == "goniometric":
+                sI = ps.spectrum("I", cs, kind="illuminant",
+                                 default=spc.d65_spectrum())
+                fn = ps.string("filename", None)
+                img = _read_any_image(Path(base_dir) / fn) if fn else \
+                    np.ones((2, 2, 3), np.float32)
+                if img.shape[0] != img.shape[1]:
+                    from ..utils import image_env
+                    img = image_env.equalarea_from_latlong(img)
+                fr = ps.point3s("from", np.zeros((1, 3)))[0]
+                pos = np.asarray(gs.ctm.apply_point(
+                    np.asarray(fr, np.float32)))
+                b.add_goniometric_light(pos, img, sI, scale)
             else:
-                import warnings
                 raise ParseError(f"{p.loc()}: light '{name}' is not supported")
         elif tok == "AreaLightSource":
             _name = p.parse_string()

@@ -316,6 +316,69 @@ class SceneBuilder:
             QUADRIC_CYLINDER, object_to_world, r, z_min, z_max, material,
             phi_max, obj_lo=(-r, -r, z_min), obj_hi=(r, r, z_max))
 
+    def _add_light_image(self, image_rgb):
+        """Bake an RGB image into the light atlas as (coeffs, scale) rows.
+        Returns (offset, w, h)."""
+        if not hasattr(self, "_light_atlas"):
+            self._light_atlas = [np.zeros((1, 4), np.float32)]
+            self._light_atlas_size = 1
+        img = np.asarray(image_rgb, np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, -1)
+        h, w = img.shape[:2]
+        flat = img.reshape(-1, 3)
+        m = np.maximum(flat.max(axis=-1), 1e-9)
+        tscale = np.where(flat.max(axis=-1) > 1.0, 2.0 * m,
+                          1.0).astype(np.float32)
+        coeffs = self.cs.to_spectrum_coeffs(flat / tscale[:, None])
+        off = self._light_atlas_size
+        self._light_atlas.append(
+            np.concatenate([coeffs, tscale[:, None]], 1))
+        self._light_atlas_size += h * w
+        return off, w, h
+
+    def add_projection_light(self, position, direction, image_rgb,
+                             spectrum: spc.Spectrum = None, scale=1.0,
+                             fov=45.0):
+        """Image-projection delta light (reference ProjectionLight,
+        lights.h:516). The projection frame derives from `direction` via
+        coordinate_system (no roll control — TPU packing simplification)."""
+        spectrum = spectrum or spc.ConstantSpectrum(1.0)
+        sidx = self.add_spectrum(spectrum, key=("proj", id(spectrum)))
+        off, w, h = self._add_light_image(image_rgb)
+        thf = float(np.tan(np.radians(fov) / 2))
+        img_mean = float(np.asarray(image_rgb, np.float32).mean())
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_PROJECTION, p=np.asarray(position, np.float32),
+            dir=d.astype(np.float32), spec_idx=sidx, scale=scale, tri=off,
+            two_sided=thf, cfs=float(w), cfe=float(h),
+            power=lgt.compute_light_power(lgt.LIGHT_PROJECTION, scale,
+                                          spectrum, area=(img_mean, thf)),
+            is_delta=True))
+        return len(self.light_rows) - 1
+
+    def add_goniometric_light(self, position, image_rgb,
+                              spectrum: spc.Spectrum = None, scale=1.0,
+                              direction=(0.0, 0.0, 1.0)):
+        """Goniophotometric delta light: equal-area image over the sphere
+        of directions (reference GoniometricLight, lights.h:599)."""
+        spectrum = spectrum or spc.ConstantSpectrum(1.0)
+        sidx = self.add_spectrum(spectrum, key=("gon", id(spectrum)))
+        off, w, h = self._add_light_image(image_rgb)
+        img_mean = float(np.asarray(image_rgb, np.float32).mean())
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_GONIOMETRIC, p=np.asarray(position, np.float32),
+            dir=d.astype(np.float32), spec_idx=sidx, scale=scale, tri=off,
+            two_sided=0.0, cfs=float(w), cfe=float(h),
+            power=lgt.compute_light_power(lgt.LIGHT_GONIOMETRIC, scale,
+                                          spectrum, area=img_mean),
+            is_delta=True))
+        return len(self.light_rows) - 1
+
     def add_point_light(self, position, spectrum: spc.Spectrum, scale=1.0):
         sidx = self.add_spectrum(spectrum, key=("pt", id(spectrum)))
         self.light_rows.append(dict(
@@ -498,7 +561,9 @@ class SceneBuilder:
                 two_sided=np.asarray([r["two_sided"] for r in rows], np.float32),
                 cfs=[r["cfs"] for r in rows], cfe=[r["cfe"] for r in rows],
                 is_delta=np.asarray([r["is_delta"] for r in rows], np.float32),
-                pmf=pmfs[:len(rows)], power=[r["power"] for r in rows])
+                pmf=pmfs[:len(rows)], power=[r["power"] for r in rows],
+                img_atlas=(np.concatenate(self._light_atlas)
+                           if hasattr(self, "_light_atlas") else None))
         else:
             # size-1 dummy pool so device gathers stay in-bounds; the light
             # sampler's n_lights == 0 (static) disables NEE, and tri_light
