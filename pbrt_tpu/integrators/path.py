@@ -138,7 +138,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             escaped = active & ~isect["hit"]
             Le_env = lgt.env_radiance(scene.env, d, lam)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
-            pdf_env = lgt.env_pdf_li(scene.env, d) * pmf_env
+            pdf_env = lgt.env_pdf_li(scene.env, d, p_ref=o) * pmf_env
             w_env = jnp.where((depth == 0) | spec_bounce, 1.0,
                               power_heuristic(1.0, prev_pdf, 1.0, pdf_env))
             L = L + jnp.where(escaped[..., None],

@@ -385,7 +385,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             escaped = active & reach & ~isect["hit"]
             Le_env = lgt.env_radiance(scene.env, d, lam)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
-            pdf_env = lgt.env_pdf_li(scene.env, d) * pmf_env
+            pdf_env = lgt.env_pdf_li(scene.env, d, p_ref=o) * pmf_env
             denom = jnp.where((depth == 0) | spec_bounce, _avg(r_u),
                               _avg(r_u + r_l * pdf_env[..., None]))
             L = L + jnp.where(escaped[..., None],

@@ -489,11 +489,13 @@ def _env_texel_radiance(env: EnvLight, texel_idx, lam):
     return refl * rows[..., 3:4] * illum * env.scale
 
 
-def env_radiance(env: EnvLight, d, lam):
+def env_radiance(env, d, lam):
     """Le for escaped rays: BILINEAR over the equal-area texels (reference
     ImageInfiniteLight::ImageLe, lights.h:544 — bilinear image lookup).
     One fused (N, 2, 2, 4) gather; octahedral seams use edge clamp."""
     from .utils import color as pcolor
+    if isinstance(env, PortalEnvLight):
+        return portal_env_radiance(env, d, lam)
     uv = vm.equal_area_sphere_to_square(d)
     ux = uv[..., 0] * env.width - 0.5
     uy = uv[..., 1] * env.height - 0.5
@@ -514,10 +516,12 @@ def env_radiance(env: EnvLight, d, lam):
     return refl * c[..., 3:4] * illum * env.scale
 
 
-def env_sample_li(env: EnvLight, p_ref, u2, lam, scene_radius):
+def env_sample_li(env, p_ref, u2, lam, scene_radius):
     """Importance-sample a direction toward the env map.
 
     Returns (wi, L, pdf_solid_angle, p_light)."""
+    if isinstance(env, PortalEnvLight):
+        return portal_env_sample_li(env, p_ref, u2, lam, scene_radius)
     n = env.width * env.height
     up = u2[..., 0] * n
     i = jnp.clip(up.astype(jnp.int32), 0, n - 1)
@@ -540,13 +544,217 @@ def env_sample_li(env: EnvLight, p_ref, u2, lam, scene_radius):
     return wi, L, pdf, p_light
 
 
-def env_pdf_li(env: EnvLight, d):
-    """Solid-angle pdf that env_sample_li picks direction d (for MIS)."""
+def env_pdf_li(env, d, p_ref=None):
+    """Solid-angle pdf that env_sample_li picks direction d (for MIS).
+    p_ref is required for the portal variant (window depends on it)."""
+    if isinstance(env, PortalEnvLight):
+        return portal_env_pdf_li(env, d, p_ref)
     uv = vm.equal_area_sphere_to_square(d)
     x = jnp.clip((uv[..., 0] * env.width).astype(jnp.int32), 0, env.width - 1)
     y = jnp.clip((uv[..., 1] * env.height).astype(jnp.int32), 0, env.height - 1)
     pmf = env.pmf[y * env.width + x]
     return pmf * (env.width * env.height / (4.0 * np.pi))
+
+
+
+
+# ---------------------------------------------------------------------------
+# PortalImageInfiniteLight (reference lights.h:631 + lights.cpp): an env
+# light whose energy enters through a rectangular portal. The image is
+# resampled at build into "rectified" coordinates (u = (atan(wx/wz)+pi/2)/pi
+# in the portal frame) where the portal's projection from ANY point is an
+# axis-aligned image window; sampling restricts a WindowedPiecewiseConstant2D
+# to that window (sampling.h:895).
+
+@_struct.dataclass
+class PortalEnvLight:
+    texels: jnp.ndarray      # (H*W, 4) rectified-space [coeffs, scale]
+    lum: jnp.ndarray         # (H, W) luminance for the windowed dist
+    sat: jnp.ndarray         # (H+1, W+1) prefix sums of lum
+    frame: jnp.ndarray       # (3, 3) rows = x_hat, y_hat, z_hat (normal)
+    corners: jnp.ndarray     # (4, 3) portal corners (world)
+    illum: jnp.ndarray       # (471,)
+    scale: jnp.ndarray       # scalar
+    width: int = _struct.field(pytree_node=False, default=0)
+    height: int = _struct.field(pytree_node=False, default=0)
+    light_index: int = _struct.field(pytree_node=False, default=0)
+
+
+def make_portal_env_light(image_rgb, portal_corners, colorspace, scale=1.0,
+                          light_index=0, res=None) -> PortalEnvLight:
+    """image_rgb: (H, W, 3) EQUAL-AREA env image; portal_corners: (4, 3)
+    ordered rectangle (c0 -> c1 along x_hat, c0 -> c3 along y_hat)."""
+    img = np.asarray(image_rgb, np.float32)
+    corners = np.asarray(portal_corners, np.float32).reshape(4, 3)
+    x_hat = corners[1] - corners[0]
+    x_hat = x_hat / np.linalg.norm(x_hat)
+    y_hat = corners[3] - corners[0]
+    y_hat = y_hat / np.linalg.norm(y_hat)
+    z_hat = np.cross(x_hat, y_hat)
+    z_hat = z_hat / np.linalg.norm(z_hat)
+    frame = np.stack([x_hat, y_hat, z_hat])
+    r = res or max(img.shape[0], 64)
+    # resample: rectified texel centers -> world direction -> equal-area uv
+    us = (np.arange(r) + 0.5) / r
+    U, V = np.meshgrid(us, us, indexing="xy")  # V rows (y), U cols (x)
+    alpha = np.pi * (U - 0.5)
+    beta = np.pi * (V - 0.5)
+    wl = np.stack([np.tan(alpha), np.tan(beta), np.ones_like(alpha)], -1)
+    wl /= np.linalg.norm(wl, axis=-1, keepdims=True)
+    w_world = wl @ frame  # rows of frame are the basis
+    # equal-area fetch (host-side eval of the device mapping)
+    ea_uv = np.asarray(vm.equal_area_sphere_to_square(
+        jnp.asarray(w_world.reshape(-1, 3), jnp.float32)))
+    h_img, w_img = img.shape[:2]
+    xi = np.clip((ea_uv[:, 0] * w_img).astype(int), 0, w_img - 1)
+    yi = np.clip((ea_uv[:, 1] * h_img).astype(int), 0, h_img - 1)
+    rgb = img[yi, xi].reshape(r, r, 3)
+    flat = rgb.reshape(-1, 3)
+    m = np.maximum(flat.max(axis=-1), 1e-9)
+    tscale = np.where(flat.max(axis=-1) > 1.0, 2.0 * m, 1.0).astype(np.float32)
+    coeffs = colorspace.to_spectrum_coeffs(flat / tscale[:, None])
+    texels = np.concatenate([coeffs, tscale[:, None]], 1)
+    lum = (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
+           + 0.0722 * rgb[..., 2]).astype(np.float32)
+    lum = np.maximum(lum, 1e-9 * max(lum.max(), 1e-9))
+    sat = np.zeros((r + 1, r + 1), np.float32)
+    sat[1:, 1:] = np.cumsum(np.cumsum(lum, 0), 1)
+    return PortalEnvLight(texels=jnp.asarray(texels), lum=jnp.asarray(lum),
+                          sat=jnp.asarray(sat), frame=jnp.asarray(frame),
+                          corners=jnp.asarray(corners),
+                          illum=jnp.asarray(colorspace.illuminant_dense),
+                          scale=jnp.asarray(scale, jnp.float32),
+                          width=r, height=r, light_index=light_index)
+
+
+def _portal_uv_from_w(env: PortalEnvLight, w):
+    """Rectified uv of world direction w + |duv/dw| Jacobian + validity
+    (reference PortalImageInfiniteLight::ImageFromRender)."""
+    wl = w @ env.frame.T           # (N, 3) local (x,y,z)
+    z = wl[..., 2]
+    valid = z > 1e-6
+    zs = jnp.where(valid, z, 1.0)
+    alpha = jnp.arctan2(wl[..., 0], zs)
+    beta = jnp.arctan2(wl[..., 1], zs)
+    u = jnp.clip((alpha + np.pi / 2) / np.pi, 0.0, 1.0)
+    v = jnp.clip((beta + np.pi / 2) / np.pi, 0.0, 1.0)
+    duv_dw = sqr(np.pi) * (1.0 - sqr(wl[..., 0])) * (1.0 - sqr(wl[..., 1])) \
+        / jnp.maximum(z, 1e-6)
+    return u, v, duv_dw, valid
+
+
+def _portal_window(env: PortalEnvLight, p_ref):
+    """Axis-aligned rectified-uv window of the portal seen from p_ref."""
+    u0 = jnp.ones(p_ref.shape[:-1])
+    v0 = jnp.ones(p_ref.shape[:-1])
+    u1 = jnp.zeros(p_ref.shape[:-1])
+    v1 = jnp.zeros(p_ref.shape[:-1])
+    ok = jnp.ones(p_ref.shape[:-1], bool)
+    for k in range(4):
+        c = env.corners[k]
+        w = vm.normalize(c - p_ref)
+        u, v, _, valid = _portal_uv_from_w(env, w)
+        ok = ok & valid
+        u0 = jnp.minimum(u0, u)
+        v0 = jnp.minimum(v0, v)
+        u1 = jnp.maximum(u1, u)
+        v1 = jnp.maximum(v1, v)
+    return u0, v0, u1, v1, ok
+
+
+def _sat_window_integral(sat, x0, y0, x1, y1):
+    return sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+
+
+def _portal_texel_radiance(env: PortalEnvLight, x, y, lam):
+    from .utils import color as pcolor
+    rows = env.texels[y * env.width + x]
+    refl = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 0:3], lam)
+    illum = spc.eval_dense(env.illum, lam)
+    return refl * rows[..., 3:4] * illum * env.scale
+
+
+def portal_env_radiance(env: PortalEnvLight, d, lam):
+    """Le for escaped rays: only directions through the portal's front
+    hemisphere carry energy (reference PortalImageInfiniteLight::Le)."""
+    u, v, _, valid = _portal_uv_from_w(env, d)
+    x = jnp.clip((u * env.width).astype(jnp.int32), 0, env.width - 1)
+    y = jnp.clip((v * env.height).astype(jnp.int32), 0, env.height - 1)
+    L = _portal_texel_radiance(env, x, y, lam)
+    return jnp.where(valid[..., None], L, 0.0)
+
+
+def portal_env_sample_li(env: PortalEnvLight, p_ref, u2, lam, scene_radius):
+    """Importance-sample the env restricted to the portal window from
+    p_ref (reference SampleLi; WindowedPiecewiseConstant2D inversion by
+    SAT bisection)."""
+    W, H = env.width, env.height
+    u0, v0, u1, v1, ok = _portal_window(env, p_ref)
+    x0 = jnp.clip(jnp.floor(u0 * W).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(v0 * H).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(jnp.ceil(u1 * W).astype(jnp.int32), 1, W)
+    y1 = jnp.clip(jnp.ceil(v1 * H).astype(jnp.int32), 1, H)
+    sat = env.sat
+    total = _sat_window_integral(sat, x0, y0, x1, y1)
+
+    def bisect(lo, hi, target, integral_fn, iters):
+        for _ in range(iters):
+            mid = (lo + hi) // 2
+            below = integral_fn(mid) <= target
+            lo = jnp.where(below, mid, lo)
+            hi = jnp.where(below, hi, mid)
+        return lo
+
+    import numpy as _np
+    n_it = int(_np.ceil(_np.log2(max(W, 2)))) + 1
+    tx = u2[..., 0] * total
+    x = bisect(x0, x1, tx,
+               lambda m: _sat_window_integral(sat, x0, y0, m, y1), n_it)
+    x = jnp.clip(x, x0, x1 - 1)
+    coltot = _sat_window_integral(sat, x, y0, x + 1, y1)
+    ty = u2[..., 1] * coltot
+    y = bisect(y0, y1, ty,
+               lambda m: _sat_window_integral(sat, x, y0, x + 1, m), n_it)
+    y = jnp.clip(y, y0, y1 - 1)
+    # decorrelated jitter inside the texel (the bisection consumed u2)
+    jx = (u2[..., 0] * 4096.17) % 1.0
+    jy = (u2[..., 1] * 4096.17) % 1.0
+    uu = (x.astype(jnp.float32) + jx) / W
+    vv = (y.astype(jnp.float32) + jy) / H
+    alpha = np.pi * (uu - 0.5)
+    beta = np.pi * (vv - 0.5)
+    wl = jnp.stack([jnp.tan(alpha), jnp.tan(beta), jnp.ones_like(alpha)],
+                   -1)
+    wl = wl / jnp.maximum(vm.length(wl), 1e-12)[..., None]
+    wi = wl @ env.frame
+    fxy = env.lum[y, x]
+    pdf_uv = jnp.where(total > 0, safe_div(fxy, total), 0.0) * (W * H)
+    _, _, duv_dw, _ = _portal_uv_from_w(env, wi)
+    pdf = pdf_uv * safe_div(1.0, jnp.maximum(duv_dw, 1e-9))
+    pdf = jnp.where(ok & (total > 0), pdf, 0.0)
+    L = _portal_texel_radiance(env, x, y, lam)
+    p_light = p_ref + wi * (2.0 * scene_radius)
+    return wi, L, pdf, p_light
+
+
+def portal_env_pdf_li(env: PortalEnvLight, d, p_ref):
+    """Solid-angle pdf of portal_env_sample_li for direction d from p_ref
+    (for MIS on BSDF-sampled escaped rays)."""
+    W, H = env.width, env.height
+    u, v, duv_dw, valid = _portal_uv_from_w(env, d)
+    u0, v0, u1, v1, ok = _portal_window(env, p_ref)
+    x0 = jnp.clip(jnp.floor(u0 * W).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(v0 * H).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.clip(jnp.ceil(u1 * W).astype(jnp.int32), 1, W)
+    y1 = jnp.clip(jnp.ceil(v1 * H).astype(jnp.int32), 1, H)
+    x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    inside = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+    total = _sat_window_integral(env.sat, x0, y0, x1, y1)
+    pdf_uv = jnp.where(total > 0, safe_div(env.lum[y, x], total), 0.0) * \
+        (W * H)
+    pdf = pdf_uv * safe_div(1.0, jnp.maximum(duv_dw, 1e-9))
+    return jnp.where(valid & ok & inside, pdf, 0.0)
 
 
 def compute_light_power(tag, scale, spectrum: spc.Spectrum, area=None,

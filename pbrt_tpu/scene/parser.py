@@ -831,7 +831,13 @@ def parse_string(text, base_dir=".", light_sampler="power",
                     if img.shape[0] != img.shape[1]:
                         # lat-long: resample to equal-area octahedral
                         img = image_env.equalarea_from_latlong(img)
-                    b.add_image_infinite_light(img, scale)
+                    portal = ps.point3s("portal", None)
+                    if portal is not None and len(portal) == 4:
+                        pc = np.asarray(gs.ctm.apply_point(
+                            np.asarray(portal, np.float32)))
+                        b.add_portal_infinite_light(img, pc, scale)
+                    else:
+                        b.add_image_infinite_light(img, scale)
             elif name == "projection":
                 sI = ps.spectrum("I", cs, kind="illuminant",
                                  default=spc.d65_spectrum())

@@ -428,6 +428,25 @@ class SceneBuilder:
             cfe=1.0, power=float(lum) * scale, is_delta=False))
         return len(self.light_rows) - 1
 
+    def add_portal_infinite_light(self, image_rgb, portal_corners,
+                                  scale=1.0):
+        """Portal-windowed env light (reference PortalImageInfiniteLight,
+        lights.h:631). image_rgb: equal-area env image; portal_corners:
+        (4, 3) rectangle in world space."""
+        img = np.asarray(image_rgb, np.float32)
+        lum_mean = float((0.2126 * img[..., 0] + 0.7152 * img[..., 1]
+                          + 0.0722 * img[..., 2]).mean())
+        sidx = self.add_spectrum(spc.ConstantSpectrum(1.0), key="portal1")
+        li = len(self.light_rows)
+        self.light_rows.append(dict(
+            tag=lgt.LIGHT_IMAGE_INFINITE, p=np.zeros(3), dir=np.zeros(3),
+            spec_idx=sidx, scale=scale, tri=0, two_sided=False, cfs=1.0,
+            cfe=1.0, power=lum_mean * scale, is_delta=False))
+        self._env_image = None  # replaced by the portal light object
+        self._portal_env = (img, np.asarray(portal_corners, np.float32),
+                            scale, li)
+        return li
+
     def add_uniform_infinite_light(self, spectrum: spc.Spectrum, scale=1.0):
         sidx = self.add_spectrum(spectrum, key=("inf", id(spectrum)))
         self.light_rows.append(dict(
@@ -585,6 +604,10 @@ class SceneBuilder:
                            if r["tag"] == lgt.LIGHT_IMAGE_INFINITE)
             env = lgt.make_env_light(img, self.cs, scale=esc,
                                      light_index=env_idx)
+        if getattr(self, "_portal_env", None) is not None:
+            img, corners, esc, li = self._portal_env
+            env = lgt.make_portal_env_light(img, corners, self.cs,
+                                            scale=esc, light_index=li)
         tri_geo = bvh_mod.pack_tri_geo(p0, p1, p2)
         tri_geo_bvh = bvh_mod.pack_tri_geo(p0, p1, p2,
                                            order=np.asarray(bvh.prim_indices))
