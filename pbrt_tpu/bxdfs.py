@@ -28,6 +28,7 @@ BXDF_THIN_DIELECTRIC = 3
 BXDF_DIFFUSE_TRANSMISSION = 4
 BXDF_COATED_DIFFUSE = 5
 BXDF_COATED_CONDUCTOR = 6
+BXDF_HAIR = 7
 
 # flags (reference base/bxdf.h BxDFFlags)
 FLAG_REFLECTION = 1
@@ -50,6 +51,8 @@ class BSDFParams:
     # and IOR; None when the scene has no coated-conductor materials
     coat_alpha: jnp.ndarray = None   # (N,)
     coat_eta: jnp.ndarray = None     # (N,)
+    # hair: azimuthal offset h in [-1, 1] from the curve hit's v coordinate
+    h: jnp.ndarray = None
     # static set of tags actually present (None = all): dispatchers compile
     # only these branches (per-material kernel specialization, TPU-style)
     tags_present: tuple = struct.field(pytree_node=False, default=None)
@@ -321,6 +324,233 @@ def _dielectric_f_pdf(p: BSDFParams, wo, wi):
     return f, jnp.where(valid, pdf, 0.0)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hair BxDF (reference bxdfs.h:921 HairBxDF; Marschner 2003 decomposition
+# with Chiang 2016 azimuthal logistic lobes). Hair shading frame: +x along
+# the fiber (dpdu = curve tangent), the (y, z) plane is the normal plane.
+# Parameter packing in BSDFParams: albedo = spectral sigma_a, alpha_x =
+# beta_m, alpha_y = beta_n, eta = IOR, h = azimuthal offset (from the curve
+# hit's v coordinate), coat_eta slot unused, tilt alpha fixed at 2 degrees
+# (the reference's default).
+
+_P_MAX = 3
+_HAIR_ALPHA = np.deg2rad(2.0)
+
+
+def _i0(x):
+    """Modified Bessel I0, 10-term series (reference util/math.h I0)."""
+    val = jnp.zeros_like(x)
+    x2i = jnp.ones_like(x)
+    ifact = 1.0
+    i4 = 1.0
+    for i in range(10):
+        if i > 1:
+            ifact *= i
+        val = val + x2i / (i4 * ifact * ifact)
+        x2i = x2i * x * x
+        i4 *= 4.0
+    return val
+
+
+def _log_i0(x):
+    big = x + 0.5 * (-jnp.log(2.0 * np.pi) +
+                     jnp.log(safe_div(1.0, jnp.maximum(x, 1e-6))) +
+                     safe_div(1.0, 8.0 * jnp.maximum(x, 1e-6)))
+    return jnp.where(x > 12.0, big, jnp.log(jnp.maximum(_i0(x), 1e-30)))
+
+
+def _mp(cos_i, cos_o, sin_i, sin_o, v):
+    """Longitudinal scattering lobe (reference Mp, bxdfs.cpp)."""
+    a = cos_i * cos_o / v
+    b = sin_i * sin_o / v
+    small = jnp.exp(_log_i0(a) - b - safe_div(1.0, v) + 0.6931 +
+                    jnp.log(safe_div(1.0, 2.0 * v)))
+    big = safe_div(jnp.exp(-b) * _i0(a),
+                   jnp.sinh(safe_div(1.0, v)) * 2.0 * v)
+    return jnp.where(v <= 0.1, small, big)
+
+
+def _logistic(x, s):
+    x = jnp.abs(x)
+    e = jnp.exp(-x / s)
+    return safe_div(e, s * sqr(1.0 + e))
+
+
+def _logistic_cdf(x, s):
+    return 1.0 / (1.0 + jnp.exp(-x / s))
+
+
+def _trimmed_logistic(x, s, a, b):
+    return safe_div(_logistic(x, s),
+                    _logistic_cdf(b, s) - _logistic_cdf(a, s))
+
+
+def _sample_trimmed_logistic(u, s, a, b):
+    k = _logistic_cdf(b, s) - _logistic_cdf(a, s)
+    x = -s * jnp.log(safe_div(1.0, u * k + _logistic_cdf(a, s)) - 1.0)
+    return jnp.clip(x, a, b)
+
+
+def _phi_p(p, gamma_o, gamma_t):
+    return 2.0 * p * gamma_t - 2.0 * gamma_o + p * np.pi
+
+
+def _wrap_phi(dphi):
+    # wrap to [-pi, pi]
+    return dphi - 2.0 * np.pi * jnp.floor((dphi + np.pi) / (2.0 * np.pi))
+
+
+def _np_lobe(phi, p, s, gamma_o, gamma_t):
+    return _trimmed_logistic(_wrap_phi(phi - _phi_p(p, gamma_o, gamma_t)),
+                             s, -np.pi, np.pi)
+
+
+def _hair_vs(beta_m, beta_n):
+    v0 = sqr(0.726 * beta_m + 0.812 * sqr(beta_m) + 3.7 * beta_m ** 20)
+    vs = [v0, 0.25 * v0, 4.0 * v0, 4.0 * v0]
+    s_az = 0.626657069 * (0.265 * beta_n + 1.194 * sqr(beta_n) +
+                          5.372 * beta_n ** 22)
+    return vs, jnp.maximum(s_az, 1e-5)
+
+
+def _hair_tilt(sin_to, cos_to, p):
+    """Rotate (sin, cos) theta_o by the cuticle tilt for lobe p
+    (reference: -2a for R, +a for TT, +4a for TRT)."""
+    s1, c1 = np.sin(_HAIR_ALPHA), np.cos(_HAIR_ALPHA)
+    s2, c2 = np.sin(2 * _HAIR_ALPHA), np.cos(2 * _HAIR_ALPHA)
+    s4, c4 = np.sin(4 * _HAIR_ALPHA), np.cos(4 * _HAIR_ALPHA)
+    if p == 0:
+        so = sin_to * c2 - cos_to * s2
+        co = cos_to * c2 + sin_to * s2
+    elif p == 1:
+        so = sin_to * c1 + cos_to * s1
+        co = cos_to * c1 - sin_to * s1
+    elif p == 2:
+        so = sin_to * c4 + cos_to * s4
+        co = cos_to * c4 - sin_to * s4
+    else:
+        so, co = sin_to, cos_to
+    return so, jnp.abs(co)
+
+
+def _hair_geom(p: BSDFParams, wo):
+    sin_to = jnp.clip(wo[..., 0], -1.0, 1.0)
+    cos_to = safe_sqrt(1.0 - sqr(sin_to))
+    phi_o = jnp.arctan2(wo[..., 2], wo[..., 1])
+    eta = p.eta[..., 0]
+    h = jnp.clip(p.h, -1.0, 1.0) if p.h is not None else jnp.zeros_like(sin_to)
+    gamma_o = jnp.arcsin(h)
+    # refracted longitudinal/azimuthal angles
+    sin_tt = sin_to / eta
+    cos_tt = safe_sqrt(1.0 - sqr(sin_tt))
+    etap = safe_sqrt(sqr(eta) - sqr(sin_to)) / jnp.maximum(cos_to, 1e-6)
+    sin_gt = jnp.clip(h / jnp.maximum(etap, 1e-6), -1.0, 1.0)
+    cos_gt = safe_sqrt(1.0 - sqr(sin_gt))
+    gamma_t = jnp.arcsin(sin_gt)
+    return (sin_to, cos_to, phi_o, eta, h, gamma_o, sin_tt, cos_tt,
+            sin_gt, cos_gt, gamma_t)
+
+
+def _hair_ap(p: BSDFParams, cos_to, cos_tt, cos_gt, eta, h):
+    """Attenuations A_p (list of 4 spectra) (reference Ap, bxdfs.cpp)."""
+    sigma_a = p.albedo
+    T = jnp.exp(-sigma_a * (2.0 * cos_gt / jnp.maximum(cos_tt, 1e-6))[..., None])
+    cos_g = safe_sqrt(1.0 - sqr(h))
+    f = fr_dielectric(cos_to * cos_g, eta)[..., None]
+    ap0 = jnp.broadcast_to(f, T.shape)
+    ap1 = sqr(1.0 - f) * T
+    ap2 = ap1 * T * f
+    ap3 = safe_div(ap2 * f * T, jnp.maximum(1.0 - T * f, 1e-6))
+    return [ap0, ap1, ap2, ap3]
+
+
+def _hair_f_pdf(p: BSDFParams, wo, wi):
+    """(f, pdf) of the hair BxDF for given directions."""
+    (sin_to, cos_to, phi_o, eta, h, gamma_o, sin_tt, cos_tt, sin_gt,
+     cos_gt, gamma_t) = _hair_geom(p, wo)
+    sin_ti = jnp.clip(wi[..., 0], -1.0, 1.0)
+    cos_ti = safe_sqrt(1.0 - sqr(sin_ti))
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 1])
+    phi = phi_i - phi_o
+    vs, s_az = _hair_vs(p.alpha_x, p.alpha_y)
+    ap = _hair_ap(p, cos_to, cos_tt, cos_gt, eta, h)
+    # lobe-selection pdf weights: luminance-normalized attenuations
+    ap_lum = [jnp.mean(a, axis=-1) for a in ap]
+    lum_sum = jnp.maximum(sum(ap_lum), 1e-9)
+    f = jnp.zeros_like(p.albedo)
+    pdf = jnp.zeros_like(sin_to)
+    for lobe in range(_P_MAX):
+        so, co = _hair_tilt(sin_to, cos_to, lobe)
+        mp = _mp(cos_ti, co, sin_ti, so, vs[lobe])
+        np_l = _np_lobe(phi, lobe, s_az, gamma_o, gamma_t)
+        f = f + mp[..., None] * ap[lobe] * np_l[..., None]
+        pdf = pdf + mp * (ap_lum[lobe] / lum_sum) * np_l
+    mp3 = _mp(cos_ti, cos_to, sin_ti, sin_to, vs[3])
+    f = f + mp3[..., None] * ap[3] / (2.0 * np.pi)
+    pdf = pdf + mp3 * (ap_lum[3] / lum_sum) / (2.0 * np.pi)
+    abs_ci = jnp.maximum(vm.abs_cos_theta(wi), 1e-6)
+    f = f / abs_ci[..., None]
+    return f, pdf
+
+
+def _hair_sample(p: BSDFParams, wo, uc, u2):
+    """Sample wi ~ hair BxDF (reference HairBxDF::Sample_f)."""
+    (sin_to, cos_to, phi_o, eta, h, gamma_o, sin_tt, cos_tt, sin_gt,
+     cos_gt, gamma_t) = _hair_geom(p, wo)
+    vs, s_az = _hair_vs(p.alpha_x, p.alpha_y)
+    ap = _hair_ap(p, cos_to, cos_tt, cos_gt, eta, h)
+    ap_lum = [jnp.mean(a, axis=-1) for a in ap]
+    lum_sum = jnp.maximum(sum(ap_lum), 1e-9)
+    # choose lobe by attenuation luminance with uc
+    c0 = ap_lum[0] / lum_sum
+    c1 = c0 + ap_lum[1] / lum_sum
+    c2 = c1 + ap_lum[2] / lum_sum
+    lobe = jnp.where(uc < c0, 0, jnp.where(uc < c1, 1,
+                     jnp.where(uc < c2, 2, 3)))
+    # remap uc within the chosen lobe for the Mp sample
+    lo = jnp.where(lobe == 0, 0.0, jnp.where(lobe == 1, c0,
+                   jnp.where(lobe == 2, c1, c2)))
+    hi = jnp.where(lobe == 0, c0, jnp.where(lobe == 1, c1,
+                   jnp.where(lobe == 2, c2, 1.0)))
+    u0 = jnp.clip(safe_div(uc - lo, jnp.maximum(hi - lo, 1e-9)), 1e-5,
+                  1.0 - 1e-5)
+    # tilted outgoing angle per lobe
+    so_t = jnp.zeros_like(sin_to)
+    co_t = jnp.zeros_like(cos_to)
+    v_sel = jnp.zeros_like(sin_to)
+    for lb in range(4):
+        so, co = _hair_tilt(sin_to, cos_to, lb)
+        m = lobe == lb
+        so_t = jnp.where(m, so, so_t)
+        co_t = jnp.where(m, co, co_t)
+        v_sel = jnp.where(m, vs[lb], v_sel)
+    # sample Mp: cosTheta = 1 + v log(u + (1-u) e^{-2/v})
+    cos_theta = 1.0 + v_sel * jnp.log(
+        u0 + (1.0 - u0) * jnp.exp(-2.0 / jnp.maximum(v_sel, 1e-6)))
+    sin_theta = safe_sqrt(1.0 - sqr(cos_theta))
+    u1 = jnp.clip(u2[..., 0], 1e-5, 1.0 - 1e-5)
+    cos_phi_m = jnp.cos(2.0 * np.pi * u1)
+    sin_ti = -cos_theta * so_t + sin_theta * cos_phi_m * co_t
+    cos_ti = safe_sqrt(1.0 - sqr(sin_ti))
+    # azimuth
+    u_phi = jnp.clip(u2[..., 1], 1e-5, 1.0 - 1e-5)
+    dphi_log = _sample_trimmed_logistic(u_phi, s_az, -np.pi, np.pi)
+    phi_i = jnp.zeros_like(sin_to)
+    for lb in range(4):
+        m = lobe == lb
+        if lb < _P_MAX:
+            phi_i = jnp.where(m, phi_o + _phi_p(lb, gamma_o, gamma_t)
+                              + dphi_log, phi_i)
+        else:
+            phi_i = jnp.where(m, phi_o + 2.0 * np.pi * u_phi, phi_i)
+    wi = jnp.stack([sin_ti, cos_ti * jnp.cos(phi_i),
+                    cos_ti * jnp.sin(phi_i)], -1)
+    f, pdf = _hair_f_pdf(p, wo, wi)
+    return wi, f, pdf
+
+
 _F_PDF_FNS = {
     BXDF_DIFFUSE: _diffuse_f_pdf,
     BXDF_CONDUCTOR: _conductor_f_pdf,
@@ -328,6 +558,7 @@ _F_PDF_FNS = {
     BXDF_DIFFUSE_TRANSMISSION: _diffuse_transmission_f_pdf,
     BXDF_COATED_DIFFUSE: _coated_diffuse_f_pdf,
     BXDF_COATED_CONDUCTOR: _coated_conductor_f_pdf,
+    BXDF_HAIR: _hair_f_pdf,
 }
 
 
@@ -339,7 +570,7 @@ def _present(p: BSDFParams):
         return p.tags_present
     return (BXDF_DIFFUSE, BXDF_CONDUCTOR, BXDF_DIELECTRIC,
             BXDF_THIN_DIELECTRIC, BXDF_DIFFUSE_TRANSMISSION,
-            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR)
+            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR, BXDF_HAIR)
 
 
 def bsdf_f(p: BSDFParams, wo, wi):
@@ -527,6 +758,10 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
         f_cc, pdf_cc = _coated_conductor_f_pdf(p, wo, wi_cc)
         sel(BXDF_COATED_CONDUCTOR, wi_cc, f_cc, pdf_cc, False, False, 1.0,
             False)
+
+    if BXDF_HAIR in present:
+        wi_h, f_h, pdf_h = _hair_sample(p, wo, uc, u2)
+        sel(BXDF_HAIR, wi_h, f_h, pdf_h, False, False, 1.0, False)
 
     if BXDF_THIN_DIELECTRIC in present:
         # reference ThinDielectricBxDF, bxdfs.h:209

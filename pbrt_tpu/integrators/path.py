@@ -48,6 +48,19 @@ def _to_world(ns, t1, t2, w):
     return w[..., 0:1] * t1 + w[..., 1:2] * t2 + w[..., 2:3] * ns
 
 
+def _shading_frame(ns, dpdu):
+    """Orthonormal (t1, t2) with t1 along dpdu projected off ns (reference
+    SurfaceInteraction shading frame; required for anisotropic BSDFs and
+    the hair BxDF, whose +x axis must be the curve tangent)."""
+    t1 = dpdu - vm.dot(dpdu, ns)[..., None] * ns
+    bad = vm.length_squared(t1) < 1e-12
+    t1f, _ = vm.coordinate_system(ns)
+    t1 = jnp.where(bad[..., None], t1f, t1)
+    t1 = vm.normalize(t1)
+    t2 = vm.cross(ns, t1)
+    return t1, t2
+
+
 def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                 sample_index, o, d, swl: spc.SampledWavelengths,
                 opts: PathOptions, cone_spread=None):
@@ -165,7 +178,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         ns = mtl.apply_normal_mapping(scene.materials, scene.textures,
                                       mat_res, isect)
         ng = isect["ng"]
-        t1, t2 = vm.coordinate_system(ns)
+        t1, t2 = _shading_frame(ns, isect["dpdu"])
         wo_local = _to_local(ns, t1, t2, isect["wo"])
         # uv-space footprint of the cone (for MIP selection): cone width
         # projected through the parametric derivatives

@@ -111,6 +111,21 @@ class MaterialBuilder:
         """Attach a float roughness texture (overrides u/v roughness)."""
         self.rows[mat]["rough_tex"] = rough_tex
 
+    def add_hair(self, sigma_a=(0.06, 0.1, 0.2), beta_m=0.3, beta_n=0.3,
+                 eta=1.55):
+        """Hair fiber material (reference HairBxDF bxdfs.h:921 /
+        \"hair\" material). sigma_a: absorption per unit width (RGB,
+        unbounded); beta_m/beta_n: longitudinal/azimuthal roughness."""
+        sa = np.asarray(sigma_a, np.float32)
+        m = max(float(sa.max()), 1e-6)
+        scale = 2.0 * m if m > 1.0 else 1.0
+        return self._add(bxdf_tag=bxdfs.BXDF_HAIR,
+                         trans_coeffs=self.cs.to_spectrum_coeffs(sa / scale),
+                         mix_amount=scale,
+                         uroughness=float(np.clip(beta_m, 1e-3, 1.0)),
+                         vroughness=float(np.clip(beta_n, 1e-3, 1.0)),
+                         eta_const=eta, remap_roughness=False)
+
     def add_diffuse(self, reflectance=(0.5, 0.5, 0.5), albedo_tex=-1):
         return self._add(bxdf_tag=bxdfs.BXDF_DIFFUSE,
                          albedo_coeffs=self.cs.to_spectrum_coeffs(np.asarray(reflectance)),
@@ -323,9 +338,19 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
         k = ones
     # diffuse-transmission stores transmittance in the k slot (see bxdfs)
     k = jnp.where((tag == bxdfs.BXDF_DIFFUSE_TRANSMISSION)[..., None], trans, k)
+    # hair: spectral sigma_a (unbounded: trans coeffs x stored scale) in
+    # the albedo slot; azimuthal offset h from the curve hit's v coordinate
+    h = None
+    if pool.bxdf_tags_present is None or \
+            bxdfs.BXDF_HAIR in (pool.bxdf_tags_present or ()):
+        sigma_a = trans * rows[..., 19:20]  # mix_amount slot = scale
+        albedo = jnp.where((tag == bxdfs.BXDF_HAIR)[..., None], sigma_a,
+                           albedo)
+        if uv is not None:
+            h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
     coat_alpha = rows[..., 20] if pool.has_coated_conductor else None
     coat_eta = rows[..., 21] if pool.has_coated_conductor else None
     return bxdfs.BSDFParams(tag=tag, albedo=albedo, alpha_x=ax, alpha_y=ay,
                             eta=eta, k=k, coat_alpha=coat_alpha,
-                            coat_eta=coat_eta,
+                            coat_eta=coat_eta, h=h,
                             tags_present=pool.bxdf_tags_present)

@@ -168,6 +168,7 @@ def bvh_intersect_curves(nodes, seg_rows_ordered, o, d, t_max,
     u_best = jnp.zeros((N,), jnp.float32)
     v_best = jnp.zeros((N,), jnp.float32)
     n_best = jnp.zeros((N, 3), jnp.float32)
+    ax_best = jnp.zeros((N, 3), jnp.float32)
     id_best = jnp.full((N,), -1, jnp.int32)
     rows_i = jnp.arange(N)
 
@@ -178,7 +179,7 @@ def bvh_intersect_curves(nodes, seg_rows_ordered, o, d, t_max,
 
     def body(state):
         (active, current, sp, stack, t_best, found, u_best, v_best, n_best,
-         id_best) = state
+         ax_best, id_best) = state
         node_lo, node_hi, roff, nprim, axis = bvh_mod._unpack_node(
             nodes[current])
         box_hit, _ = vm.ray_bounds_intersect_p(o, inv_d, t_best, node_lo,
@@ -197,6 +198,9 @@ def bvh_intersect_curves(nodes, seg_rows_ordered, o, d, t_max,
             u_best = jnp.where(better, r["u"], u_best)
             v_best = jnp.where(better, r["v"], v_best)
             n_best = jnp.where(better[:, None], r["n"], n_best)
+            ax_best = jnp.where(better[:, None],
+                                vm.normalize(seg[:, 3:6] - seg[:, 0:3]),
+                                ax_best)
             id_best = jnp.where(better, f32_to_i32(seg[:, 14]), id_best)
         if any_hit:
             active = active & ~found
@@ -217,11 +221,12 @@ def bvh_intersect_curves(nodes, seg_rows_ordered, o, d, t_max,
         current = jnp.where(
             do_pop, stack[rows_i, jnp.clip(sp, 0, STACK_DEPTH - 1)], current)
         return (active, current, sp, stack, t_best, found, u_best, v_best,
-                n_best, id_best)
+                n_best, ax_best, id_best)
 
     state = (active, current, sp, stack, t_best, found, u_best, v_best,
-             n_best, id_best)
+             n_best, ax_best, id_best)
     state = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, t_best, found, u_best, v_best, n_best, id_best) = state
+    (_, _, _, _, t_best, found, u_best, v_best, n_best, ax_best,
+     id_best) = state
     return dict(hit=found, t=jnp.where(found, t_best, jnp.inf), u=u_best,
-                v=v_best, n=n_best, curve_id=id_best)
+                v=v_best, n=n_best, axis=ax_best, curve_id=id_best)

@@ -328,6 +328,16 @@ def parse_string(text, base_dir=".", light_sampler="power",
         urough = resolve_float_or_texture(ps, "uroughness", None)
         vrough = resolve_float_or_texture(ps, "vroughness", None)
         remap = ps.bool("remaproughness", True)
+        if name == "hair":
+            sig = ps.rgb("sigma_a", None)
+            if sig is None:
+                # reference defaults via eumelanin concentration 1.3
+                sig = (0.227, 0.419, 0.805)
+            return b.materials.add_hair(
+                sigma_a=sig,
+                beta_m=ps.float("beta_m", 0.3),
+                beta_n=ps.float("beta_n", 0.3),
+                eta=ps.float("eta", 1.55))
         if name in ("diffuse", "matte"):
             refl = ps.rgb("reflectance", None)
             if refl is None:

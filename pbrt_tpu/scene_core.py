@@ -918,7 +918,10 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
     cid = jnp.maximum(rc["curve_id"], 0)
     mat_c = scene.curve_mats[jnp.clip(cid, 0,
                                       scene.curve_mats.shape[0] - 1)]
-    t1c, t2c = vm.coordinate_system(n_c)
+    # dpdu = curve tangent (the hair BxDF's +x axis must be the fiber
+    # direction); dpdv completes the frame across the width
+    dpdu_c = rc["axis"]
+    dpdv_c = vm.normalize(vm.cross(n_c, dpdu_c))
     return dict(out,
                 hit=out["hit"] | hit_c,
                 t=jnp.where(hit_c, rc["t"], out["t"]),
@@ -927,8 +930,8 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
                 ng=jnp.where(h, n_c, out["ng"]),
                 ns=jnp.where(h, n_c, out["ns"]),
                 uv=jnp.where(h, uv_c, out["uv"]),
-                dpdu=jnp.where(h, t1c, out["dpdu"]),
-                dpdv=jnp.where(h, t2c, out["dpdv"]),
+                dpdu=jnp.where(h, dpdu_c, out["dpdu"]),
+                dpdv=jnp.where(h, dpdv_c, out["dpdv"]),
                 mat=jnp.where(hit_c, mat_c, out["mat"]),
                 light=jnp.where(hit_c, -1, out["light"]))
 
