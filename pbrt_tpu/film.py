@@ -110,10 +110,17 @@ def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
 
 @struct.dataclass
 class Film:
-    """RGB film accumulation buffers, (H*W, 3) + weight (H*W,)."""
+    """RGB film accumulation buffers, (H*W, 3) + weight (H*W,).
+
+    lum_sum/lum_sq_sum feed the per-pixel VarianceEstimator channels the
+    reference's GBufferFilm exposes (film.h:319) — luminance first/second
+    moments over samples."""
     rgb_sum: jnp.ndarray     # (HW, 3) weighted sensor-RGB sum
     weight_sum: jnp.ndarray  # (HW,)
     splat_sum: jnp.ndarray   # (HW, 3)
+    lum_sum: jnp.ndarray     # (HW,)
+    lum_sq_sum: jnp.ndarray  # (HW,)
+    n_samples: jnp.ndarray   # (HW,)
     width: int = struct.field(pytree_node=False)
     height: int = struct.field(pytree_node=False)
 
@@ -123,6 +130,9 @@ def make_film(width, height) -> Film:
     return Film(rgb_sum=jnp.zeros((hw, 3), jnp.float32),
                 weight_sum=jnp.zeros((hw,), jnp.float32),
                 splat_sum=jnp.zeros((hw, 3), jnp.float32),
+                lum_sum=jnp.zeros((hw,), jnp.float32),
+                lum_sq_sum=jnp.zeros((hw,), jnp.float32),
+                n_samples=jnp.zeros((hw,), jnp.float32),
                 width=width, height=height)
 
 
@@ -132,9 +142,30 @@ def add_samples(film: Film, pixel_index, rgb, weight) -> Film:
     pixel_index: (N,) int32 flat pixel ids; rgb: (N, 3); weight: (N,).
     """
     rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)  # nan scrub like reference
+    lum = 0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]
     return film.replace(
         rgb_sum=film.rgb_sum.at[pixel_index].add(rgb * weight[:, None]),
-        weight_sum=film.weight_sum.at[pixel_index].add(weight))
+        weight_sum=film.weight_sum.at[pixel_index].add(weight),
+        lum_sum=film.lum_sum.at[pixel_index].add(lum),
+        lum_sq_sum=film.lum_sq_sum.at[pixel_index].add(lum * lum),
+        n_samples=film.n_samples.at[pixel_index].add(1.0))
+
+
+def get_variance_image(film: Film) -> np.ndarray:
+    """(H, W) per-pixel sample variance of luminance (the reference
+    GBufferFilm's VarianceEstimator channel, film.h:319)."""
+    n = np.maximum(np.asarray(film.n_samples), 1.0)
+    mean = np.asarray(film.lum_sum) / n
+    ex2 = np.asarray(film.lum_sq_sum) / n
+    var = np.maximum(ex2 - mean * mean, 0.0) * n / np.maximum(n - 1, 1.0)
+    return var.reshape(film.height, film.width).astype(np.float32)
+
+
+def get_relative_variance_image(film: Film) -> np.ndarray:
+    var = get_variance_image(film)
+    n = np.maximum(np.asarray(film.n_samples), 1.0)
+    mean = (np.asarray(film.lum_sum) / n).reshape(var.shape)
+    return (var / np.maximum(mean * mean, 1e-12)).astype(np.float32)
 
 
 def add_splats(film: Film, pixel_index, rgb) -> Film:
@@ -149,6 +180,9 @@ def save_checkpoint(film: Film, path, waves_done: int):
     np.savez(path, rgb_sum=np.asarray(film.rgb_sum),
              weight_sum=np.asarray(film.weight_sum),
              splat_sum=np.asarray(film.splat_sum),
+             lum_sum=np.asarray(film.lum_sum),
+             lum_sq_sum=np.asarray(film.lum_sq_sum),
+             n_samples=np.asarray(film.n_samples),
              width=film.width, height=film.height,
              waves_done=int(waves_done))
 
@@ -159,6 +193,9 @@ def load_checkpoint(path):
     film = Film(rgb_sum=jnp.asarray(z["rgb_sum"]),
                 weight_sum=jnp.asarray(z["weight_sum"]),
                 splat_sum=jnp.asarray(z["splat_sum"]),
+                lum_sum=jnp.asarray(z["lum_sum"]),
+                lum_sq_sum=jnp.asarray(z["lum_sq_sum"]),
+                n_samples=jnp.asarray(z["n_samples"]),
                 width=int(z["width"]), height=int(z["height"]))
     return film, int(z["waves_done"])
 

@@ -82,3 +82,63 @@ def add_spectral_samples(buckets_sum, buckets_w, pixel_idx, L, swl, n_buckets):
         buckets_sum = buckets_sum.at[pixel_idx, b[:, k]].add(w[:, k])
         buckets_w = buckets_w.at[pixel_idx, b[:, k]].add(1.0)
     return buckets_sum, buckets_w
+
+
+def render_spectral(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
+                    n_buckets=16, max_depth=5):
+    """Full spectral render into wavelength buckets (reference SpectralFilm,
+    film.h:401). Returns (buckets (H, W, B) mean radiance, edges (B+1,))."""
+    from . import path as path_mod
+    from .. import filters as flt
+    W, H = camera.width, camera.height
+    sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
+    filt = flt.make_filter("box")
+    edges = spectral_film_buckets(n_buckets)
+    hw = W * H
+    bsum = jnp.zeros((hw, n_buckets), jnp.float32)
+    bw = jnp.zeros((hw, n_buckets), jnp.float32)
+    pix = jnp.arange(hw, dtype=jnp.int32)
+    opts = path_mod.PathOptions(max_depth=max_depth)
+
+    @jax.jit
+    def wave(bsum, bw, s):
+        L, swl, _ = path_mod.render_wave(scene, camera, sampler, filt, pix,
+                                         jnp.full((hw,), s, jnp.int32),
+                                         opts)
+        return add_spectral_samples(bsum, bw, pix, L, swl, n_buckets)
+
+    for s in range(spp):
+        bsum, bw = wave(bsum, bw, jnp.int32(s))
+    out = np.asarray(bsum) / np.maximum(np.asarray(bw), 1.0)
+    return out.reshape(H, W, n_buckets), edges
+
+
+def write_spectral_exr(path, buckets, edges):
+    """EXR with one channel per wavelength bucket, named like the
+    reference's SpectralFilm output (S.<lo>-<hi>nm)."""
+    from ..utils import image as pimg
+    chans = {}
+    for i in range(buckets.shape[-1]):
+        chans[f"S.{edges[i]:.0f}-{edges[i + 1]:.0f}nm"] = buckets[..., i]
+    pimg.write_exr_channels(path, chans)
+
+
+def write_gbuffer_exr(path, aovs, variance=None, rel_variance=None):
+    """Multi-channel G-buffer EXR (reference GBufferFilm::WriteImage):
+    P.{X,Y,Z}, N/Ns.{X,Y,Z}, u, v, z, Albedo.{R,G,B} [+ Variance]."""
+    from ..utils import image as pimg
+    ch = {}
+    for i, ax in enumerate("XYZ"):
+        ch[f"P.{ax}"] = aovs["p"][..., i]
+        ch[f"N.{ax}"] = aovs["n"][..., i]
+        ch[f"Ns.{ax}"] = aovs["ns"][..., i]
+    ch["u"] = aovs["uv"][..., 0]
+    ch["v"] = aovs["uv"][..., 1]
+    ch["z"] = aovs["z"]
+    for i, c in enumerate("RGB"):
+        ch[f"Albedo.{c}"] = aovs["albedo"][..., i]
+    if variance is not None:
+        ch["Variance"] = variance
+    if rel_variance is not None:
+        ch["RelativeVariance"] = rel_variance
+    pimg.write_exr_channels(path, ch)

@@ -119,10 +119,21 @@ def read_png(path) -> np.ndarray:
 # Minimal EXR (float32 scanline, zip-compressed, RGB)
 
 def write_exr(path, img: np.ndarray):
-    """Minimal single-part scanline EXR, float32 RGB, zip compression (16-line
-    blocks would be 'ZIP'; we use per-scanline 'ZIPS' for simplicity)."""
+    """Minimal single-part scanline EXR, float32 RGB, ZIPS compression."""
     img = np.asarray(img, np.float32)
-    h, w = img.shape[:2]
+    write_exr_channels(path, {"R": img[..., 0], "G": img[..., 1],
+                              "B": img[..., 2]})
+
+
+def write_exr_channels(path, channels: dict):
+    """Multi-channel float32 EXR (named channels — the role of the
+    reference's GBufferFilm / SpectralFilm EXR outputs, film.h:319/401).
+
+    channels: {name: (H, W) float32}; channel order in the file follows
+    EXR's required alphabetical order."""
+    names = sorted(channels.keys())
+    arrs = [np.asarray(channels[n], np.float32) for n in names]
+    h, w = arrs[0].shape[:2]
 
     def attr(name, typ, data):
         return name.encode() + b"\x00" + typ.encode() + b"\x00" + \
@@ -131,7 +142,7 @@ def write_exr(path, img: np.ndarray):
     def chan(name):
         return name.encode() + b"\x00" + pystruct.pack("<iiii", 2, 0, 1, 1)
 
-    chans = chan("B") + chan("G") + chan("R") + b"\x00"
+    chans = b"".join(chan(n) for n in names) + b"\x00"
     hdr = b"\x76\x2f\x31\x01" + pystruct.pack("<I", 2)
     hdr += attr("channels", "chlist", chans)
     hdr += attr("compression", "compression", bytes([4]))  # ZIPS
@@ -144,11 +155,9 @@ def write_exr(path, img: np.ndarray):
     hdr += attr("screenWindowWidth", "float", pystruct.pack("<f", 1.0))
     hdr += b"\x00"
 
-    # scanline blocks: one line each, channels in alphabetical order B, G, R
     blocks = []
     for y in range(h):
-        raw = np.concatenate([img[y, :, 2], img[y, :, 1], img[y, :, 0]]).astype("<f4").tobytes()
-        # EXR zip predictor: reorder + delta
+        raw = np.concatenate([a[y] for a in arrs]).astype("<f4").tobytes()
         rb = _exr_predictor_encode(raw)
         comp = zlib.compress(rb)
         if len(comp) >= len(raw):
@@ -162,7 +171,8 @@ def write_exr(path, img: np.ndarray):
     for b in blocks:
         offsets.append(pos)
         pos += len(b)
-    out = hdr + b"".join(pystruct.pack("<Q", o) for o in offsets) + b"".join(blocks)
+    out = hdr + b"".join(pystruct.pack("<Q", o) for o in offsets) + \
+        b"".join(blocks)
     Path(path).write_bytes(out)
 
 
