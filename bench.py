@@ -10,8 +10,11 @@ this machine; the 64-core baseline is the linear extrapolation 8.90 Mpaths/s
 (optimistic for the reference). vs_baseline = value / 8.903751e6.
 """
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 
 def main():

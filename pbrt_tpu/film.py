@@ -110,29 +110,43 @@ def sensor_to_sensor_rgb(sensor: PixelSensor, L, swl: SampledWavelengths):
 
 @struct.dataclass
 class Film:
-    """RGB film accumulation buffers, (H*W, 3) + weight (H*W,).
+    """Film accumulation: ONE (H*W, 8) tensor so a sample wave costs one
+    fused scatter-add (profiled: separate buffers = separate TPU scatter
+    kernels, ~2.5ms each per wave).
 
-    lum_sum/lum_sq_sum feed the per-pixel VarianceEstimator channels the
-    reference's GBufferFilm exposes (film.h:319) — luminance first/second
-    moments over samples."""
-    rgb_sum: jnp.ndarray     # (HW, 3) weighted sensor-RGB sum
-    weight_sum: jnp.ndarray  # (HW,)
+    accum columns: [rgb_sum(3), weight_sum, lum_sum, lum_sq_sum,
+    n_samples, pad]. lum moments feed the per-pixel VarianceEstimator
+    channels of the reference GBufferFilm (film.h:319)."""
+    accum: jnp.ndarray       # (HW, 8)
     splat_sum: jnp.ndarray   # (HW, 3)
-    lum_sum: jnp.ndarray     # (HW,)
-    lum_sq_sum: jnp.ndarray  # (HW,)
-    n_samples: jnp.ndarray   # (HW,)
     width: int = struct.field(pytree_node=False)
     height: int = struct.field(pytree_node=False)
+
+    @property
+    def rgb_sum(self):
+        return self.accum[:, 0:3]
+
+    @property
+    def weight_sum(self):
+        return self.accum[:, 3]
+
+    @property
+    def lum_sum(self):
+        return self.accum[:, 4]
+
+    @property
+    def lum_sq_sum(self):
+        return self.accum[:, 5]
+
+    @property
+    def n_samples(self):
+        return self.accum[:, 6]
 
 
 def make_film(width, height) -> Film:
     hw = width * height
-    return Film(rgb_sum=jnp.zeros((hw, 3), jnp.float32),
-                weight_sum=jnp.zeros((hw,), jnp.float32),
+    return Film(accum=jnp.zeros((hw, 8), jnp.float32),
                 splat_sum=jnp.zeros((hw, 3), jnp.float32),
-                lum_sum=jnp.zeros((hw,), jnp.float32),
-                lum_sq_sum=jnp.zeros((hw,), jnp.float32),
-                n_samples=jnp.zeros((hw,), jnp.float32),
                 width=width, height=height)
 
 
@@ -143,12 +157,11 @@ def add_samples(film: Film, pixel_index, rgb, weight) -> Film:
     """
     rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)  # nan scrub like reference
     lum = 0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]
-    return film.replace(
-        rgb_sum=film.rgb_sum.at[pixel_index].add(rgb * weight[:, None]),
-        weight_sum=film.weight_sum.at[pixel_index].add(weight),
-        lum_sum=film.lum_sum.at[pixel_index].add(lum),
-        lum_sq_sum=film.lum_sq_sum.at[pixel_index].add(lum * lum),
-        n_samples=film.n_samples.at[pixel_index].add(1.0))
+    row = jnp.concatenate([
+        rgb * weight[:, None], weight[:, None], lum[:, None],
+        (lum * lum)[:, None], jnp.ones_like(lum)[:, None],
+        jnp.zeros_like(lum)[:, None]], axis=1)
+    return film.replace(accum=film.accum.at[pixel_index].add(row))
 
 
 def get_variance_image(film: Film) -> np.ndarray:
@@ -177,12 +190,8 @@ def save_checkpoint(film: Film, path, waves_done: int):
     """Persist film accumulators so a killed render can resume (role of the
     reference's partial-image checkpointing, options.h:42
     --write-partial-images / cpu render recovery)."""
-    np.savez(path, rgb_sum=np.asarray(film.rgb_sum),
-             weight_sum=np.asarray(film.weight_sum),
+    np.savez(path, accum=np.asarray(film.accum),
              splat_sum=np.asarray(film.splat_sum),
-             lum_sum=np.asarray(film.lum_sum),
-             lum_sq_sum=np.asarray(film.lum_sq_sum),
-             n_samples=np.asarray(film.n_samples),
              width=film.width, height=film.height,
              waves_done=int(waves_done))
 
@@ -190,12 +199,8 @@ def save_checkpoint(film: Film, path, waves_done: int):
 def load_checkpoint(path):
     """Returns (Film, waves_done). Raises on shape mismatch upstream."""
     z = np.load(path)
-    film = Film(rgb_sum=jnp.asarray(z["rgb_sum"]),
-                weight_sum=jnp.asarray(z["weight_sum"]),
+    film = Film(accum=jnp.asarray(z["accum"]),
                 splat_sum=jnp.asarray(z["splat_sum"]),
-                lum_sum=jnp.asarray(z["lum_sum"]),
-                lum_sq_sum=jnp.asarray(z["lum_sq_sum"]),
-                n_samples=jnp.asarray(z["n_samples"]),
                 width=int(z["width"]), height=int(z["height"]))
     return film, int(z["waves_done"])
 

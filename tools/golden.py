@@ -13,8 +13,11 @@ Exits non-zero on regression. One line of JSON per scene.
 """
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
