@@ -29,6 +29,7 @@ BXDF_DIFFUSE_TRANSMISSION = 4
 BXDF_COATED_DIFFUSE = 5
 BXDF_COATED_CONDUCTOR = 6
 BXDF_HAIR = 7
+BXDF_SUBSURFACE = 8  # handled by the integrator's BSSRDF stage, not a lobe
 
 # flags (reference base/bxdf.h BxDFFlags)
 FLAG_REFLECTION = 1
@@ -549,6 +550,20 @@ def _hair_sample(p: BSDFParams, wo, uc, u2):
                     cos_ti * jnp.sin(phi_i)], -1)
     f, pdf = _hair_f_pdf(p, wo, wi)
     return wi, f, pdf
+
+
+def fresnel_moment1(eta):
+    """First moment of the Fresnel reflectance (reference FresnelMoment1,
+    bssrdf.cpp polynomial fits)."""
+    eta2 = eta * eta
+    eta3 = eta2 * eta
+    eta4 = eta3 * eta
+    eta5 = eta4 * eta
+    lo = (0.45966 - 1.73965 * eta + 3.37668 * eta2 - 3.904945 * eta3
+          + 2.49277 * eta4 - 0.68441 * eta5)
+    hi = (-4.61686 + 11.1136 * eta - 10.4646 * eta2 + 5.11455 * eta3
+          - 1.27198 * eta4 + 0.12746 * eta5)
+    return jnp.where(eta < 1.0, lo, hi)
 
 
 _F_PDF_FNS = {

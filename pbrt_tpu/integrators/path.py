@@ -26,11 +26,11 @@ from .. import cameras as cam_mod
 from .. import filters as flt
 from ..utils import vecmath as vm
 from ..utils import spectrum as spc
-from ..utils.math import power_heuristic, safe_div
+from ..utils.math import power_heuristic, safe_div, sqr
 
 # sampler dimension layout (camera: 0-4, lambda: 5, then 7 dims per bounce)
 _CAM_DIMS = 6
-_DIMS_PER_BOUNCE = 7
+_DIMS_PER_BOUNCE = 11  # +4 dims for the BSSRDF stage (entry, r, phi, ch)
 
 
 @struct.dataclass
@@ -189,6 +189,103 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"],
                                  spec_cache=spec_cache, footprint=footprint)
+
+
+        # --- BSSRDF stage (reference bssrdf.h:105 + wavefront
+        # subsurface.cpp): subsurface lanes teleport to a probed exit
+        # point, weighted by the Burley normalized-diffusion profile
+        # Sp(r)/pdf, then shade as a normalized-Fresnel (diffuse) lobe.
+        if scene.materials.has_subsurface:
+            is_sss = (bp.tag == bxdfs.BXDF_SUBSURFACE) & active
+            base_s = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
+            u_ent = smp.sample_1d(sampler, px, py, sample_index, base_s + 7)
+            u_ch = smp.sample_1d(sampler, px, py, sample_index, base_s + 8)
+            u_rp = smp.sample_2d(sampler, px, py, sample_index, base_s + 9)
+            eta_s = bp.eta[..., 0]
+            Fr_in = bxdfs.fr_dielectric(wo_local[..., 2], eta_s)
+            enter = is_sss & (u_ent >= Fr_in)
+            mirror = is_sss & ~enter
+            # spectral diffusion radii d (4,) from the k slot
+            d_spec = jnp.maximum(bp.k, 1e-6)
+            # channel choice (uniform over 4) + two-exponential radius
+            ch = jnp.clip((u_ch * 4.0).astype(jnp.int32), 0, 3)
+            oh = (ch[..., None] == jnp.arange(4, dtype=jnp.int32))
+            d_c = jnp.sum(d_spec * oh, axis=-1)
+            u_r = u_rp[..., 0]
+            # radial pdf: 1/4 Exp(1/d) + 3/4 Exp(1/(3d))  (Burley profile)
+            pick3e = u_r < 0.25
+            u_e = jnp.where(pick3e, u_r / 0.25, (u_r - 0.25) / 0.75)
+            u_e = jnp.clip(u_e, 1e-6, 1.0 - 1e-6)
+            r_s = jnp.where(pick3e, -d_c * jnp.log(1.0 - u_e),
+                            -3.0 * d_c * jnp.log(1.0 - u_e))
+            r_max = 12.0 * d_c
+            r_s = jnp.minimum(r_s, r_max)
+            phi_s = 2.0 * np.pi * u_rp[..., 1]
+            # probe ray: disk point above the surface, cast along -ns
+            h_probe = jnp.sqrt(jnp.maximum(sqr(r_max) - sqr(r_s), 1e-12))
+            p_disk = isect["p"] + r_s[..., None] * (
+                jnp.cos(phi_s)[..., None] * t1 +
+                jnp.sin(phi_s)[..., None] * t2) + h_probe[..., None] * ns
+            probe = sc.intersect(scene, p_disk, -ns,
+                                 jnp.full((N,), 1.0) * (2.0 * h_probe))
+            same_mat = probe["mat"] == mat_res
+            found = enter & probe["hit"] & same_mat
+            # actual entry->exit distance; profile + combined-channel pdf
+            r_hit = vm.length(probe["p"] - isect["p"])
+            r_eval = jnp.maximum(r_hit, 1e-6)
+
+            def _profile(r, dd):
+                # Sr(r) * 2*pi*r (radial density), per channel
+                return 0.25 / dd * (jnp.exp(-r / dd) +
+                                    jnp.exp(-r / (3.0 * dd)))
+
+            sp_r = _profile(r_eval[..., None], d_spec)      # (N, 4)
+            pdf_r = jnp.mean(sp_r, axis=-1)                 # channel MIS
+            cos_axis = jnp.abs(vm.dot(probe["ng"], ns))
+            w_sp = safe_div(sp_r, (pdf_r * jnp.maximum(cos_axis, 0.1)
+                                   )[..., None])
+            A_alb = bp.albedo
+            w_sp = w_sp * A_alb  # diffuse albedo of the profile
+            beta = jnp.where(found[..., None], beta * w_sp, beta)
+            # entry that found no exit terminates (reference: no probe
+            # intersection -> path break)
+            active = active & ~(enter & ~found)
+            # teleport shading point to the exit
+            tele = found[..., None]
+            p_new = probe["p"]
+            ns_new = jnp.where(vm.dot(probe["ns"], ns)[..., None] < 0,
+                               -probe["ns"], probe["ns"])
+            isect = dict(isect,
+                         p=jnp.where(tele, p_new, isect["p"]),
+                         ns=jnp.where(tele, ns_new, isect["ns"]),
+                         ng=jnp.where(tele, ns_new, isect["ng"]))
+            ns = jnp.where(tele, ns_new, ns)
+            ng = jnp.where(tele, ns_new, ng)
+            t1n, t2n = vm.coordinate_system(ns_new)
+            t1 = jnp.where(tele, t1n, t1)
+            t2 = jnp.where(tele, t2n, t2)
+            # exit lobe: normalized Fresnel ~ diffuse with albedo
+            # (1 - 2 c1(1/eta))^-1-normalized transmission; fold the
+            # normalization into a white-ish diffuse albedo
+            c_norm = jnp.maximum(1.0 - 2.0 *
+                                 bxdfs.fresnel_moment1(1.0 / eta_s), 1e-3)
+            alb_exit = jnp.clip((1.0 - Fr_in) / c_norm, 0.0, 1.0)
+            tag_new = jnp.where(found, bxdfs.BXDF_DIFFUSE,
+                       jnp.where(mirror, bxdfs.BXDF_CONDUCTOR, bp.tag))
+            bp = bp.replace(
+                tag=tag_new,
+                albedo=jnp.where(tele, alb_exit[..., None] *
+                                 jnp.ones_like(bp.albedo), bp.albedo),
+                # mirror lanes: smooth conductor with F ~= 1 (the entry
+                # reflection was already selected with probability Fr)
+                alpha_x=jnp.where(mirror, 0.0, bp.alpha_x),
+                alpha_y=jnp.where(mirror, 0.0, bp.alpha_y),
+                eta=jnp.where(mirror[..., None], 1.0, bp.eta),
+                k=jnp.where(mirror[..., None], 1e4, bp.k))
+            # refresh wo in the exit frame (wo = -probe direction = +ns)
+            wo_world = jnp.where(tele, ns, isect["wo"])
+            isect = dict(isect, wo=wo_world)
+            wo_local = _to_local(ns, t1, t2, wo_world)
 
         # --- NEE ---
         if scene.light_sampler.n_lights > 0:

@@ -43,6 +43,7 @@ class MaterialPool:
     has_rough_tex: bool = struct.field(pytree_node=False, default=False)
     has_coated_conductor: bool = struct.field(pytree_node=False,
                                               default=False)
+    has_subsurface: bool = struct.field(pytree_node=False, default=False)
     # static set of BxDF tags in the pool (Mix resolved to sub-materials):
     # bsdf_f/sample compile ONLY these branches (the TPU analog of the
     # reference wavefront's per-material kernel split, integrator.h:139)
@@ -110,6 +111,26 @@ class MaterialBuilder:
     def set_roughness_texture(self, mat: int, rough_tex: int):
         """Attach a float roughness texture (overrides u/v roughness)."""
         self.rows[mat]["rough_tex"] = rough_tex
+
+    def add_subsurface(self, reflectance=(0.8, 0.6, 0.5), mfp=(0.1, 0.1, 0.1),
+                       eta=1.33):
+        """Subsurface material (reference \"subsurface\" +
+        TabulatedBSSRDF, bssrdf.h:105). TPU substitution: the Burley
+        normalized-diffusion profile (Christensen-Burley 2015) replaces
+        the photon-beam-diffusion tables — closed-form Sr(r), exactly
+        invertible sampling (two-exponential mixture), no table gathers.
+        reflectance: diffuse surface albedo A; mfp: per-channel mean free
+        path length `d` scale (world units)."""
+        A = np.clip(np.asarray(reflectance, np.float32), 0.0, 1.0)
+        # Burley fit: s = 1.85 - A + 7|A - 0.8|^3  (searchlight config)
+        s_fit = 1.85 - A + 7.0 * np.abs(A - 0.8) ** 3
+        d = np.asarray(mfp, np.float32) / np.maximum(s_fit, 1e-4)
+        return self._add(bxdf_tag=bxdfs.BXDF_SUBSURFACE,
+                         albedo_coeffs=self.cs.to_spectrum_coeffs(A),
+                         trans_coeffs=self.cs.to_spectrum_coeffs(
+                             d / max(float(d.max()), 1e-6)),
+                         mix_amount=float(d.max()),  # d scale
+                         eta_const=eta, remap_roughness=False)
 
     def add_hair(self, sigma_a=(0.06, 0.1, 0.2), beta_m=0.3, beta_n=0.3,
                  eta=1.55):
@@ -208,8 +229,13 @@ class MaterialBuilder:
             has_rough_tex=bool((col("rough_tex", np.int32) >= 0).any()),
             has_coated_conductor=bool(
                 (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()),
-            bxdf_tags_present=tuple(sorted(set(int(t) for t in tags
-                                               if t != MTL_MIX))))
+            has_subsurface=bool((tags == bxdfs.BXDF_SUBSURFACE).any()),
+            bxdf_tags_present=tuple(sorted(
+                set(int(t) for t in tags if t != MTL_MIX)
+                # the BSSRDF stage rewrites subsurface lanes to a diffuse
+                # exit lobe + a mirror entry lobe: compile those branches
+                | ({bxdfs.BXDF_DIFFUSE, bxdfs.BXDF_CONDUCTOR}
+                   if (tags == bxdfs.BXDF_SUBSURFACE).any() else set()))))
 
 
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
@@ -338,6 +364,12 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
         k = ones
     # diffuse-transmission stores transmittance in the k slot (see bxdfs)
     k = jnp.where((tag == bxdfs.BXDF_DIFFUSE_TRANSMISSION)[..., None], trans, k)
+    # subsurface: spectral diffusion radius d (trans coeffs x scale) in the
+    # k slot; surface albedo stays in the albedo slot
+    if pool.bxdf_tags_present is None or \
+            bxdfs.BXDF_SUBSURFACE in (pool.bxdf_tags_present or ()):
+        d_spec = trans * rows[..., 19:20]
+        k = jnp.where((tag == bxdfs.BXDF_SUBSURFACE)[..., None], d_spec, k)
     # hair: spectral sigma_a (unbounded: trans coeffs x stored scale) in
     # the albedo slot; azimuthal offset h from the curve hit's v coordinate
     h = None

@@ -328,6 +328,13 @@ def parse_string(text, base_dir=".", light_sampler="power",
         urough = resolve_float_or_texture(ps, "uroughness", None)
         vrough = resolve_float_or_texture(ps, "vroughness", None)
         remap = ps.bool("remaproughness", True)
+        if name == "subsurface":
+            refl = ps.rgb("reflectance", (0.8, 0.6, 0.5))
+            mfp = ps.rgb("mfp", None)
+            if mfp is None:
+                mfp = (0.1, 0.1, 0.1)
+            return b.materials.add_subsurface(
+                reflectance=refl, mfp=mfp, eta=ps.float("eta", 1.33))
         if name == "hair":
             sig = ps.rgb("sigma_a", None)
             if sig is None:
