@@ -19,7 +19,8 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of pbrt-v4
   (params, pixel, sample_index, dimension); there is no mutable object state
   anywhere on the device side.
 - Scene construction/parsing happens on host (numpy / C++ helpers); rendering
-  is jit-compiled JAX with Pallas kernels for the hot paths (BVH traversal).
+  is jit-compiled JAX, with a Pallas TPU kernel for the brute-force
+  ray-triangle path (ops/pallas_intersect.py) used on small scenes.
 """
 
 __version__ = "0.1.0"

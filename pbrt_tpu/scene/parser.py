@@ -577,6 +577,15 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 b.add_curve(span, ws0, ws1, mat, curve_type=ctype,
                             normals=normals)
             return
+        elif name == "loopsubdiv":
+            # reference Shape "loopsubdiv": Loop-subdivided control mesh
+            levels = int(ps.float("levels", 3))
+            P = ps.point3s("P")
+            idx = ps.ints("indices").reshape(-1, 3)
+            from ..utils.subdivision import loop_subdivide
+            P, idx = loop_subdivide(P, idx, levels)
+            N = None
+            uv = None
         elif name == "bilinearmesh":
             P = ps.point3s("P")
             qidx = ps.ints("indices").reshape(-1, 4)

@@ -15,7 +15,22 @@ _TYPES = {
 }
 
 
+_PLY_CACHE = {}
+
+
 def read_ply(path):
+    """Memoized by (path, mtime) — the role of the reference BufferCache
+    (util/buffercache.h:33): identical mesh buffers load once."""
+    import os
+    key = (str(path), os.path.getmtime(path))
+    if key in _PLY_CACHE:
+        return _PLY_CACHE[key]
+    out = _read_ply_impl(path)
+    _PLY_CACHE[key] = out
+    return out
+
+
+def _read_ply_impl(path):
     """Returns dict(vertices (V,3) f32, indices (F,3) i64, normals (V,3)|None,
     uvs (V,2)|None)."""
     with open(path, "rb") as f:

@@ -27,6 +27,8 @@ TEX_CHECKER = 2
 TEX_SCALE = 3
 TEX_FBM = 4
 TEX_MARBLE = 5
+TEX_WINDY = 6
+TEX_WRINKLED = 7
 
 # descriptor columns
 # [0]=tag [1]=img_offset [2]=width [3]=height [4:7]=value_a(rgb)
@@ -203,6 +205,19 @@ class TextureBuilder:
         return self._add_row(tag=TEX_SCALE, value_a=c[0],
                              value_b=(s[0] * scale, 0, 0))
 
+    def add_windy(self, scale=1.0):
+        """Windy waves: low-freq wind strength x high-freq waves
+        (reference WindyTexture, texture.h)."""
+        c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
+        return self._add_row(tag=TEX_WINDY, value_a=c[0],
+                             value_b=(s[0] * scale, 0, 0))
+
+    def add_wrinkled(self, octaves=6, omega=0.5, scale=1.0):
+        """Turbulence-valued texture (reference WrinkledTexture)."""
+        c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
+        return self._add_row(tag=TEX_WRINKLED, octaves=octaves, omega=omega,
+                             value_a=c[0], value_b=(s[0] * scale, 0, 0))
+
     def add_fbm(self, octaves=6, omega=0.5, scale=1.0):
         # fbm modulates a flat 0.5 reflectance by the noise value
         c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
@@ -218,7 +233,9 @@ class TextureBuilder:
                            atlas=jnp.asarray(np.concatenate(self.atlas)),
                            mips=jnp.asarray(mips),
                            has_image=TEX_IMAGE in tags,
-                           has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE}),
+                           has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE,
+                                                       TEX_WINDY,
+                                                       TEX_WRINKLED}),
                            has_mips=bool((mips[:, 0] > 1).any()))
 
 
@@ -259,6 +276,18 @@ def perlin_noise(p):
                      (w if dz else (1 - w))
                 n = n + wt * g
     return n
+
+
+def turbulence(p, octaves, omega):
+    """Sum of |noise| octaves (reference util/noise.cpp Turbulence)."""
+    total = jnp.zeros(p.shape[:-1], jnp.float32)
+    lam = 1.0
+    o = 1.0
+    for _ in range(int(octaves)):
+        total = total + o * jnp.abs(perlin_noise(p * lam))
+        lam *= 1.99
+        o *= omega
+    return total
 
 
 def fbm(p, octaves, omega):
@@ -438,8 +467,13 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
         s_fbm = row[..., 7] * jnp.abs(n_fbm)
         marble = jnp.sin(pp[..., 2] * 4.0 + 2.0 * n_fbm) * 0.5 + 0.5
         s_marble = row[..., 7] * marble
+        # windy: FBm(p/10) wind strength x |FBm(p)| waves (texture.h)
+        wind = fbm(pp * 0.1, 3, 0.5)
+        waves = jnp.abs(fbm(pp, 6, 0.5))
+        s_windy = row[..., 7] * jnp.abs(wind) * waves
+        s_wrink = row[..., 7] * turbulence(pp, 6, 0.5)
     else:
-        s_fbm = s_marble = s_const
+        s_fbm = s_marble = s_windy = s_wrink = s_const
 
     t = tag[..., None]
     coeffs = jnp.where(t == TEX_IMAGE, c_img,
@@ -447,5 +481,7 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
     scale = jnp.where(tag == TEX_IMAGE, s_img,
             jnp.where(tag == TEX_CHECKER, s_check,
             jnp.where(tag == TEX_FBM, s_fbm,
-            jnp.where(tag == TEX_MARBLE, s_marble, s_const))))
+            jnp.where(tag == TEX_MARBLE, s_marble,
+            jnp.where(tag == TEX_WINDY, s_windy,
+            jnp.where(tag == TEX_WRINKLED, s_wrink, s_const))))))
     return coeffs, scale
