@@ -15,12 +15,13 @@ from flax import struct
 
 from .utils import transform as tfm
 from .utils import vecmath as vm
-from .utils.math import lerp, PI
+from .utils.math import lerp, PI, safe_div, sqr
 from .utils import sampling as sp
 
 CAMERA_PERSPECTIVE = 0
 CAMERA_ORTHOGRAPHIC = 1
 CAMERA_SPHERICAL = 2
+CAMERA_REALISTIC = 3
 
 SPHERE_EQUIRECT = 0
 SPHERE_EQUALAREA = 1
@@ -41,6 +42,11 @@ class Camera:
     shutter_open: float = struct.field(pytree_node=False, default=0.0)
     shutter_close: float = struct.field(pytree_node=False, default=1.0)
     mapping: int = struct.field(pytree_node=False, default=SPHERE_EQUALAREA)
+    # realistic camera: lens element table, rear->front order
+    # rows: [curvature_radius, thickness, eta, aperture_radius] (meters)
+    lens_elements: jnp.ndarray = None     # (E, 4)
+    film_diag: float = struct.field(pytree_node=False, default=0.035)
+    rear_z: jnp.ndarray = None            # scalar z of rear element
 
 
 def make_camera(kind="perspective", camera_from_world: tfm.Transform = None,
@@ -70,12 +76,31 @@ def make_camera(kind="perspective", camera_from_world: tfm.Transform = None,
                   mapping=SPHERE_EQUALAREA if mapping == "equalarea" else SPHERE_EQUIRECT)
 
 
+def generate_ray_weighted(cam: Camera, p_film, u_lens, u_time):
+    """generate_ray + camera weight (0 for lens-vignetted rays of the
+    realistic camera; 1 otherwise) — the reference's CameraRay::weight."""
+    if cam.kind == CAMERA_REALISTIC:
+        o_w, d_w, wt = realistic_generate_ray(cam, p_film, u_lens)
+        time = cam.shutter_open + u_time * (cam.shutter_close -
+                                            cam.shutter_open)
+        return o_w, d_w, time, wt
+    o, d, t = generate_ray(cam, p_film, u_lens, u_time)
+    return o, d, t, jnp.ones(p_film.shape[:-1], jnp.float32)
+
+
 def generate_ray(cam: Camera, p_film, u_lens, u_time):
     """p_film: (..., 2) raster coords (continuous, [0,W)x[0,H)); u_lens (..., 2);
     u_time (...,). Returns (o, d, time) world-space.
 
     (reference PerspectiveCamera::GenerateRay, cameras.cpp)
     """
+    if cam.kind == CAMERA_REALISTIC:
+        o_w, d_w, _wt = realistic_generate_ray(cam, p_film, u_lens)
+        time = cam.shutter_open + u_time * (cam.shutter_close -
+                                            cam.shutter_open)
+        return o_w, d_w, time
+
+
     sx = cam.screen_min[0] + (p_film[..., 0] / cam.width) * \
         (cam.screen_max[0] - cam.screen_min[0])
     # raster y grows downward; screen y grows upward
@@ -121,6 +146,222 @@ def generate_ray(cam: Camera, p_film, u_lens, u_time):
     o_w = o_cam @ m[:3, :3].T + m[:3, 3]
     d_w = vm.normalize(d_cam @ m[:3, :3].T)
     return o_w, d_w, time
+
+
+
+
+# ---------------------------------------------------------------------------
+# RealisticCamera (reference cameras.h:466 + cameras.cpp TraceLensesFromFilm)
+
+# Double-Gauss f/2 50mm prescription (Mandler 1934-style textbook data, the
+# same published design family the reference's dgauss lens file encodes).
+# Columns: curvature radius (mm), thickness (mm), eta, aperture diameter (mm)
+DGAUSS_50MM = np.asarray([
+    [29.475, 3.76, 1.67, 25.2],
+    [84.83, 0.12, 1.0, 25.2],
+    [19.275, 4.025, 1.67, 23.0],
+    [40.77, 3.275, 1.699, 23.0],
+    [12.75, 5.705, 1.0, 18.0],
+    [0.0, 4.5, 1.0, 17.1],        # aperture stop (flat)
+    [-14.495, 1.18, 1.603, 17.0],
+    [40.77, 6.065, 1.658, 20.0],
+    [-20.385, 0.19, 1.0, 20.0],
+    [437.065, 3.22, 1.717, 20.0],
+    [-39.73, 0.0, 1.0, 20.0],
+], np.float64)
+
+
+def make_realistic_camera(camera_from_world=None, width=640, height=480,
+                          lens=DGAUSS_50MM, focus_distance=3.0,
+                          aperture_diameter=None, film_diag=0.043,
+                          shutter_open=0.0, shutter_close=1.0):
+    """Lens-system camera (reference RealisticCamera, cameras.h:466).
+
+    The lens table is given FRONT to REAR in mm (as lens files are);
+    it is flipped/scaled to meters with the film at z=0 looking down +z
+    like the reference. Focusing shifts the whole lens system along z by
+    solving the thick-lens equation numerically (trace two parallel rays).
+    """
+    if camera_from_world is None:
+        camera_from_world = tfm.identity()
+    lens = np.array(lens, np.float64)
+    if aperture_diameter is not None:
+        stop = np.argmin(np.abs(lens[:, 0]))
+        lens[stop, 3] = aperture_diameter * 1000.0
+    # convert: mm->m, aperture diameter -> radius
+    lens_m = lens.copy()
+    lens_m[:, 0] *= 1e-3
+    lens_m[:, 1] *= 1e-3
+    lens_m[:, 3] *= 0.5e-3
+    # rear->front order for film-side tracing. Lens-file rows pair each
+    # surface with the gap/medium BEHIND it (toward the film); traced
+    # rear->front, surface k's thickness/eta belong to the NEXT original
+    # row, and curvature signs flip with the traversal direction.
+    n_el = lens_m.shape[0]
+    rev = lens_m[::-1]
+    Rr = -rev[:, 0]
+    apr = rev[:, 3]
+    thickr = np.zeros(n_el)
+    thickr[:n_el - 1] = rev[1:, 1]
+    etar = np.ones(n_el)
+    etar[:n_el - 1] = rev[1:, 2]
+    elements = np.stack([Rr, thickr, etar, apr], 1)
+    # z positions: film at z=0; rear element vertex at z = rear_z; each
+    # element's thickness moves toward the scene (positive z)
+    # focus: binary search the film-to-rear distance so a point at
+    # focus_distance images onto the film (trace a near-axis ray back)
+    def axis_cross(rear_z):
+        """Trace a film-center ray through an off-axis rear point and
+        return the z where it crosses the optical axis (the focus
+        distance for this lens position), or None if vignetted."""
+        o = np.asarray([0.0, 0.0, 0.0])
+        target = np.asarray([elements[0, 3] * 0.3, 0.0, rear_z])
+        d = target - o
+        d = d / np.linalg.norm(d)
+        ok, o2, d2 = _trace_from_film_host(elements, rear_z, o, d)
+        if not ok or abs(d2[0]) < 1e-12:
+            return None
+        t = -o2[0] / d2[0]
+        if t <= 0:
+            return None
+        return (o2 + t * d2)[2]
+
+    # bisect/scan the rear-element z for the requested focus distance
+    best, best_err = -0.05, 1e18
+    for rz in np.linspace(0.005, 0.12, 600):
+        fz = axis_cross(rz)
+        if fz is None or fz <= 0:
+            continue
+        err = abs(fz - focus_distance)
+        if err < best_err:
+            best, best_err = rz, err
+    rear_z = best
+    c2w = camera_from_world.inverse()
+    aspect = width / height
+    return Camera(kind=CAMERA_REALISTIC,
+                  c2w_m=jnp.asarray(c2w.m, jnp.float32),
+                  width=width, height=height,
+                  lens_elements=jnp.asarray(elements, jnp.float32),
+                  rear_z=jnp.asarray(rear_z, jnp.float32),
+                  film_diag=film_diag,
+                  shutter_open=shutter_open, shutter_close=shutter_close,
+                  screen_min=(-aspect, -1.0), screen_max=(aspect, 1.0))
+
+
+def _trace_from_film_host(elements, rear_z, o, d):
+    """Scalar numpy mirror of realistic_generate_ray's element loop
+    (film side -> scene side), used for focusing at build time."""
+    o = np.array(o, np.float64)
+    d = np.array(d, np.float64)
+    z = float(rear_z)
+    eta_prev = 1.0
+    for k in range(elements.shape[0]):
+        R, thick, eta_elem, ap = (float(v) for v in elements[k])
+        if R == 0.0:
+            if abs(d[2]) < 1e-12:
+                return False, o, d
+            t = (z - o[2]) / d[2]
+            p = o + t * d
+        else:
+            zc = z + R
+            oc = o - np.asarray([0.0, 0.0, zc])
+            b = np.dot(oc, d)
+            c = np.dot(oc, oc) - R * R
+            disc = b * b - c
+            if disc < 0:
+                return False, o, d
+            sq = np.sqrt(disc)
+            t = (-b - sq) if (d[2] > 0) == (R > 0) else (-b + sq)
+            if t <= 0:
+                return False, o, d
+            p = o + t * d
+        if p[0] ** 2 + p[1] ** 2 > ap * ap:
+            return False, o, d
+        if R != 0.0:
+            zc = z + R
+            n = (p - np.asarray([0.0, 0.0, zc])) / R
+            if np.dot(n, d) > 0:
+                n = -n
+            eta_ratio = eta_prev / max(eta_elem, 1e-6)
+            cos_i = -np.dot(n, d)
+            sin2_t = eta_ratio ** 2 * (1 - cos_i ** 2)
+            if sin2_t >= 1:
+                return False, o, d
+            cos_t = np.sqrt(1 - sin2_t)
+            d = eta_ratio * d + (eta_ratio * cos_i - cos_t) * n
+            d /= np.linalg.norm(d)
+            eta_prev = eta_elem
+        o = p
+        z += thick
+    return True, o, d
+
+
+def realistic_generate_ray(cam: Camera, p_film, u_lens):
+    """Device lens trace film->scene (reference TraceLensesFromFilm,
+    cameras.cpp; static unrolled loop over elements). Returns
+    (o_world, d_world, weight) — weight 0 for vignetted rays."""
+    E = cam.lens_elements.shape[0]
+    # film point from raster coords (film diag sets physical film size)
+    aspect = cam.width / cam.height
+    diag = cam.film_diag
+    fh = diag / np.sqrt(1.0 + aspect * aspect)
+    fw = aspect * fh
+    x = (0.5 - p_film[..., 0] / cam.width) * fw
+    y = (p_film[..., 1] / cam.height - 0.5) * fh
+    o = jnp.stack([x, y, jnp.zeros_like(x)], -1)
+    # sample a point on the rear element disk
+    r_rear = cam.lens_elements[0, 3]
+    from .utils import sampling as sp
+    pl = sp.sample_uniform_disk_concentric(u_lens) * r_rear
+    p_rear = jnp.stack([pl[..., 0], pl[..., 1],
+                        jnp.broadcast_to(cam.rear_z, x.shape)], -1)
+    d = vm.normalize(p_rear - o)
+    ok = jnp.ones(x.shape, bool)
+    z = cam.rear_z
+    eta_prev = jnp.ones(x.shape)
+    for k in range(E):
+        R = cam.lens_elements[k, 0]
+        thick = cam.lens_elements[k, 1]
+        eta_elem = cam.lens_elements[k, 2]
+        ap = cam.lens_elements[k, 3]
+        is_stop = R == 0.0
+        # surface intersection
+        t_flat = safe_div(z - o[..., 2], d[..., 2])
+        zc = z + R
+        oc = o - jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x),
+                            jnp.broadcast_to(zc, x.shape)], -1)
+        b = vm.dot(oc, d)
+        c = vm.dot(oc, oc) - R * R
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        use_near = (d[..., 2] > 0) == (R > 0)
+        t_sph = jnp.where(use_near, -b - sq, -b + sq)
+        t = jnp.where(is_stop, t_flat, t_sph)
+        ok = ok & jnp.where(is_stop, True, disc >= 0) & (t > 0)
+        p = o + t[..., None] * d
+        ok = ok & (sqr(p[..., 0]) + sqr(p[..., 1]) <= ap * ap)
+        # refraction at curved interfaces
+        n = (p - jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x),
+                            jnp.broadcast_to(zc, x.shape)], -1)) /             jnp.where(R == 0.0, 1.0, R)
+        n = jnp.where(vm.dot(n, d)[..., None] > 0, -n, n)
+        eta_ratio = safe_div(eta_prev, jnp.maximum(eta_elem, 1e-6))
+        cos_i = -vm.dot(n, d)
+        sin2_t = sqr(eta_ratio) * (1.0 - sqr(cos_i))
+        tir = sin2_t >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        d_refr = vm.normalize(eta_ratio[..., None] * d +
+                              (eta_ratio * cos_i - cos_t)[..., None] * n)
+        d = jnp.where(is_stop, d, jnp.where(tir[..., None], d, d_refr))
+        ok = ok & (is_stop | ~tir)
+        o = p
+        eta_prev = jnp.where(is_stop, eta_prev,
+                             jnp.broadcast_to(eta_elem, x.shape))
+        z = z + thick
+    # to world: camera looks down +z in lens space already
+    m = cam.c2w_m
+    o_w = o @ m[:3, :3].T + m[:3, 3]
+    d_w = vm.normalize(d @ m[:3, :3].T)
+    return o_w, d_w, ok.astype(jnp.float32)
 
 
 def camera_ray_differentials(cam: Camera):

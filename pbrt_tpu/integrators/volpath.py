@@ -516,6 +516,7 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
     p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + f_off[..., 0],
                         py.astype(jnp.float32) + 0.5 + f_off[..., 1]],
                        axis=-1)
-    o, d, _time = cam_mod.generate_ray(camera, p_film, u_lens, u_time)
+    o, d, _time, cam_wt = cam_mod.generate_ray_weighted(
+        camera, p_film, u_lens, u_time)
     L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts)
-    return L, swl, f_weight
+    return L, swl, f_weight * cam_wt

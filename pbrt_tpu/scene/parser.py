@@ -652,7 +652,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             cam_params = dict(kind=kind, fov=ps.float("fov", 90.0),
                               camera_from_world=gs.ctm,
                               lens_radius=ps.float("lensradius", 0.0),
-                              focal_distance=ps.float("focaldistance", 1e6))
+                              focal_distance=ps.float("focaldistance", 1e6),
+                              aperture_diameter=ps.float("aperturediameter",
+                                                         None))
             named_transforms["camera"] = gs.ctm.inverse()
         elif tok == "Sampler":
             kind = p.parse_string()
@@ -902,12 +904,20 @@ def parse_string(text, base_dir=".", light_sampler="power",
                              f"unknown directive {tok!r}")
 
     scene = b.build(light_sampler=light_sampler, force_bvh=force_bvh)
-    camera = cam_mod.make_camera(
-        cam_params["kind"], camera_from_world=cam_params["camera_from_world"],
-        width=film_params["xres"], height=film_params["yres"],
-        fov=cam_params.get("fov", 90.0),
-        lens_radius=cam_params.get("lens_radius", 0.0),
-        focal_distance=cam_params.get("focal_distance", 1e6))
+    if cam_params["kind"] == "realistic":
+        camera = cam_mod.make_realistic_camera(
+            camera_from_world=cam_params["camera_from_world"],
+            width=film_params["xres"], height=film_params["yres"],
+            focus_distance=cam_params.get("focal_distance", 3.0) or 3.0,
+            aperture_diameter=cam_params.get("aperture_diameter"))
+    else:
+        camera = cam_mod.make_camera(
+            cam_params["kind"],
+            camera_from_world=cam_params["camera_from_world"],
+            width=film_params["xres"], height=film_params["yres"],
+            fov=cam_params.get("fov", 90.0),
+            lens_radius=cam_params.get("lens_radius", 0.0),
+            focal_distance=cam_params.get("focal_distance", 1e6))
     sampler = smp.make_sampler(sampler_params["kind"], spp=sampler_params["spp"],
                                full_resolution=(film_params["xres"],
                                                 film_params["yres"]))
