@@ -85,6 +85,7 @@ def _chi2_sample_vs_pdf(tag, alpha, wo_dir, n=200_000, res_theta=10,
     np.testing.assert_allclose(counts.sum(), n_eff)
 
 
+@pytest.mark.slow
 def test_chi2_diffuse():
     _chi2_sample_vs_pdf(bxdfs.BXDF_DIFFUSE, 0.0, [0.3, 0.2, 0.93])
 

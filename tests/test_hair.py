@@ -1,5 +1,6 @@
 """Hair BxDF (reference bxdfs.h:921; pattern: hair_test.cpp WhiteFurnace /
 sampling consistency)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_hair_absorption_darkens():
     assert e[0] > e[1] > e[2] > 0
 
 
+@pytest.mark.slow
 def test_hair_render_on_curves():
     """Hair material on curve geometry renders finite, nonzero."""
     import jax

@@ -53,6 +53,7 @@ def test_film_checkpoint_roundtrip(tmp_path):
                                np.asarray(film2.weight_sum))
 
 
+@pytest.mark.slow
 def test_render_resume_equals_straight(tmp_path):
     """A render interrupted at wave k and resumed must equal an
     uninterrupted render (same sampler => same sample set)."""
@@ -85,6 +86,7 @@ def test_parse_error_carries_file_loc():
             fname="test.pbrt")
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     from pbrt_tpu.cmd import main as cli
     scene_file = tmp_path / "t.pbrt"

@@ -1,5 +1,6 @@
 """Object instancing: two-level BVH traversal (reference
 cpu/primitive.h:83 TransformedPrimitive; ops/tlas.py)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -93,6 +94,7 @@ def test_instance_shadows():
     assert occ[0] and not occ[1]   # under the cube vs empty sky
 
 
+@pytest.mark.slow
 def test_instanced_render_smoke():
     from pbrt_tpu.integrators import render as rdr
     from pbrt_tpu.integrators.path import PathOptions

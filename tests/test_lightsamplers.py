@@ -79,6 +79,7 @@ def test_bvh_sampler_prefers_near_lights():
     assert near_frac > 0.5, near_frac  # uniform would give 2/34 ~ 0.06
 
 
+@pytest.mark.slow
 def test_bvh_render_matches_power_render():
     """Same scene rendered with power and BVH light samplers must agree
     (both unbiased; compare means)."""

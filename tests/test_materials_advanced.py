@@ -1,6 +1,7 @@
 """Material system depth: Mix, bump/normal mapping, textured roughness,
 coated conductor (reference materials.h:272 MixMaterial, materials.h:42
 NormalBumpEvalContext, bxdfs.h:1165 CoatedConductorBxDF)."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,6 +40,7 @@ def test_coated_conductor_energy_conservation():
     assert est > 0.2, est  # a metal under a clear coat still reflects plenty
 
 
+@pytest.mark.slow
 def test_coated_conductor_sample_pdf_consistency():
     """E[f cos / pdf] from importance sampling == the uniform-MC estimate."""
     n = 1 << 15

@@ -28,6 +28,7 @@ def _emissive_wall(b, L=1.0, z=5.0, mat=None):
                [[0, 2, 1], [0, 3, 2]], m, emission=emit)
 
 
+@pytest.mark.slow
 def test_beer_lambert_absorption():
     """Absorbing slab between camera and emissive wall: L = L0 exp(-sigma_a l).
 
@@ -84,6 +85,7 @@ def test_shadow_transmittance():
     np.testing.assert_allclose(ratio, np.exp(-sigma * thickness), rtol=0.1)
 
 
+@pytest.mark.slow
 def test_scattering_volume_furnace():
     """Purely scattering medium (albedo 1) in a uniform env: radiance == env
     everywhere (volumetric white furnace), for any density/g."""
@@ -123,6 +125,7 @@ def test_grid_medium_density_lookup():
     np.testing.assert_allclose(d2, 0.0)
 
 
+@pytest.mark.slow
 def test_grid_medium_beer_lambert():
     """Grid slab with constant density: same Beer-Lambert as homogeneous."""
     sigma = 0.4

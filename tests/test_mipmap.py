@@ -2,6 +2,7 @@
 
 The pyramid is stored in the texture atlas with per-level offsets; LOD is
 selected from the ray-cone uv footprint."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -82,6 +83,7 @@ def test_nonpow2_image_resampled():
     assert row[2] == 16 and row[3] == 8  # resampled to pow2 dims
 
 
+@pytest.mark.slow
 def test_render_with_mipmapped_texture_smoke():
     """Textured plane renders with the cone-driven MIP path (footprint
     threads camera -> intersect -> material -> texture)."""

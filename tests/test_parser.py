@@ -57,6 +57,7 @@ def test_parse_cornell():
     assert desc.film_params["filename"] == "cornell.exr"
 
 
+@pytest.mark.slow
 def test_parse_and_render_cornell():
     import jax
     desc = pp.parse_file(DATA / "cornell-box.pbrt")

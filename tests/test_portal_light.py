@@ -1,5 +1,6 @@
 """PortalImageInfiniteLight (reference lights.h:631): rectified-space
 resampling, windowed sampling, pdf consistency, variance advantage."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -73,6 +74,7 @@ def test_portal_pdf_integrates_to_one():
     assert abs(est - 1.0) < 0.05, est
 
 
+@pytest.mark.slow
 def test_portal_estimator_matches_window_solid_angle():
     """With constant radiance, the portal estimator's mean equals
     L0 x (portal solid angle from p) — cross-checked against a geometric
@@ -109,6 +111,7 @@ def test_portal_estimator_matches_window_solid_angle():
         (f_portal, L0 * omega)
 
 
+@pytest.mark.slow
 def test_portal_scene_render_smoke():
     from pbrt_tpu import scene_core as sc
     from pbrt_tpu.integrators import render as rdr

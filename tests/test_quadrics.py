@@ -1,6 +1,7 @@
 """Exact quadric shapes: disk, cylinder, transformed sphere/ellipsoid
 (reference shapes.h Sphere:107 / Disk:404 / Cylinder:574 — analytic
 intersections, not tessellations)."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ def _scene():
     return b.build(light_sampler="uniform", force_bvh=False)
 
 
+@pytest.mark.slow
 def test_quadric_hits_exact():
     scene = _scene()
     o = jnp.asarray([[0., 0., -5.], [5., 0., -5.], [6.9, 0., -5.],

@@ -25,6 +25,7 @@ def test_furnace_plane_single_bounce():
     assert abs(lum - 0.6) < 0.025, f"lum={lum}, rgb={mean}"
 
 
+@pytest.mark.slow
 def test_white_furnace_sphere():
     """Albedo-1 sphere in uniform env: every pixel == env radiance
     (energy conservation through multiple bounces + RR)."""
@@ -39,6 +40,7 @@ def test_white_furnace_sphere():
     assert abs(lum - 1.0) < 0.03, f"lum={lum}, rgb={mean}"
 
 
+@pytest.mark.slow
 def test_cornell_box_renders():
     """Cornell smoke test: renders, is finite, has expected structure
     (light bright, red wall reddish on left, green wall on right)."""
@@ -59,6 +61,7 @@ def test_cornell_box_renders():
     assert 0.05 < lum < 2.0, lum
 
 
+@pytest.mark.slow
 def test_sampler_convergence_order():
     """ZSobol at 16spp should have lower error than independent at 16spp on
     the furnace plane (QMC beats MC)."""
@@ -76,6 +79,7 @@ def test_sampler_convergence_order():
     assert err_qmc < err_mc * 1.1, (err_qmc, err_mc)
 
 
+@pytest.mark.slow
 def test_analytic_sphere_matches_tessellated():
     """Quadric sphere renders ~ the same as a finely tessellated mesh sphere
     (exercises _merge_sphere_hits + shading)."""
@@ -108,6 +112,7 @@ def test_analytic_sphere_matches_tessellated():
     assert abs(img_a.mean() - img_t.mean()) < 0.03, (img_a.mean(), img_t.mean())
 
 
+@pytest.mark.slow
 def test_emissive_sphere_light():
     """Sphere area light with cone-sampled NEE: irradiance on a floor point
     directly below a small sphere ~ L * pi * r^2 / d^2 (point-source limit);

@@ -1,5 +1,6 @@
 """BSSRDF subsurface scattering (reference bssrdf.h:105 TabulatedBSSRDF /
 wavefront subsurface.cpp; TPU substitution: Burley normalized diffusion)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -29,6 +30,7 @@ def test_subsurface_material_pool_flags():
     assert bxdfs.BXDF_CONDUCTOR in scene.materials.bxdf_tags_present
 
 
+@pytest.mark.slow
 def test_subsurface_render_finite_and_colored():
     from pbrt_tpu.integrators import render as rdr
     from pbrt_tpu.integrators.path import PathOptions
@@ -48,6 +50,7 @@ def test_subsurface_render_finite_and_colored():
     assert c[..., 0].mean() > c[..., 2].mean()
 
 
+@pytest.mark.slow
 def test_subsurface_mfp_controls_translucency():
     """Small mfp -> surface-like (brighter local response at normal
     incidence); the render differs measurably from large mfp."""

@@ -1,6 +1,7 @@
 """VolPath integrator tests: DDA majorant grid + rescaled-probability
 estimator (reference VolPathIntegrator integrators.cpp:953, MajorantGrid
 media.h:105). Oracles are analytic transmittances."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,7 @@ def test_heterogeneous_grid_transmittance():
     np.testing.assert_allclose(img.mean(), expect, rtol=0.06)
 
 
+@pytest.mark.slow
 def test_spectral_absorber_tints():
     """A red-tinted absorber (low sigma_a in red, high in green/blue) must
     pass red and block green/blue — exercises spectral sigma ratios and the
@@ -124,6 +126,7 @@ def test_majorant_supergrid_conservative():
     assert (m3 > 0).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_volumetric_furnace_with_bvh_geometry():
     """Scattering medium + geometry + BVH path: albedo-1 medium in uniform
     env stays at env radiance (exercises volpath with the full scene
