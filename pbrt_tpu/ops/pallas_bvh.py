@@ -112,18 +112,23 @@ def _traverse_block(read_node, read_tri, stack_set, stack_get,
         box_hit = (tmin <= tmax_b * 1.0000004) & live
         any_box = jnp.any(box_hit)
 
-        # --- leaf: static triangle loop (scalar triangle data) ---
-        def do_leaf(args):
+        # --- leaf: rolled triangle loop (scalar triangle data; fori_loop
+        # keeps Mosaic code size down — compile time, not speed, is the
+        # constraint here) ---
+        def leaf_body(k, args):
             t_best, prim, b1, b2 = args
-            for k in range(MAX_LEAF):
-                t, bu, bv, valid, tid = tri_test(roff + k, t_best)
-                ok = valid & box_hit & (k < nprim)
-                better = ok & (t < t_best)
-                t_best = jnp.where(better, t, t_best)
-                prim = jnp.where(better, tid, prim)
-                b1 = jnp.where(better, bu, b1)
-                b2 = jnp.where(better, bv, b2)
+            t, bu, bv, valid, tid = tri_test(roff + k, t_best)
+            ok = valid & box_hit & (k < nprim)
+            better = ok & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            prim = jnp.where(better, tid, prim)
+            b1 = jnp.where(better, bu, b1)
+            b2 = jnp.where(better, bv, b2)
             return t_best, prim, b1, b2
+
+        def do_leaf(args):
+            return jax.lax.fori_loop(0, jnp.minimum(nprim, MAX_LEAF),
+                                     leaf_body, args)
 
         leaf_now = any_box & is_leaf
         t_best, prim, b1, b2 = jax.lax.cond(
@@ -227,24 +232,35 @@ def pad_tris_for_bvh(tri_geo_bvh):
     return jnp.asarray(out)
 
 
+# max rays per pallas_call: mixing full-array VMEM operands (nodes/tris)
+# with blocked ray operands makes Mosaic stage ALL operands in VMEM, so
+# each call must fit; an outer lax.map covers larger waves.
+CHUNK = 16384
+
+
 def bvh_intersect(nodes, tris16, o, d, t_max, any_hit=False):
     """Packet-BVH closest/any hit. nodes: (Nn, 8); tris16: (T, 16) from
     pad_tris_for_bvh; o, d: (N, 3); t_max: (N,).
     Returns dict(hit, t, prim (ORIGINAL id), b0, b1, b2)."""
     N = o.shape[0]
-    n_pad = -(-N // BLOCK) * BLOCK
-    rows = n_pad // LANES
+    n_pad = -(-N // CHUNK) * CHUNK
+    rows_all = n_pad // LANES
 
     def prep(v, fill):
         v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
             if n_pad != N else v
-        return v.reshape(rows, LANES)
+        return v.reshape(n_pad // CHUNK, CHUNK // LANES, LANES)
 
     ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
     dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
     tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
-    t, kf, b1, b2 = _run(nodes, tris16, ox, oy, oz, dx, dy, dz, tm,
-                         bool(any_hit))
+
+    def one(chunk):
+        cox, coy, coz, cdx, cdy, cdz, ctm = chunk
+        return _run(nodes, tris16, cox, coy, coz, cdx, cdy, cdz, ctm,
+                    bool(any_hit))
+
+    t, kf, b1, b2 = jax.lax.map(one, (ox, oy, oz, dx, dy, dz, tm))
     t = t.reshape(-1)[:N]
     kf = kf.reshape(-1)[:N]
     b1 = b1.reshape(-1)[:N]
