@@ -38,6 +38,9 @@ class PathOptions:
     max_depth: int = struct.field(pytree_node=False, default=5)
     rr_start_depth: int = struct.field(pytree_node=False, default=1)
     sample_visible_wavelengths: bool = struct.field(pytree_node=False, default=True)
+    # per-depth wavefront counters (reference --stats ray counts,
+    # wavefront/integrator.h:143-152): [active lanes, hits, shadow rays]
+    collect_stats: bool = struct.field(pytree_node=False, default=False)
 
 
 def _to_local(ns, t1, t2, w):
@@ -112,8 +115,13 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
     def body(depth, state):
         (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale,
-         sec_term, cone_w, cone_s) = state
+         sec_term, cone_w, cone_s, dstats) = state
+        if opts.collect_stats:
+            dstats = dstats.at[depth, 0].set(jnp.sum(active))
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+        if opts.collect_stats:
+            dstats = dstats.at[depth, 1].set(
+                jnp.sum(active & isect["hit"]))
         # ray cone at the hit: width grows linearly with distance
         cone_w = cone_w + cone_s * jnp.where(isect["hit"], isect["t"], 0.0)
         hit = isect["hit"] & active
@@ -289,6 +297,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
         # --- NEE ---
         if scene.light_sampler.n_lights > 0:
+            if opts.collect_stats:
+                dstats = dstats.at[depth, 2].set(jnp.sum(active))
             Ld = nee(isect["p"], ns, ng, t1, t2, wo_local, bp, active, depth)
             L = L + beta * Ld
 
@@ -336,7 +346,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         cone_s = cone_s + jnp.where(bs["specular"], 0.0, 0.25)
         return (o_next, wi_world, beta, L,
                 active, sel_spec, sel_pdf, eta_scale, sec_term,
-                cone_w, cone_s)
+                cone_w, cone_s, dstats)
 
     spread0 = jnp.zeros((N,), jnp.float32) if cone_spread is None else \
         jnp.broadcast_to(jnp.asarray(cone_spread, jnp.float32), (N,))
@@ -349,8 +359,11 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
              jnp.ones((N,), jnp.float32),         # eta_scale
              jnp.zeros((N,), bool),               # secondaries terminated
              jnp.zeros((N,), jnp.float32),        # ray-cone width
-             spread0)                             # ray-cone spread
+             spread0,                             # ray-cone spread
+             jnp.zeros((opts.max_depth, 3), jnp.int32))   # depth stats
     state = jax.lax.fori_loop(0, opts.max_depth, body, state)
+    if opts.collect_stats:
+        return state[3], state[11]
     return state[3]
 
 

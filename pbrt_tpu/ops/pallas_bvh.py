@@ -162,16 +162,28 @@ def _traverse_block(read_node, read_tri, stack_set, stack_get,
 
 
 def _bvh_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-                t_out, k_out, b1_out, b2_out, stack_ref, *, any_hit):
+                t_out, k_out, b1_out, b2_out, stack_ref, *, n_nodes,
+                n_tris, any_hit):
     def read_node(i):
-        i = jnp.clip(i, 0, nodes_ref.shape[0] - 1)
-        row = nodes_ref[pl.ds(i, 1), :]          # ONE (1, 8) vector load
-        return tuple(row[0, k] for k in range(8))
+        # nodes live FLAT in SMEM (scalar prefetch): 2-D VMEM storage would
+        # pad the 8-float rows to 128 lanes (16x waste - the source of the
+        # 21.6MB scoped-vmem OOM); SMEM scalar loads are also ~20x cheaper
+        base = jnp.clip(i, 0, n_nodes - 1) * 8
+        return tuple(nodes_ref[base + k] for k in range(8))
 
     def read_tri(i):
-        i = jnp.clip(i, 0, tris_ref.shape[0] - 1)
-        row = tris_ref[pl.ds(i, 1), :]           # ONE (1, 16) vector load
-        return tuple(row[0, k] for k in range(10))
+        # tris are packed DENSE: 8 triangles (16 floats each) per 128-lane
+        # row — a (T, 16) VMEM array would be lane-padded to (T, 128), 8x
+        # the memory. One (1, 128) row load + an 8-way static-offset
+        # switch extracts the triangle's 10 scalars.
+        i = jnp.clip(i, 0, n_tris - 1)
+        row = tris_ref[pl.ds(i >> 3, 1), :]      # (1, 128)
+        o8 = i & 7
+
+        def mk(off):
+            return lambda: tuple(row[0, off * 16 + k] for k in range(10))
+
+        return jax.lax.switch(o8, [mk(off) for off in range(8)])
 
     def stack_set(state, sp, val, do):
         @pl.when(do)
@@ -204,32 +216,40 @@ def body_adapter(body):
     return run
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def _run(nodes, tris, ox, oy, oz, dx, dy, dz, tmax, any_hit):
+@functools.partial(jax.jit,
+                   static_argnames=("n_nodes", "n_tris", "any_hit"))
+def _run(nodes_flat, tris, ox, oy, oz, dx, dy, dz, tmax, n_nodes, n_tris,
+         any_hit):
     nb = ox.shape[0] // BLOCK_ROWS
-    full = lambda i: (0, 0)
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0))
-    out_specs = [pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0))] * 4
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, nf: (i, 0))
+    out_specs = [pl.BlockSpec((BLOCK_ROWS, LANES),
+                              lambda i, nf: (i, 0))] * 4
     out_shape = [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4
-    kern = functools.partial(_bvh_kernel, any_hit=any_hit)
+    kern = functools.partial(_bvh_kernel, n_nodes=n_nodes,
+                             n_tris=n_tris, any_hit=any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # nodes_flat -> SMEM
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(tris.shape, lambda i, nf: (0, 0),
+                               memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+    )
     return pl.pallas_call(
         kern,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec(nodes.shape, full, memory_space=pltpu.VMEM),
-                  pl.BlockSpec(tris.shape, full, memory_space=pltpu.VMEM)]
-        + [ray_spec] * 7,
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
-    )(nodes, tris, ox, oy, oz, dx, dy, dz, tmax)
+    )(nodes_flat, tris, ox, oy, oz, dx, dy, dz, tmax)
 
 
 def pad_tris_for_bvh(tri_geo_bvh):
-    """(T, 10) BVH-ordered triangle rows -> (T, 16) f32 (lane-friendly)."""
+    """(T, 10) BVH-ordered triangle rows -> (ceil(T/8), 128) f32 DENSE
+    pack (8 triangles x 16 floats per 128-lane row)."""
     t = np.asarray(tri_geo_bvh, np.float32)
-    out = np.zeros((t.shape[0], 16), np.float32)
-    out[:, :10] = t
-    return jnp.asarray(out)
+    T8 = -(-t.shape[0] // 8) * 8
+    out = np.zeros((T8, 16), np.float32)
+    out[:t.shape[0], :10] = t
+    return jnp.asarray(out.reshape(T8 // 8, 128))
 
 
 # max rays per pallas_call: mixing full-array VMEM operands (nodes/tris)
@@ -255,10 +275,14 @@ def bvh_intersect(nodes, tris16, o, d, t_max, any_hit=False):
     dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
     tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
 
+    nodes_flat = nodes.reshape(-1)
+    n_nodes = nodes.shape[0]
+    n_tris = tris16.shape[0] * 8
+
     def one(chunk):
         cox, coy, coz, cdx, cdy, cdz, ctm = chunk
-        return _run(nodes, tris16, cox, coy, coz, cdx, cdy, cdz, ctm,
-                    bool(any_hit))
+        return _run(nodes_flat, tris16, cox, coy, coz, cdx, cdy, cdz, ctm,
+                    n_nodes, n_tris, bool(any_hit))
 
     t, kf, b1, b2 = jax.lax.map(one, (ox, oy, oz, dx, dy, dz, tm))
     t = t.reshape(-1)[:N]
@@ -277,7 +301,8 @@ def bvh_intersect(nodes, tris16, o, d, t_max, any_hit=False):
 
 def traverse_reference(nodes, tris16, o, d, t_max, any_hit=False):
     nodes = jnp.asarray(nodes)
-    tris = jnp.asarray(tris16)
+    # dense (R, 128) pack -> (R*8, 16) rows for plain indexing
+    tris = jnp.asarray(tris16).reshape(-1, 16)
 
     def read_node(i):
         row = nodes[jnp.clip(i, 0, nodes.shape[0] - 1)]

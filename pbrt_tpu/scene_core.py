@@ -67,6 +67,13 @@ class Scene:
     # SMEM scalar prefetch (ops/pallas_intersect.py)
     tri_pallas: jnp.ndarray = None
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # Pallas packet-BVH kernel (TPU, BVH-sized scenes): dense triangle
+    # pack + flat nodes (ops/pallas_bvh.py); rays are sorted by direction
+    # octant + origin Morton for block coherence
+    tris_dense: jnp.ndarray = None
+    use_pallas_bvh: bool = struct.field(pytree_node=False, default=False)
+    world_lo: jnp.ndarray = None
+    world_hi: jnp.ndarray = None
     n_infinite: int = struct.field(pytree_node=False, default=0)
     inf_indices: tuple = struct.field(pytree_node=False, default=())
     has_area_lights: bool = struct.field(pytree_node=False, default=False)
@@ -614,10 +621,18 @@ class SceneBuilder:
         # Pallas brute-force path: TPU backend + small scene (the kernel
         # streams rays against the whole pool; BVH wins above the crossover)
         import jax as _jax
-        use_pallas = (not use_bvh) and _jax.default_backend() == "tpu"
+        on_tpu = _jax.default_backend() == "tpu"
+        use_pallas = (not use_bvh) and on_tpu
         from .ops import pallas_intersect as pli
         tri_pallas = pli.pad_triangles(np.asarray(tri_geo)) if use_pallas \
             else jnp.zeros((16,), jnp.float32)
+        # Pallas packet-BVH (TPU): ~15x the XLA while-loop traversal;
+        # VMEM-resident dense triangles cap the scene at ~190k triangles
+        use_pallas_bvh = use_bvh and on_tpu and n_tri <= 190000 and \
+            not self.instances
+        from .ops import pallas_bvh as pbvh_mod
+        tris_dense = pbvh_mod.pad_tris_for_bvh(np.asarray(tri_geo_bvh)) \
+            if use_pallas_bvh else jnp.zeros((1, 128), jnp.float32)
         tri_shade = np.concatenate([
             np.stack(self.n0), np.stack(self.n1), np.stack(self.n2),
             np.stack(self.uv0), np.stack(self.uv1), np.stack(self.uv2),
@@ -720,6 +735,9 @@ class SceneBuilder:
             quadrics=jnp.asarray(quad), quadric_tags=quad_tags,
             n_spheres=sum(1 for t in quad_tags if t == QUADRIC_SPHERE),
             use_bvh=use_bvh, tri_pallas=tri_pallas, use_pallas=use_pallas,
+            use_pallas_bvh=use_pallas_bvh, tris_dense=tris_dense,
+            world_lo=jnp.asarray(world_lo, jnp.float32),
+            world_hi=jnp.asarray(world_hi, jnp.float32),
             n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] in (lgt.LIGHT_AREA_TRI,
                                              lgt.LIGHT_AREA_SPHERE)
@@ -728,6 +746,41 @@ class SceneBuilder:
 
 # ---------------------------------------------------------------------------
 # Device intersection entry points
+
+def _ray_sort_keys(scene: Scene, o, d):
+    """u32 sort keys: direction octant (3 bits) + origin Morton (27 bits) —
+    packet-BVH blocks traverse the union of their rays' subtrees, so
+    coherent blocks are the speed lever (ops/pallas_bvh.py)."""
+    oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
+            + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+            + 4 * (d[:, 2] < 0).astype(jnp.uint32))
+    q = jnp.clip((o - scene.world_lo) /
+                 jnp.maximum(scene.world_hi - scene.world_lo, 1e-6), 0, 1)
+    qi = (q * 511.0).astype(jnp.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    m = spread(qi[:, 0]) | (spread(qi[:, 1]) << jnp.uint32(1)) | \
+        (spread(qi[:, 2]) << jnp.uint32(2))
+    return (oct_ << jnp.uint32(27)) | (m & jnp.uint32(0x07FFFFFF))
+
+
+def _pallas_bvh_query(scene: Scene, o, d, t_max, any_hit):
+    from .ops import pallas_bvh as pbvh_mod
+    order = jnp.argsort(_ray_sort_keys(scene, o, d))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               (o.shape[0],))
+    r = pbvh_mod.bvh_intersect(scene.bvh.nodes, scene.tris_dense,
+                               o[order], d[order], t_max_b[order],
+                               any_hit=any_hit)
+    inv = jnp.argsort(order)
+    return {k: v[inv] for k, v in r.items()}
+
 
 def intersect(scene: Scene, o, d, t_max):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
@@ -738,6 +791,8 @@ def intersect(scene: Scene, o, d, t_max):
         r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
                                          scene.tri_geo_tlas,
                                          scene.tlas_root, o, d, t_max)
+    elif scene.use_pallas_bvh:
+        r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max)
@@ -944,6 +999,8 @@ def intersect_p(scene: Scene, o, d, t_max):
                                          scene.tri_geo_tlas,
                                          scene.tlas_root, o, d, t_max,
                                          any_hit=True)
+    elif scene.use_pallas_bvh:
+        r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:
         r = bvh_mod.bvh_intersect_triangles(
             scene.bvh, scene.tri_geo_bvh, o, d, t_max, any_hit=True)
