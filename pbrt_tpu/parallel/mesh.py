@@ -39,29 +39,31 @@ def render_wave_sharded(scene, camera, sampler, filt, sensor, film,
     updated (replicated) film.
     """
 
-    def shard_fn(scene, camera, sampler_, filt_, sensor_, rgb_sum, weight_sum,
+    def shard_fn(scene, camera, sampler_, filt_, sensor_, accum,
                  pixel_idx, sample_index):
         from ..integrators.render import wave_module
         L, swl, f_weight = wave_module(scene).render_wave(
             scene, camera, sampler_, filt_, pixel_idx, sample_index, opts)
         rgb = film_mod.sensor_to_sensor_rgb(sensor_, L, swl)
         rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
-        d_rgb = jnp.zeros_like(rgb_sum).at[pixel_idx].add(rgb * f_weight[:, None])
-        d_w = jnp.zeros_like(weight_sum).at[pixel_idx].add(f_weight)
+        lum = 0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]
+        row = jnp.concatenate([
+            rgb * f_weight[:, None], f_weight[:, None], lum[:, None],
+            (lum * lum)[:, None], jnp.ones_like(lum)[:, None],
+            jnp.zeros_like(lum)[:, None]], axis=1)
+        d_acc = jnp.zeros_like(accum).at[pixel_idx].add(row)
         # film reduction across chips rides ICI
-        d_rgb = jax.lax.psum(d_rgb, axis_name)
-        d_w = jax.lax.psum(d_w, axis_name)
-        return rgb_sum + d_rgb, weight_sum + d_w
+        d_acc = jax.lax.psum(d_acc, axis_name)
+        return accum + d_acc
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis_name), P(axis_name)),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(axis_name), P(axis_name)),
+        out_specs=P(),
         check_rep=False)
-    rgb_sum, weight_sum = fn(scene, camera, sampler, filt, sensor,
-                             film.rgb_sum, film.weight_sum,
-                             pixel_idx, sample_index)
-    return film.replace(rgb_sum=rgb_sum, weight_sum=weight_sum)
+    accum = fn(scene, camera, sampler, filt, sensor,
+               film.accum, pixel_idx, sample_index)
+    return film.replace(accum=accum)
 
 
 def render_multichip(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
