@@ -66,7 +66,7 @@ def _shading_frame(ns, dpdu):
 
 def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                 sample_index, o, d, swl: spc.SampledWavelengths,
-                opts: PathOptions, cone_spread=None):
+                opts: PathOptions, cone_spread=None, time=None):
     """Trace one wave of paths. px/py: (N,) pixel ints; o, d: (N, 3) camera
     rays. Returns L (N, 4) spectral radiance estimates (pdf NOT divided out —
     the film's sensor projection divides by swl.pdf).
@@ -106,7 +106,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         contrib_ok = active & ls["valid"] & (pdf_l > 0) & jnp.any(f > 0, axis=-1)
         o_sh = sc.offset_ray_origin(p, ng, wi)
         dist = vm.length(ls["p_light"] - o_sh)
-        occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999)
+        occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999,
+                                  time=time)
         contrib_ok = contrib_ok & ~occluded
         w_mis = jnp.where(ls["is_delta"], 1.0,
                           power_heuristic(1.0, pdf_l, 1.0, pdf_b))
@@ -118,7 +119,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
          sec_term, cone_w, cone_s, dstats) = state
         if opts.collect_stats:
             dstats = dstats.at[depth, 0].set(jnp.sum(active))
-        isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+        isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32),
+                             time=time)
         if opts.collect_stats:
             dstats = dstats.at[depth, 1].set(
                 jnp.sum(active & isect["hit"]))
@@ -392,5 +394,5 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
         camera, p_film, u_lens, u_time)
     cone_spread = cam_mod.pixel_cone_spread(camera)
     L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts,
-                    cone_spread=cone_spread)
+                    cone_spread=cone_spread, time=_time)
     return L, swl, f_weight * cam_wt

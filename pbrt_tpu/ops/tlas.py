@@ -20,9 +20,14 @@ two-level scheme, expressed with lane masks instead of threads):
   un-normalized transformed direction, which preserves t across spaces
   (affine invariance — same trick as the quadric pipeline).
 
-Instance table rows (I, 28): [w2o 3x4 row-major (12), o2w 3x4 (12),
-bits(proto_root), bits(inst_id), pad, pad] — o2w transforms object-space
-tangents/normals of the hit back to world.
+Instance table rows (I, 40): [w2o0 3x4 row-major (12), o2w0 3x4 (12),
+bits(proto_root), bits(inst_id), has_motion, pad, o2w1 3x4 (12)] — o2w
+transforms object-space tangents/normals of the hit back to world.
+Animated instances (reference AnimatedTransform transform.h:444 +
+AnimatedPrimitive cpu/primitive.h:103) carry a second end-of-shutter
+transform; rays interpolate o2w linearly by their time and invert per
+lane (the reference slerps a TRS decomposition — linear matrix blend is
+the standard fast path and exact for pure translations).
 """
 from __future__ import annotations
 
@@ -35,7 +40,7 @@ from .gather import f32_to_i32, pick3
 from . import bvh as bvh_mod
 from . import intersect as isect
 
-INST_COLS = 28
+INST_COLS = 40
 RETURN_TOKEN = -1
 
 
@@ -81,12 +86,19 @@ def build_two_level(blas_list, instances):
         inst_rows[i, 12:24] = o2w.reshape(-1)
         inst_rows[i, 24] = float(node_base[proto])
         inst_rows[i, 25] = float(i)
+        o2w1 = inst.get("o2w_end")
+        inst_rows[i, 26] = 0.0 if o2w1 is None else 1.0
+        inst_rows[i, 28:40] = (o2w if o2w1 is None else
+                               np.asarray(o2w1, np.float32)).reshape(-1)
         # world bounds: transform the proto bbox corners
         _, _, lo, hi = blas_list[proto]
         plo, phi = lo.min(axis=0), hi.max(axis=0)
         corners = np.stack(np.meshgrid(*zip(plo, phi), indexing="ij"),
                            -1).reshape(-1, 3)
         wc = corners @ o2w[:, :3].T + o2w[:, 3]
+        if o2w1 is not None:
+            o2w1m = np.asarray(o2w1, np.float32).reshape(3, 4)
+            wc = np.concatenate([wc, corners @ o2w1m[:, :3].T + o2w1m[:, 3]])
         ilo[i] = wc.min(axis=0)
         ihi[i] = wc.max(axis=0)
     # 3. TLAS over instance bounds, appended after all BLAS nodes
@@ -118,8 +130,44 @@ def _i2f(i):
     return np.asarray(i, np.float64).astype(np.float32)
 
 
+def lerp_inst_o2w(irow, time):
+    """Per-lane o2w(t): linear blend of the two keyframe matrices."""
+    A0 = irow[..., 12:24].reshape(irow.shape[:-1] + (3, 4))
+    A1 = irow[..., 28:40].reshape(irow.shape[:-1] + (3, 4))
+    has_m = irow[..., 26:27, None] > 0.5
+    t = time[..., None, None]
+    return jnp.where(has_m, A0 * (1.0 - t) + A1 * t, A0)
+
+
+def _invert_affine(A):
+    """Per-lane inverse of (..., 3, 4) affine maps (adjugate 3x3)."""
+    M = A[..., :3]
+    t = A[..., 3]
+    c00 = M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1]
+    c01 = M[..., 1, 2] * M[..., 2, 0] - M[..., 1, 0] * M[..., 2, 2]
+    c02 = M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0]
+    det = M[..., 0, 0] * c00 + M[..., 0, 1] * c01 + M[..., 0, 2] * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1.0, det)
+    adj = jnp.stack([
+        jnp.stack([c00,
+                   M[..., 0, 2] * M[..., 2, 1] - M[..., 0, 1] * M[..., 2, 2],
+                   M[..., 0, 1] * M[..., 1, 2] - M[..., 0, 2] * M[..., 1, 1]],
+                  -1),
+        jnp.stack([c01,
+                   M[..., 0, 0] * M[..., 2, 2] - M[..., 0, 2] * M[..., 2, 0],
+                   M[..., 0, 2] * M[..., 1, 0] - M[..., 0, 0] * M[..., 1, 2]],
+                  -1),
+        jnp.stack([c02,
+                   M[..., 0, 1] * M[..., 2, 0] - M[..., 0, 0] * M[..., 2, 1],
+                   M[..., 0, 0] * M[..., 1, 1] - M[..., 0, 1] * M[..., 1, 0]],
+                  -1)], -2)
+    Minv = adj * inv_det[..., None, None]
+    tinv = -jnp.einsum("...ij,...j->...i", Minv, t)
+    return jnp.concatenate([Minv, tinv[..., None]], -1)
+
+
 def two_level_intersect(nodes_all, inst_rows, tri_geo_ordered, tlas_root,
-                        o, d, t_max, any_hit=False):
+                        o, d, t_max, any_hit=False, time=None):
     """Masked two-level traversal. o, d: (N, 3) WORLD rays.
 
     tri_geo_ordered: concatenated BLAS-ordered triangle rows (T, 10) whose
@@ -231,7 +279,14 @@ def two_level_intersect(nodes_all, inst_rows, tri_geo_ordered, tlas_root,
         is_enter = (do_pop | pop2) & (tok <= -2) & active
         ii = jnp.clip(-2 - tok, 0, inst_rows.shape[0] - 1)
         irow = inst_rows[ii]
-        A = irow[:, 0:12].reshape(-1, 3, 4)
+        if time is None:
+            A = irow[:, 0:12].reshape(-1, 3, 4)
+        else:
+            # animated instance: invert the time-blended o2w per lane
+            # (static instances reduce to the stored exact w2o)
+            A_dyn = _invert_affine(lerp_inst_o2w(irow, time))
+            A_sta = irow[:, 0:12].reshape(-1, 3, 4)
+            A = jnp.where((irow[:, 26] > 0.5)[:, None, None], A_dyn, A_sta)
         o_obj = jnp.einsum("nij,nj->ni", A[:, :, :3], o) + A[:, :, 3]
         d_obj = jnp.einsum("nij,nj->ni", A[:, :, :3], d)
         co = jnp.where(is_enter[:, None], o_obj, co)

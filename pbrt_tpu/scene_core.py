@@ -262,18 +262,23 @@ class SceneBuilder:
             P["uv0"].append(uv0[i]); P["uv1"].append(uv1[i]); P["uv2"].append(uv2[i])
             P["mat"].append(material)
 
-    def add_instance(self, proto: int, object_to_world):
+    def add_instance(self, proto: int, object_to_world,
+                     object_to_world_end=None):
         """Instantiate a prototype (reference ObjectInstance).
-        object_to_world: utils.transform.Transform or (4,4) matrix."""
-        from .utils import transform as tfm
-        if hasattr(object_to_world, "m"):
-            o2w4 = np.asarray(object_to_world.m, np.float64)
-        else:
-            o2w4 = np.asarray(object_to_world, np.float64)
+        object_to_world: utils.transform.Transform or (4,4) matrix.
+        object_to_world_end: optional end-of-shutter transform -> the
+        instance is ANIMATED (reference AnimatedPrimitive,
+        cpu/primitive.h:103; rays interpolate by their time)."""
+        def mat(x):
+            return np.asarray(x.m if hasattr(x, "m") else x, np.float64)
+        o2w4 = mat(object_to_world)
         w2o4 = np.linalg.inv(o2w4)
-        self.instances.append(dict(proto=proto,
-                                   o2w=o2w4[:3, :].astype(np.float32),
-                                   w2o=w2o4[:3, :].astype(np.float32)))
+        rec = dict(proto=proto, o2w=o2w4[:3, :].astype(np.float32),
+                   w2o=w2o4[:3, :].astype(np.float32))
+        if object_to_world_end is not None:
+            rec["o2w_end"] = mat(object_to_world_end)[:3, :].astype(
+                np.float32)
+        self.instances.append(rec)
         return len(self.instances) - 1
 
     def add_curve(self, control_points, width0, width1, material: int,
@@ -684,8 +689,11 @@ class SceneBuilder:
             for inst in self.instances:
                 if inst["proto"] not in proto_index_map:
                     continue
-                inst_list.append(dict(proto=proto_index_map[inst["proto"]],
-                                      o2w=inst["o2w"], w2o=inst["w2o"]))
+                rec = dict(proto=proto_index_map[inst["proto"]],
+                           o2w=inst["o2w"], w2o=inst["w2o"])
+                if "o2w_end" in inst:
+                    rec["o2w_end"] = inst["o2w_end"]
+                inst_list.append(rec)
             tlas_nodes, inst_rows_packed, _pb, tlas_root = \
                 tlas_mod.build_two_level(blas_list, inst_list)
             # fix ordered concat prim bases: build_two_level rebased leaf
@@ -782,15 +790,17 @@ def _pallas_bvh_query(scene: Scene, o, d, t_max, any_hit):
     return {k: v[inv] for k, v in r.items()}
 
 
-def intersect(scene: Scene, o, d, t_max):
+def intersect(scene: Scene, o, d, t_max, time=None):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
 
+    time: optional (N,) shutter times for animated instances.
     Gather budget after traversal: 2 packed rows (geo + shade)."""
     if scene.has_instances:
         from .ops import tlas as tlas_mod
         r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
                                          scene.tri_geo_tlas,
-                                         scene.tlas_root, o, d, t_max)
+                                         scene.tlas_root, o, d, t_max,
+                                         time=time)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
@@ -817,9 +827,18 @@ def intersect(scene: Scene, o, d, t_max):
     if scene.has_instances:
         # instanced prototypes store geometry in object space: map the hit
         # triangle to world by the instance's o2w; normals by w2o^T
+        from .ops import tlas as tlas_mod
         irow = pool_lookup(scene.inst_rows, jnp.maximum(r["inst"], 0))
-        Rw2o = irow[..., 0:12].reshape(irow.shape[:-1] + (3, 4))[..., :3]
-        A = irow[..., 12:24].reshape(irow.shape[:-1] + (3, 4))
+        if time is None:
+            Rw2o = irow[..., 0:12].reshape(irow.shape[:-1] + (3, 4))[..., :3]
+            A = irow[..., 12:24].reshape(irow.shape[:-1] + (3, 4))
+        else:
+            A = tlas_mod.lerp_inst_o2w(irow, time)
+            Ainv = tlas_mod._invert_affine(A)
+            Rw2o_s = irow[..., 0:12].reshape(irow.shape[:-1] +
+                                             (3, 4))[..., :3]
+            animated = (irow[..., 26] > 0.5)[..., None, None]
+            Rw2o = jnp.where(animated, Ainv[..., :3], Rw2o_s)
 
         def _pt(x):
             return jnp.einsum("...ij,...j->...i", A[..., :3], x) + A[..., 3]
@@ -991,14 +1010,14 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
                 light=jnp.where(hit_c, -1, out["light"]))
 
 
-def intersect_p(scene: Scene, o, d, t_max):
+def intersect_p(scene: Scene, o, d, t_max, time=None):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
     if scene.has_instances:
         from .ops import tlas as tlas_mod
         r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
                                          scene.tri_geo_tlas,
                                          scene.tlas_root, o, d, t_max,
-                                         any_hit=True)
+                                         any_hit=True, time=time)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:

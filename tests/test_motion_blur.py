@@ -1,0 +1,79 @@
+"""Animated instances / motion blur (reference transform.h:444
+AnimatedTransform + cpu/primitive.h:103 AnimatedPrimitive)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pbrt_tpu import scene_core as sc
+from pbrt_tpu.utils import spectrum as spc
+from pbrt_tpu.utils import transform as tfm
+
+
+def _animated_scene():
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.8, 0.2, 0.2))
+    proto = b.new_prototype()
+    b.add_proto_mesh(proto, [[-0.5, -0.5, 0], [0.5, -0.5, 0],
+                             [0.5, 0.5, 0], [-0.5, 0.5, 0]],
+                     [[0, 1, 2], [0, 2, 3]], m)
+    # quad sweeps from x=0 to x=4 over the shutter
+    b.add_instance(proto, tfm.translate((0, 0, 0)),
+                   object_to_world_end=tfm.translate((4, 0, 0)))
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(1.0))
+    return b.build(force_bvh=False)
+
+
+def test_animated_instance_interpolates_with_time():
+    scene = _animated_scene()
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (3, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (3, 1))
+    tmax = jnp.full((3,), 1e30)
+    for t, want in ((0.0, True), (0.5, False), (1.0, False)):
+        r = sc.intersect(scene, o, d, tmax,
+                         time=jnp.full((3,), t, jnp.float32))
+        assert bool(r["hit"][0]) == want, (t, want)
+    # at time 0.5 the quad is at x=2: a ray at x=2 hits then
+    o2 = jnp.asarray([[2.0, 0.0, 5.0]])
+    d2 = jnp.asarray([[0.0, 0.0, -1.0]])
+    r = sc.intersect(scene, o2, d2, jnp.full((1,), 1e30),
+                     time=jnp.full((1,), 0.5, jnp.float32))
+    assert bool(r["hit"][0])
+    assert abs(float(r["t"][0]) - 5.0) < 1e-3
+
+
+def test_animated_shadows_move():
+    scene = _animated_scene()
+    o = jnp.asarray([[0.0, 0.0, 5.0], [4.0, 0.0, 5.0]])
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (2, 1))
+    occ0 = sc.intersect_p(scene, o, d, jnp.full((2,), 20.0),
+                          time=jnp.zeros((2,), jnp.float32))
+    occ1 = sc.intersect_p(scene, o, d, jnp.full((2,), 20.0),
+                          time=jnp.ones((2,), jnp.float32))
+    assert bool(occ0[0]) and not bool(occ0[1])
+    assert not bool(occ1[0]) and bool(occ1[1])
+
+
+@pytest.mark.slow
+def test_motion_blur_render_streaks():
+    """A fast-moving quad renders as a streak: pixels across the sweep
+    each get partial coverage."""
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    from pbrt_tpu import cameras as cam_mod
+    scene = _animated_scene()
+    cam = cam_mod.make_camera(
+        "perspective", fov=60, width=48, height=16,
+        camera_from_world=tfm.look_at((2, 0, 6), (2, 0, 0),
+                                      (0, 1, 0)).inverse())
+    img, _ = rdr.render(scene, cam, spp=128,
+                        opts=PathOptions(max_depth=2))
+    a = np.asarray(img)
+    # the quad reflects almost no blue: motion blur shows as a partial
+    # blue DEFICIT across the swept band (row 8) vs pure sky (row 1),
+    # partial (blurred) rather than the full deficit of a static quad
+    deficit = 1.0 - a[8, :, 2] / np.maximum(a[1, :, 2], 1e-6)
+    band = deficit[19:29]     # the swept region at this camera framing
+    assert (band > 0.05).mean() > 0.7         # spread across the band
+    assert 0.05 < band.mean() < 0.8           # partial coverage, not solid
+    # sky edges unaffected
+    assert np.abs(deficit[[0, 1, 46, 47]]).max() < 0.1
