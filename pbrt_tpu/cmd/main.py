@@ -35,6 +35,9 @@ def main(argv=None):
                     help="film checkpoint file: resume if it exists, save "
                          "every --checkpoint-every waves")
     ap.add_argument("--checkpoint-every", type=int, default=8)
+    ap.add_argument("--display-server", default=None,
+                    help="host[:port] of a running tev viewer "
+                         "(reference --display-server)")
     ap.add_argument("--mse-reference-image", default=None,
                     help="compute MSE vs this EXR after rendering "
                          "(reference --mse-reference-image)")
@@ -76,10 +79,19 @@ def main(argv=None):
     opts = PathOptions(max_depth=args.maxdepth or desc.integrator["max_depth"])
 
     acc = StatsAccumulator() if args.stats else None
+    display = None
+    if args.display_server:
+        from ..utils.display import DisplayServer
+        hp = args.display_server.split(":")
+        display = DisplayServer(hp[0], int(hp[1]) if len(hp) > 1 else 14158)
+        if not display.connected:
+            log.warning("could not connect to display server %s",
+                        args.display_server)
     img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
                             progress=not args.quiet, stats=acc,
                             checkpoint_path=args.checkpoint,
-                            checkpoint_every=args.checkpoint_every)
+                            checkpoint_every=args.checkpoint_every,
+                            display=display)
     out = args.outfile or desc.film_params["filename"]
     if out.endswith(".pfm"):
         pimg.write_pfm(out, img)

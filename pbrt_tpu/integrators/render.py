@@ -62,7 +62,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            sensor=None, opts: path_mod.PathOptions = None,
            max_rays_per_wave=1 << 20, verbose=False, colorspace=None,
            max_waves=None, progress=False, checkpoint_path=None,
-           checkpoint_every=0, stats=None):
+           checkpoint_every=0, stats=None, display=None,
+           display_name="pbrt_tpu"):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
     max_waves: stop after this many sample waves (warmup/benchmark use).
@@ -71,7 +72,9 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     waves and resume from an existing checkpoint (reference partial-image
     recovery, options.h:42).
     stats: optional utils.stats.StatsAccumulator to fill with per-wave
-    counters (reference --stats report, util/stats.h)."""
+    counters (reference --stats report, util/stats.h).
+    display: optional utils.display.DisplayServer — streams the partial
+    image to a tev viewer after every fused dispatch (display.h:23)."""
     W, H = camera.width, camera.height
     if sampler is None:
         sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
@@ -116,6 +119,12 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
         if verbose:
             print(f"wave {s}/{n_waves}  {time.time() - t0:.2f}s")
         prog.update(kk)
+        if display is not None and display.connected:
+            if s == kk:
+                display.create_image(display_name, W, H)
+            display.update_image(display_name,
+                                 film_mod.get_image(film, sensor,
+                                                    colorspace))
         if stats is not None:
             stats.count("render/camera rays", chunk * kk)
             stats.count("render/waves", kk)
