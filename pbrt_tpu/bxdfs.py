@@ -30,6 +30,7 @@ BXDF_COATED_DIFFUSE = 5
 BXDF_COATED_CONDUCTOR = 6
 BXDF_HAIR = 7
 BXDF_SUBSURFACE = 8  # handled by the integrator's BSSRDF stage, not a lobe
+BXDF_MEASURED = 9    # tabulated (theta_h, theta_d, phi_d) BRDF (bxdfs.h:1022)
 
 # flags (reference base/bxdf.h BxDFFlags)
 FLAG_REFLECTION = 1
@@ -54,6 +55,8 @@ class BSDFParams:
     coat_eta: jnp.ndarray = None     # (N,)
     # hair: azimuthal offset h in [-1, 1] from the curve hit's v coordinate
     h: jnp.ndarray = None
+    # measured BRDF table ((Nh*Nd*Np, 4) coeffs+scale), shared per scene
+    measured_table: jnp.ndarray = None
     # static set of tags actually present (None = all): dispatchers compile
     # only these branches (per-material kernel specialization, TPU-style)
     tags_present: tuple = struct.field(pytree_node=False, default=None)
@@ -552,6 +555,72 @@ def _hair_sample(p: BSDFParams, wo, uc, u2):
     return wi, f, pdf
 
 
+
+
+# ---------------------------------------------------------------------------
+# Measured BRDF (reference MeasuredBxDF, bxdfs.h:1022). The reference uses
+# the Dupuy-Jakob adaptive parameterization from .bsdf captures; this build
+# stores measured data in the classic MERL/Rusinkiewicz half/difference
+# grid (90 x 90 x 180 in (theta_h, theta_d, phi_d)) — the dominant public
+# measured-BRDF corpus — as sigmoid-coefficient texels evaluated spectrally.
+# Sampling uses the cosine hemisphere with exact pdfs (unbiased; the
+# reference fits a dedicated sampling distribution, a variance-only
+# difference).
+
+def _rusink_coords(wo, wi):
+    """(theta_h, theta_d, phi_d) of a direction pair in the local frame."""
+    h = vm.normalize(wo + wi)
+    theta_h = jnp.arccos(jnp.clip(h[..., 2], -1.0, 1.0))
+    phi_h = jnp.arctan2(h[..., 1], h[..., 0])
+    # rotate wi into the half-vector frame: R_y(-theta_h) R_z(-phi_h) wi
+    cp, sp = jnp.cos(-phi_h), jnp.sin(-phi_h)
+    x1 = cp * wi[..., 0] - sp * wi[..., 1]
+    y1 = sp * wi[..., 0] + cp * wi[..., 1]
+    z1 = wi[..., 2]
+    ct, st = jnp.cos(-theta_h), jnp.sin(-theta_h)
+    x2 = ct * x1 + st * z1
+    z2 = -st * x1 + ct * z1
+    d = jnp.stack([x2, y1, z2], -1)
+    theta_d = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    phi_d = jnp.arctan2(d[..., 1], d[..., 0])
+    phi_d = jnp.where(phi_d < 0, phi_d + np.pi, phi_d)  # reciprocity fold
+    return theta_h, theta_d, phi_d
+
+
+def _measured_f_pdf(p: BSDFParams, wo, wi):
+    """Registry shim: spectral table eval + cosine-hemisphere pdf. The
+    wavelengths ride in p.k[..., :4] (stashed by get_bsdf_params)."""
+    f = measured_f(p.measured_table, wo, wi, p.k)
+    same = vm.same_hemisphere(wo, wi)
+    pdf = jnp.where(same, sp.cosine_hemisphere_pdf(vm.abs_cos_theta(wi)),
+                    0.0)
+    return f, pdf
+
+
+def measured_f(table, wo, wi, lam):
+    """Evaluate a measured BRDF table at (wo, wi) spectrally.
+
+    table: (Nh*Nd*Np, 4) [sigmoid coeffs, scale] + static dims in
+    MEASURED_DIMS; returns (N, 4)."""
+    from .utils import color as pcolor
+    Nh, Nd, Np_ = MEASURED_DIMS
+    th, td, pd = _rusink_coords(wo, wi)
+    # MERL's theta_h axis is warped: bin = sqrt(th / (pi/2)) * Nh
+    ih = jnp.clip((jnp.sqrt(jnp.maximum(th, 0.0) / (np.pi / 2)) *
+                   Nh).astype(jnp.int32), 0, Nh - 1)
+    i_d = jnp.clip((td / (np.pi / 2) * Nd).astype(jnp.int32), 0, Nd - 1)
+    ip = jnp.clip((pd / np.pi * Np_).astype(jnp.int32), 0, Np_ - 1)
+    idx = (ih * Nd + i_d) * Np_ + ip
+    rows = table[idx]                       # one gather (N, 4)
+    refl = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 0:3], lam)
+    f = refl * rows[..., 3:4]
+    same = vm.same_hemisphere(wo, wi)
+    return jnp.where(same[..., None], f, 0.0)
+
+
+MEASURED_DIMS = (90, 90, 180)
+
+
 def fresnel_moment1(eta):
     """First moment of the Fresnel reflectance (reference FresnelMoment1,
     bssrdf.cpp polynomial fits)."""
@@ -574,6 +643,7 @@ _F_PDF_FNS = {
     BXDF_COATED_DIFFUSE: _coated_diffuse_f_pdf,
     BXDF_COATED_CONDUCTOR: _coated_conductor_f_pdf,
     BXDF_HAIR: _hair_f_pdf,
+    BXDF_MEASURED: _measured_f_pdf,
 }
 
 
@@ -585,7 +655,8 @@ def _present(p: BSDFParams):
         return p.tags_present
     return (BXDF_DIFFUSE, BXDF_CONDUCTOR, BXDF_DIELECTRIC,
             BXDF_THIN_DIELECTRIC, BXDF_DIFFUSE_TRANSMISSION,
-            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR, BXDF_HAIR)
+            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR, BXDF_HAIR,
+            BXDF_MEASURED)
 
 
 def bsdf_f(p: BSDFParams, wo, wi):
@@ -777,6 +848,14 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
     if BXDF_HAIR in present:
         wi_h, f_h, pdf_h = _hair_sample(p, wo, uc, u2)
         sel(BXDF_HAIR, wi_h, f_h, pdf_h, False, False, 1.0, False)
+
+    if BXDF_MEASURED in present:
+        wi_m = sp.sample_cosine_hemisphere(u2)
+        wi_m = jnp.where((wo[..., 2] < 0)[..., None],
+                         jnp.concatenate([wi_m[..., :2], -wi_m[..., 2:]],
+                                         -1), wi_m)
+        f_m, pdf_m = _measured_f_pdf(p, wo, wi_m)
+        sel(BXDF_MEASURED, wi_m, f_m, pdf_m, False, False, 1.0, False)
 
     if BXDF_THIN_DIELECTRIC in present:
         # reference ThinDielectricBxDF, bxdfs.h:209

@@ -44,6 +44,10 @@ class MaterialPool:
     has_coated_conductor: bool = struct.field(pytree_node=False,
                                               default=False)
     has_subsurface: bool = struct.field(pytree_node=False, default=False)
+    # measured BRDF table ((Nh*Nd*Np, 4) sigmoid coeffs + scale); one
+    # shared table per scene (reference MeasuredBxDF data, bxdfs.h:1022)
+    measured_table: jnp.ndarray = None
+    has_measured: bool = struct.field(pytree_node=False, default=False)
     # static set of BxDF tags in the pool (Mix resolved to sub-materials):
     # bsdf_f/sample compile ONLY these branches (the TPU analog of the
     # reference wavefront's per-material kernel split, integrator.h:139)
@@ -111,6 +115,20 @@ class MaterialBuilder:
     def set_roughness_texture(self, mat: int, rough_tex: int):
         """Attach a float roughness texture (overrides u/v roughness)."""
         self.rows[mat]["rough_tex"] = rough_tex
+
+    def add_measured(self, brdf_rgb):
+        """Measured BRDF material (reference \"measured\" / MeasuredBxDF
+        bxdfs.h:1022). brdf_rgb: (90, 90, 180, 3) linear-RGB BRDF values on
+        the MERL (theta_h^2-warped, theta_d, phi_d) grid — use
+        load_merl_brdf() for .binary MERL captures."""
+        t = np.asarray(brdf_rgb, np.float32).reshape(-1, 3)
+        m = np.maximum(t.max(axis=-1), 1e-9)
+        scale = np.where(t.max(axis=-1) > 1.0, 2.0 * m,
+                         1.0).astype(np.float32)
+        coeffs = self.cs.to_spectrum_coeffs(t / scale[:, None])
+        self._measured = np.concatenate([coeffs, scale[:, None]], 1)
+        return self._add(bxdf_tag=bxdfs.BXDF_MEASURED,
+                         remap_roughness=False)
 
     def add_subsurface(self, reflectance=(0.8, 0.6, 0.5), mfp=(0.1, 0.1, 0.1),
                        eta=1.33):
@@ -230,12 +248,32 @@ class MaterialBuilder:
             has_coated_conductor=bool(
                 (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()),
             has_subsurface=bool((tags == bxdfs.BXDF_SUBSURFACE).any()),
+            measured_table=(jnp.asarray(self._measured)
+                            if getattr(self, "_measured", None) is not None
+                            else None),
+            has_measured=bool((tags == bxdfs.BXDF_MEASURED).any()),
             bxdf_tags_present=tuple(sorted(
                 set(int(t) for t in tags if t != MTL_MIX)
                 # the BSSRDF stage rewrites subsurface lanes to a diffuse
                 # exit lobe + a mirror entry lobe: compile those branches
                 | ({bxdfs.BXDF_DIFFUSE, bxdfs.BXDF_CONDUCTOR}
                    if (tags == bxdfs.BXDF_SUBSURFACE).any() else set()))))
+
+
+def load_merl_brdf(path):
+    """Read a MERL .binary BRDF capture -> (90, 90, 180, 3) linear RGB
+    (public format: 3 int32 dims + float64 data, channel-planar, with the
+    standard 1/1500, 1.15/1500, 1.66/1500 channel scales)."""
+    import struct as pystruct
+    raw = open(path, "rb").read()
+    nh, nd, np_ = pystruct.unpack("<iii", raw[:12])
+    n = nh * nd * np_
+    data = np.frombuffer(raw[12:12 + n * 3 * 8], np.float64)
+    r = data[:n] * (1.0 / 1500.0)
+    g = data[n:2 * n] * (1.15 / 1500.0)
+    b = data[2 * n:] * (1.66 / 1500.0)
+    out = np.stack([r, g, b], -1).reshape(nh, nd, np_, 3)
+    return np.clip(out, 0.0, None).astype(np.float32)
 
 
 # Default conductor (Cu) dense spectra indices are resolved at scene compile.
@@ -382,7 +420,10 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
             h = jnp.clip(-1.0 + 2.0 * uv[..., 1], -1.0, 1.0)
     coat_alpha = rows[..., 20] if pool.has_coated_conductor else None
     coat_eta = rows[..., 21] if pool.has_coated_conductor else None
+    if pool.has_measured:
+        k = jnp.where((tag == bxdfs.BXDF_MEASURED)[..., None], lam, k)
     return bxdfs.BSDFParams(tag=tag, albedo=albedo, alpha_x=ax, alpha_y=ay,
                             eta=eta, k=k, coat_alpha=coat_alpha,
                             coat_eta=coat_eta, h=h,
+                            measured_table=pool.measured_table,
                             tags_present=pool.bxdf_tags_present)
