@@ -90,6 +90,10 @@ class Scene:
     tri_geo_tlas: jnp.ndarray = None   # concat BLAS-ordered triangles
     tlas_root: int = struct.field(pytree_node=False, default=0)
     has_instances: bool = struct.field(pytree_node=False, default=False)
+    # packet-kernel variant of the two-level traversal (TPU, static
+    # instances): dense pack of the concatenated BLAS-ordered triangles
+    tris_tlas_dense: jnp.ndarray = None
+    use_pallas_tlas: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -700,12 +704,23 @@ class SceneBuilder:
             # roffs assuming chunk order == blas_list order (it is)
             tri_geo_tlas = jnp.asarray(np.concatenate(ordered_chunks))
             has_instances = True
+            from .ops import pallas_bvh as pbvh_mod2
+            import jax as _jax2
+            any_motion = any("o2w_end" in i for i in self.instances)
+            use_pallas_tlas = (_jax2.default_backend() == "tpu"
+                               and not any_motion
+                               and tri_geo_tlas.shape[0] <= 190000)
+            tris_tlas_dense = pbvh_mod2.pad_tris_for_bvh(
+                np.asarray(tri_geo_tlas)) if use_pallas_tlas else \
+                jnp.zeros((1, 128), jnp.float32)
         else:
             tlas_nodes = inst_rows_packed = tri_geo_tlas = None
             tlas_root = 0
             extra_geo = []
             extra_shade = []
             has_instances = False
+            use_pallas_tlas = False
+            tris_tlas_dense = None
         # curve pool: dedicated BVH over pre-split Bezier sub-segments
         if self.curve_seg_rows:
             from .ops import curves as crv
@@ -731,6 +746,8 @@ class SceneBuilder:
             tlas_nodes=tlas_nodes, inst_rows=inst_rows_packed,
             tri_geo_tlas=tri_geo_tlas, tlas_root=int(tlas_root),
             has_instances=has_instances,
+            tris_tlas_dense=tris_tlas_dense,
+            use_pallas_tlas=use_pallas_tlas,
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
             tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
             tri_shade=jnp.asarray(tri_shade),
@@ -797,10 +814,20 @@ def intersect(scene: Scene, o, d, t_max, time=None):
     Gather budget after traversal: 2 packed rows (geo + shade)."""
     if scene.has_instances:
         from .ops import tlas as tlas_mod
-        r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
-                                         scene.tri_geo_tlas,
-                                         scene.tlas_root, o, d, t_max,
-                                         time=time)
+        if scene.use_pallas_tlas:
+            from .ops import pallas_bvh as pbvh_mod
+            order = jnp.argsort(_ray_sort_keys(scene, o, d))
+            tb = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                  (o.shape[0],))
+            rs = pbvh_mod.two_level_intersect_pallas(
+                scene.tlas_nodes, scene.inst_rows, scene.tris_tlas_dense,
+                scene.tlas_root, o[order], d[order], tb[order])
+            inv = jnp.argsort(order)
+            r = {k: v[inv] for k, v in rs.items()}
+        else:
+            r = tlas_mod.two_level_intersect(
+                scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
+                scene.tlas_root, o, d, t_max, time=time)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
@@ -1014,10 +1041,21 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
     if scene.has_instances:
         from .ops import tlas as tlas_mod
-        r = tlas_mod.two_level_intersect(scene.tlas_nodes, scene.inst_rows,
-                                         scene.tri_geo_tlas,
-                                         scene.tlas_root, o, d, t_max,
-                                         any_hit=True, time=time)
+        if scene.use_pallas_tlas:
+            from .ops import pallas_bvh as pbvh_mod
+            order = jnp.argsort(_ray_sort_keys(scene, o, d))
+            tb = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                                  (o.shape[0],))
+            rs = pbvh_mod.two_level_intersect_pallas(
+                scene.tlas_nodes, scene.inst_rows, scene.tris_tlas_dense,
+                scene.tlas_root, o[order], d[order], tb[order],
+                any_hit=True)
+            inv = jnp.argsort(order)
+            r = {k: v[inv] for k, v in rs.items()}
+        else:
+            r = tlas_mod.two_level_intersect(
+                scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
+                scene.tlas_root, o, d, t_max, any_hit=True, time=time)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:
