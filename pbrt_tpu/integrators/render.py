@@ -63,7 +63,7 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            max_rays_per_wave=1 << 20, verbose=False, colorspace=None,
            max_waves=None, progress=False, checkpoint_path=None,
            checkpoint_every=0, stats=None, display=None,
-           display_name="pbrt_tpu"):
+           display_name="pbrt_tpu", waves_per_dispatch=None):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
     max_waves: stop after this many sample waves (warmup/benchmark use).
@@ -102,7 +102,12 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     all_pix = np.arange(n_pix, dtype=np.int32)
     t0 = time.time()
     n_paths = 0
-    k = min(8, n_waves)  # waves fused per dispatch
+    if waves_per_dispatch is None:
+        # fuse waves per dispatch to amortize the ~3ms launch cost — but a
+        # single dispatch must stay well under the device watchdog, so
+        # scenes with expensive XLA while-loop traversal (curves) fuse less
+        waves_per_dispatch = 1 if scene.has_curves else 8
+    k = min(waves_per_dispatch, n_waves)
     from ..utils.progress import ProgressReporter
     prog = ProgressReporter(n_waves - s, enabled=bool(progress))
     while s < n_waves:

@@ -230,3 +230,251 @@ def bvh_intersect_curves(nodes, seg_rows_ordered, o, d, t_max,
      id_best) = state
     return dict(hit=found, t=jnp.where(found, t_best, jnp.inf), u=u_best,
                 v=v_best, n=n_best, axis=ax_best, curve_id=id_best)
+
+
+# ---------------------------------------------------------------------------
+# Packet (Pallas) curve traversal: the block-shared-stack scheme of
+# ops/pallas_bvh.py with the width-aware segment test as the leaf. The
+# kernel returns (t, winning segment index); the merge layer re-runs the
+# scalar segment test on the gathered winner row to recover u/v/normal.
+
+import functools
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_BROWS = 8
+_BLOCK = _LANES * _BROWS
+_STACK = 64
+_CHUNK = 16384
+
+
+def pad_segs_dense(seg_rows):
+    """(S, 16) segment rows -> (ceil(S/8), 128) dense pack."""
+    t = np.asarray(seg_rows, np.float32)
+    S8 = -(-t.shape[0] // 8) * 8
+    out = np.zeros((S8, 16), np.float32)
+    out[:t.shape[0]] = t
+    return jnp.asarray(out.reshape(S8 // 8, 128))
+
+
+def _curve_packet_body(read_node, read_seg, stack_set, stack_get,
+                       o_x, o_y, o_z, d_x, d_y, d_z, t_max, any_hit):
+    inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
+    inv_dy = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
+    inv_dz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
+    sgn_x = jnp.sum(d_x) < 0
+    sgn_y = jnp.sum(d_y) < 0
+    sgn_z = jnp.sum(d_z) < 0
+    # per-lane ray frame (z along d) for the 2D segment test
+    dlen = jnp.sqrt(d_x * d_x + d_y * d_y + d_z * d_z)
+    dnx, dny, dnz = d_x / dlen, d_y / dlen, d_z / dlen
+    # coordinate_system(dn): branchless Duff frame
+    sgn = jnp.where(dnz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sgn + dnz)
+    bb = dnx * dny * a
+    t1x = 1.0 + sgn * dnx * dnx * a
+    t1y = sgn * bb
+    t1z = -sgn * dnx
+    t2x = bb
+    t2y = sgn + dny * dny * a
+    t2z = -dny
+
+    shape = o_x.shape
+    t_best0 = t_max
+    seg0 = jnp.full(shape, -1.0, jnp.float32)
+
+    def seg_test(k, t_bound):
+        (pax, pay, paz, pbx, pby, pbz, wa, wb, ua, ub,
+         n0x, n0y, n0z, ctyp) = read_seg(k)
+        rax = pax - o_x
+        ray_ = pay - o_y
+        raz = paz - o_z
+        rbx = pbx - o_x
+        rby = pby - o_y
+        rbz = pbz - o_z
+        ax = rax * t1x + ray_ * t1y + raz * t1z
+        ay = rax * t2x + ray_ * t2y + raz * t2z
+        az = rax * dnx + ray_ * dny + raz * dnz
+        bx = rbx * t1x + rby * t1y + rbz * t1z
+        by = rbx * t2x + rby * t2y + rbz * t2z
+        bz = rbx * dnx + rby * dny + rbz * dnz
+        ex = bx - ax
+        ey = by - ay
+        seg_len2 = jnp.maximum(ex * ex + ey * ey, 1e-16)
+        w = jnp.clip(-(ax * ex + ay * ey) / seg_len2, 0.0, 1.0)
+        cx = ax + w * ex
+        cy = ay + w * ey
+        dist2 = cx * cx + cy * cy
+        hw = wa + (wb - wa) * w
+        inside = dist2 <= 0.25 * hw * hw
+        z_axis = az + w * (bz - az)
+        edge = jnp.sqrt(jnp.maximum(0.25 * hw * hw - dist2, 0.0))
+        z_hit = jnp.where(ctyp == 1.0, z_axis - edge, z_axis)
+        t = z_hit / jnp.maximum(dlen, 1e-12)
+        valid = inside & (t > 1e-4) & (t < t_bound)
+        return t, valid
+
+    def body(carry):
+        sp, cur, st, t_best, seg_best = carry
+        (lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, roff_f, meta_f) = \
+            read_node(cur)
+        roff = jnp.round(roff_f).astype(jnp.int32)
+        meta = jnp.round(meta_f).astype(jnp.int32)
+        nprim = meta >> 2
+        axis = meta & 3
+        is_leaf = nprim > 0
+        tx0 = (lo_x - o_x) * inv_dx
+        tx1 = (hi_x - o_x) * inv_dx
+        ty0 = (lo_y - o_y) * inv_dy
+        ty1 = (hi_y - o_y) * inv_dy
+        tz0 = (lo_z - o_z) * inv_dz
+        tz1 = (hi_z - o_z) * inv_dz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+        tmax_b = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.minimum(jnp.maximum(tz0, tz1), t_best))
+        live = seg_best < 0.0 if any_hit else jnp.ones(shape, bool)
+        box_hit = (tmin <= tmax_b * 1.0000004) & live
+        any_box = jnp.any(box_hit)
+
+        def leaf_body(k, args):
+            t_best, seg_best = args
+            t, valid = seg_test(roff + k, t_best)
+            better = valid & box_hit & (k < nprim)
+            t_best = jnp.where(better, t, t_best)
+            seg_best = jnp.where(better, (roff + k).astype(jnp.float32),
+                                 seg_best)
+            return t_best, seg_best
+
+        leaf_now = any_box & is_leaf
+        t_best, seg_best = jax.lax.cond(
+            leaf_now,
+            lambda a: jax.lax.fori_loop(
+                0, jnp.minimum(nprim, bvh_mod.MAX_LEAF_PRIMS), leaf_body,
+                a),
+            lambda a: a, (t_best, seg_best))
+
+        neg = jnp.where(axis == 0, sgn_x, jnp.where(axis == 1, sgn_y,
+                                                    sgn_z))
+        near = jnp.where(neg, roff, cur + 1)
+        far = jnp.where(neg, cur + 1, roff)
+        descend = any_box & ~is_leaf
+        st = stack_set(st, sp, far, descend)
+        sp = jnp.where(descend, sp + 1, sp)
+        do_pop = ~descend
+        sp_pop = jnp.maximum(sp - 1, 0)
+        popped = stack_get(st, sp_pop)
+        cur = jnp.where(descend, near, jnp.where(sp > 0, popped, -1))
+        if any_hit:
+            cur = jnp.where(jnp.all(seg_best >= 0.0), -1, cur)
+        sp = jnp.where(do_pop, sp_pop, sp)
+        return sp, cur, st, t_best, seg_best
+
+    return body, (jnp.int32(0), jnp.int32(0)), (t_best0, seg0)
+
+
+def _curve_kernel(nodes_ref, segs_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+                  t_out, s_out, stack_ref, *, n_nodes, n_segs, any_hit):
+    def read_node(i):
+        base = jnp.clip(i, 0, n_nodes - 1) * 8
+        return tuple(nodes_ref[base + k] for k in range(8))
+
+    def read_seg(i):
+        i = jnp.clip(i, 0, n_segs - 1)
+        row = segs_ref[pl.ds(i >> 3, 1), :]
+        o8 = i & 7
+
+        def mk(off):
+            return lambda: tuple(row[0, off * 16 + k] for k in range(14))
+
+        return jax.lax.switch(o8, [mk(off) for off in range(8)])
+
+    def stack_set(state, sp, val, do):
+        @pl.when(do)
+        def _():
+            stack_ref[jnp.clip(sp, 0, _STACK - 1)] = val
+        return state
+
+    def stack_get(state, sp):
+        return stack_ref[jnp.clip(sp, 0, _STACK - 1)]
+
+    body, scal0, vec0 = _curve_packet_body(
+        read_node, read_seg, stack_set, stack_get,
+        ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+        tmax_ref[...], any_hit)
+    carry = (scal0[0], scal0[1], jnp.int32(0)) + vec0
+    carry = jax.lax.while_loop(lambda c: c[1] >= 0,
+                               lambda c: body(c), carry)
+    t_out[...] = carry[3]
+    s_out[...] = carry[4]
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "n_segs",
+                                             "any_hit"))
+def _curve_run(nodes_flat, segs, ox, oy, oz, dx, dy, dz, tmax, n_nodes,
+               n_segs, any_hit):
+    nb = ox.shape[0] // _BROWS
+    ray_spec = pl.BlockSpec((_BROWS, _LANES), lambda i, nf: (i, 0))
+    out_specs = [pl.BlockSpec((_BROWS, _LANES), lambda i, nf: (i, 0))] * 2
+    out_shape = [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 2
+    kern = functools.partial(_curve_kernel, n_nodes=n_nodes, n_segs=n_segs,
+                             any_hit=any_hit)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(segs.shape, lambda i, nf: (0, 0),
+                               memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
+    )
+    return pl.pallas_call(kern, grid_spec=grid_spec,
+                          out_shape=out_shape)(
+        nodes_flat, segs, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def packet_intersect_curves(nodes, segs_dense, seg_rows, o, d, t_max,
+                            any_hit=False):
+    """Pallas packet curve traversal. Returns the same dict as
+    bvh_intersect_curves (hit/t/u/v/n/axis/curve_id) — the winner's
+    attributes are recovered by ONE gathered re-run of the scalar segment
+    test on seg_rows (leaf order)."""
+    N = o.shape[0]
+    n_pad = -(-N // _CHUNK) * _CHUNK
+
+    def prep(v, fill):
+        v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
+            if n_pad != N else v
+        return v.reshape(n_pad // _CHUNK, _CHUNK // _LANES, _LANES)
+
+    ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
+    dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
+    tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
+    nodes_flat = jnp.asarray(nodes).reshape(-1)
+    n_nodes = nodes.shape[0]
+    n_segs = segs_dense.shape[0] * 8
+
+    def one(chunk):
+        cox, coy, coz, cdx, cdy, cdz, ctm = chunk
+        return _curve_run(nodes_flat, segs_dense, cox, coy, coz, cdx, cdy,
+                          cdz, ctm, n_nodes, n_segs, bool(any_hit))
+
+    t, sf = jax.lax.map(one, (ox, oy, oz, dx, dy, dz, tm))
+    t = t.reshape(-1)[:N]
+    sf = sf.reshape(-1)[:N]
+    seg_idx = jnp.round(sf).astype(jnp.int32)
+    hit = seg_idx >= 0
+    # recover u/v/normal by one gathered segment re-test
+    from .gather import pool_lookup
+    rows = pool_lookup(seg_rows, jnp.maximum(seg_idx, 0))
+    r = _segment_test(o, d, jnp.where(hit, t * 1.0001 + 1e-5, 0.0), rows)
+    u = r["u"]
+    v = r["v"]
+    n = r["n"]
+    ax = vm.normalize(rows[..., 3:6] - rows[..., 0:3])
+    cid = jnp.where(hit, f32_to_i32(rows[..., 14]), -1)
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), u=u, v=v, n=n,
+                axis=ax, curve_id=cid)

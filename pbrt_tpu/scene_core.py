@@ -83,6 +83,8 @@ class Scene:
     curve_segs: jnp.ndarray = None     # (S, 16) sub-segments, leaf order
     curve_mats: jnp.ndarray = None     # (C,) int32 material per curve id
     has_curves: bool = struct.field(pytree_node=False, default=False)
+    curve_segs_dense: jnp.ndarray = None  # packet-kernel dense pack (TPU)
+    use_pallas_curves: bool = struct.field(pytree_node=False, default=False)
     # object instancing (reference cpu/primitive.h:83): two-level BVH
     # (ops/tlas.py); world geometry rides as instance 0 (identity)
     tlas_nodes: jnp.ndarray = None     # concat BLAS+TLAS node rows
@@ -729,12 +731,19 @@ class SceneBuilder:
             seg_hi = np.concatenate([b[1] for b in self.curve_seg_bounds])
             cbvh = bvh_mod.build_bvh(seg_lo, seg_hi)
             curve_nodes = cbvh.nodes
-            curve_segs = jnp.asarray(
-                seg_rows[np.asarray(cbvh.prim_indices)])
+            ordered_segs = seg_rows[np.asarray(cbvh.prim_indices)]
+            curve_segs = jnp.asarray(ordered_segs)
             curve_mats = jnp.asarray(self.curve_mat_list, jnp.int32)
+            import jax as _jax3
+            use_pallas_curves = _jax3.default_backend() == "tpu"
+            from .ops import curves as _crv
+            curve_segs_dense = _crv.pad_segs_dense(ordered_segs) \
+                if use_pallas_curves else None
         else:
             curve_nodes = curve_segs = None
             curve_mats = None
+            curve_segs_dense = None
+            use_pallas_curves = False
         if extra_geo:
             tri_geo = jnp.asarray(np.concatenate([np.asarray(tri_geo)]
                                                  + extra_geo))
@@ -743,6 +752,8 @@ class SceneBuilder:
             curve_nodes=curve_nodes, curve_segs=curve_segs,
             curve_mats=curve_mats,
             has_curves=bool(self.curve_seg_rows),
+            curve_segs_dense=curve_segs_dense,
+            use_pallas_curves=use_pallas_curves,
             tlas_nodes=tlas_nodes, inst_rows=inst_rows_packed,
             tri_geo_tlas=tri_geo_tlas, tlas_root=int(tlas_root),
             has_instances=has_instances,
@@ -1007,8 +1018,13 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
     from .ops import curves as crv
     from .ops.gather import pool_lookup
     t_best = jnp.where(out["hit"], out["t"], t_max)
-    rc = crv.bvh_intersect_curves(scene.curve_nodes, scene.curve_segs,
-                                  o, d, t_best)
+    if scene.use_pallas_curves:
+        rc = crv.packet_intersect_curves(scene.curve_nodes,
+                                         scene.curve_segs_dense,
+                                         scene.curve_segs, o, d, t_best)
+    else:
+        rc = crv.bvh_intersect_curves(scene.curve_nodes, scene.curve_segs,
+                                      o, d, t_best)
     hit_c = rc["hit"] & (rc["t"] < t_best)
     h = hit_c[..., None]
     p_c = o + rc["t"][..., None] * d
@@ -1077,8 +1093,15 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
         occluded = occluded | rq["hit"]
     if scene.has_curves:
         from .ops import curves as crv
-        rc = crv.bvh_intersect_curves(scene.curve_nodes, scene.curve_segs,
-                                      o, d, t_max, any_hit=True)
+        if scene.use_pallas_curves:
+            rc = crv.packet_intersect_curves(scene.curve_nodes,
+                                             scene.curve_segs_dense,
+                                             scene.curve_segs, o, d, t_max,
+                                             any_hit=True)
+        else:
+            rc = crv.bvh_intersect_curves(scene.curve_nodes,
+                                          scene.curve_segs, o, d, t_max,
+                                          any_hit=True)
         occluded = occluded | rc["hit"]
     return occluded
 
