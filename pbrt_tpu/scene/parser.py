@@ -256,10 +256,29 @@ class Parser:
 class GraphicsState:
     def __init__(self):
         self.ctm = tfm.identity()
+        # animated CTM (reference AnimatedTransform via ActiveTransform
+        # StartTime/EndTime): ctm_end tracks the end-of-shutter transform;
+        # active selects which of the pair subsequent directives touch
+        self.ctm_end = None
+        self.active_transform = "All"
         self.reverse_orientation = False
         self.material = 0
         self.area_light = None  # (Spectrum, scale, two_sided)
         self.named_material = None
+
+
+def _apply_xf(gs, f):
+    """Apply a CTM update respecting ActiveTransform
+    (reference scene.cpp transform directives + AnimatedTransform)."""
+    if gs.active_transform in ("All", "StartTime"):
+        gs.ctm = f(gs.ctm)
+    if gs.active_transform in ("All", "EndTime"):
+        if gs.ctm_end is None and gs.active_transform == "EndTime":
+            gs.ctm_end = tfm.identity()
+        if gs.ctm_end is not None:
+            gs.ctm_end = f(gs.ctm_end)
+    elif gs.active_transform == "All" and gs.ctm_end is not None:
+        pass  # handled above
 
 
 class PbrtSceneDescription:
@@ -620,28 +639,32 @@ def parse_string(text, base_dir=".", light_sampler="power",
             subtoks = tokenize(sub.read_bytes())
             p.toks = p.toks[:p.pos] + subtoks + p.toks[p.pos:]
         elif tok == "Identity":
-            gs.ctm = tfm.identity()
+            _apply_xf(gs, lambda c: tfm.identity())
         elif tok == "Translate":
-            gs.ctm = gs.ctm @ tfm.translate(p.parse_args(3))
+            a = p.parse_args(3)
+            _apply_xf(gs, lambda c: c @ tfm.translate(a))
         elif tok == "Scale":
             a = p.parse_args(3)
-            gs.ctm = gs.ctm @ tfm.scale(*a)
+            _apply_xf(gs, lambda c: c @ tfm.scale(*a))
         elif tok == "Rotate":
             a = p.parse_args(4)
-            gs.ctm = gs.ctm @ tfm.rotate(a[0], a[1:])
+            _apply_xf(gs, lambda c: c @ tfm.rotate(a[0], a[1:]))
         elif tok == "LookAt":
             a = p.parse_args(9)
-            gs.ctm = gs.ctm @ tfm.look_at(a[0:3], a[3:6], a[6:9]).inverse()
+            _apply_xf(gs, lambda c: c @ tfm.look_at(a[0:3], a[3:6],
+                                                    a[6:9]).inverse())
         elif tok == "Transform":
             assert p.next() == "["
             m = [float(p.next()) for _ in range(16)]
             assert p.next() == "]"
-            gs.ctm = tfm.from_matrix(np.asarray(m).reshape(4, 4).T)
+            _apply_xf(gs,
+                      lambda c: tfm.from_matrix(np.asarray(m).reshape(4, 4).T))
         elif tok == "ConcatTransform":
             assert p.next() == "["
             m = [float(p.next()) for _ in range(16)]
             assert p.next() == "]"
-            gs.ctm = gs.ctm @ tfm.from_matrix(np.asarray(m).reshape(4, 4).T)
+            _apply_xf(gs, lambda c: c @ tfm.from_matrix(
+                np.asarray(m).reshape(4, 4).T))
         elif tok == "CoordinateSystem":
             named_transforms[p.parse_string()] = gs.ctm
         elif tok == "CoordSysTransform":
@@ -716,8 +739,13 @@ def parse_string(text, base_dir=".", light_sampler="power",
             else:
                 import warnings
                 raise ParseError(f"{p.loc()}: medium type '{mtype}' is not supported")
+        elif tok == "ActiveTransform":
+            which = p.next()
+            gs.active_transform = which
+            if which in ("EndTime", "StartTime") and gs.ctm_end is None:
+                gs.ctm_end = gs.ctm
         elif tok in ("Option", "ColorSpace", "MediumInterface",
-                     "Attribute", "ActiveTransform",
+                     "Attribute",
                      "TransformTimes", "StartTime", "EndTime"):
             # consume arguments conservatively
             if tok in ("Option", "Attribute"):
@@ -762,6 +790,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
                                  f"object '{name}'")
             base_inv = obj["base_ctm"].inverse()
             inst_xf = gs.ctm @ base_inv  # world-from-object at instantiation
+            inst_xf_end = None
+            if gs.ctm_end is not None and \
+                    not np.allclose(np.asarray(gs.ctm_end.m),
+                                    np.asarray(gs.ctm.m)):
+                inst_xf_end = gs.ctm_end @ base_inv
             if obj["proto"] is None:
                 obj["proto"] = b.new_prototype()
                 obj["nonmesh"] = []
@@ -781,7 +814,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
                                          normals=Nw, uvs=uv)
                     else:
                         obj["nonmesh"].append(rec)
-            b.add_instance(obj["proto"], inst_xf)
+            b.add_instance(obj["proto"], inst_xf,
+                           object_to_world_end=inst_xf_end)
             for rec in obj["nonmesh"]:
                 instantiate_shape(rec, inst_xf)
         elif tok == "ReverseOrientation":

@@ -77,3 +77,39 @@ def test_motion_blur_render_streaks():
     assert 0.05 < band.mean() < 0.8           # partial coverage, not solid
     # sky edges unaffected
     assert np.abs(deficit[[0, 1, 46, 47]]).max() < 0.1
+
+
+def test_parser_active_transform_animates_instance():
+    from pbrt_tpu.scene import parser
+    desc = parser.parse_string('''
+Camera "perspective"
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+WorldBegin
+LightSource "infinite"
+ObjectBegin "q"
+  Material "diffuse"
+  Shape "trianglemesh" "point3 P" [-0.5 -0.5 0  0.5 -0.5 0  0.5 0.5 0  -0.5 0.5 0]
+      "integer indices" [0 1 2 0 2 3]
+ObjectEnd
+AttributeBegin
+  ActiveTransform StartTime
+  Translate 0 0 0
+  ActiveTransform EndTime
+  Translate 4 0 0
+  ActiveTransform All
+  ObjectInstance "q"
+AttributeEnd
+''')
+    scene = desc.scene
+    assert scene.has_instances
+    # instance row 26 flags motion on exactly one instance
+    ir = np.asarray(scene.inst_rows)
+    assert (ir[:, 26] > 0.5).sum() == 1
+    o = jnp.asarray([[0.0, 0.0, 5.0], [4.0, 0.0, 5.0]])
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (2, 1))
+    r0 = sc.intersect(scene, o, d, jnp.full((2,), 1e30),
+                      time=jnp.zeros((2,), jnp.float32))
+    r1 = sc.intersect(scene, o, d, jnp.full((2,), 1e30),
+                      time=jnp.ones((2,), jnp.float32))
+    assert bool(r0["hit"][0]) and not bool(r0["hit"][1])
+    assert not bool(r1["hit"][0]) and bool(r1["hit"][1])
