@@ -652,11 +652,15 @@ _F_PDF_FNS = {
 
 def _present(p: BSDFParams):
     if p.tags_present is not None:
-        return p.tags_present
-    return (BXDF_DIFFUSE, BXDF_CONDUCTOR, BXDF_DIELECTRIC,
-            BXDF_THIN_DIELECTRIC, BXDF_DIFFUSE_TRANSMISSION,
-            BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR, BXDF_HAIR,
-            BXDF_MEASURED)
+        tags = p.tags_present
+    else:
+        tags = (BXDF_DIFFUSE, BXDF_CONDUCTOR, BXDF_DIELECTRIC,
+                BXDF_THIN_DIELECTRIC, BXDF_DIFFUSE_TRANSMISSION,
+                BXDF_COATED_DIFFUSE, BXDF_COATED_CONDUCTOR, BXDF_HAIR,
+                BXDF_MEASURED)
+    if p.measured_table is None:
+        tags = tuple(t for t in tags if t != BXDF_MEASURED)
+    return tags
 
 
 def bsdf_f(p: BSDFParams, wo, wi):

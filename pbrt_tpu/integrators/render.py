@@ -105,8 +105,10 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     if waves_per_dispatch is None:
         # fuse waves per dispatch to amortize the ~3ms launch cost — but a
         # single dispatch must stay well under the device watchdog, so
-        # scenes with expensive XLA while-loop traversal (curves) fuse less
-        waves_per_dispatch = 1 if scene.has_curves else 8
+        # scenes leaning on XLA while-loop traversal (curves; animated
+        # instances, which cannot use the packet kernel) fuse less
+        slow_traversal = scene.has_curves or             (scene.has_instances and not scene.use_pallas_tlas)
+        waves_per_dispatch = 1 if slow_traversal else 8
     k = min(waves_per_dispatch, n_waves)
     from ..utils.progress import ProgressReporter
     prog = ProgressReporter(n_waves - s, enabled=bool(progress))
