@@ -46,20 +46,6 @@ def _tri_block_math(tri, o_x, o_y, o_z, d_x, d_y, d_z, t_max,
     epsilon-nonzero, which turned padding rows into spurious hits.
     Returns (t, k(f32 pool index, -1 = miss), b1, b2), each ray-shaped.
     """
-    # per-ray axis permutation: kz = argmax |d|
-    ax, ay, az = jnp.abs(d_x), jnp.abs(d_y), jnp.abs(d_z)
-    kz = jnp.where((az >= ax) & (az >= ay), 2,
-                   jnp.where(ay >= ax, 1, 0)).astype(jnp.int32)
-    kx = jnp.where(kz == 2, 0, kz + 1)
-    ky = jnp.where(kx == 2, 0, kx + 1)
-    dxs = _pick3(d_x, d_y, d_z, kx)
-    dys = _pick3(d_x, d_y, d_z, ky)
-    dzs = _pick3(d_x, d_y, d_z, kz)
-    inv_dz = jnp.where(dzs == 0.0, 0.0, 1.0 / jnp.where(dzs == 0.0, 1.0, dzs))
-    sx = -dxs * inv_dz
-    sy = -dys * inv_dz
-    sz = inv_dz
-
     def body(kq, carry):
         # UNROLL independent tests then a tournament merge: a serial
         # test->select chain is latency-bound on the VPU; independent
@@ -90,58 +76,40 @@ def _tri_block_math(tri, o_x, o_y, o_z, d_x, d_y, d_z, t_max,
 
     def tri_test(k, t_bound):
         base = k * 16
-        # SMEM scalar reads (~few cycles each; the same reads from a VMEM
-        # row cost ~100 cycles serialized and dominated the kernel)
+        # SMEM scalar reads (~few cycles each); rows pack [p0, e1, e2]
+        # (edges precomputed at pack time). Moeller-Trumbore with a small
+        # relative barycentric tolerance: the watertight shear test costs
+        # ~45 vector ops/test (the kernel ran exactly vector-op-bound);
+        # MT with scalar edges is ~30.
         p0x, p0y, p0z = tri[base], tri[base + 1], tri[base + 2]
-        p1x, p1y, p1z = tri[base + 3], tri[base + 4], tri[base + 5]
-        p2x, p2y, p2z = tri[base + 6], tri[base + 7], tri[base + 8]
-
-        def shear(px, py, pz):
-            tx = px - o_x
-            ty = py - o_y
-            tz = pz - o_z
-            xs = _pick3(tx, ty, tz, kx)
-            ys = _pick3(tx, ty, tz, ky)
-            zs = _pick3(tx, ty, tz, kz)
-            return xs + sx * zs, ys + sy * zs, zs
-
-        x0, y0, z0 = shear(p0x, p0y, p0z)
-        x1, y1, z1 = shear(p1x, p1y, p1z)
-        x2, y2, z2 = shear(p2x, p2y, p2z)
-
-        # Edge functions with a RELATIVE tolerance on the sign test. The
-        # exact-zero edge case (ray through a shared edge) is not stable
-        # under XLA FMA contraction: a*b - c*d contracts to
-        # fma(a,b,-(c*d)) with operand roles that differ between the two
-        # triangles sharing the edge, so both can evaluate epsilon-negative
-        # and the ray leaks through closed geometry. The reference fixes
-        # this with sign-exact DifferenceOfProducts (math.h); with no fma
-        # primitive in JAX we instead accept |e| <= eps*|terms| as on-edge
-        # (tiny double-hit overlap instead of cracks).
-        a0, b0q = x1 * y2, y1 * x2
-        a1, b1q = x2 * y0, y2 * x0
-        a2, b2q = x0 * y1, y0 * x1
-        e0, e1, e2 = a0 - b0q, a1 - b1q, a2 - b2q
-        eps = jnp.float32(1e-6)
-        t0 = eps * (jnp.abs(a0) + jnp.abs(b0q))
-        t1 = eps * (jnp.abs(a1) + jnp.abs(b1q))
-        t2 = eps * (jnp.abs(a2) + jnp.abs(b2q))
-        same = ((e0 >= -t0) & (e1 >= -t1) & (e2 >= -t2)) | \
-               ((e0 <= t0) & (e1 <= t1) & (e2 <= t2))
-        det = e0 + e1 + e2
-        t_scaled = (e0 * z0 + e1 * z1 + e2 * z2) * sz
-        neg = det < 0
-        # pruning vs the bound entering this unroll group (logical ops, not
-        # where-on-bools — Mosaic can't select i1 vectors)
-        t_ok = (neg & (t_scaled <= 0) & (t_scaled > det * t_bound)) | \
-               (~neg & (t_scaled >= 0) & (t_scaled < det * t_bound))
-        valid = same & (det != 0.0) & t_ok
-        inv_det = jnp.where(det == 0.0, 0.0,
-                            1.0 / jnp.where(det == 0.0, 1.0, det))
-        t = t_scaled * inv_det
-        valid = valid & (t > 0) & (k < n_real)
-        return (t, jnp.full_like(t, jnp.float32(k)), e1 * inv_det,
-                e2 * inv_det, valid)
+        e1x, e1y, e1z = tri[base + 3], tri[base + 4], tri[base + 5]
+        e2x, e2y, e2z = tri[base + 6], tri[base + 7], tri[base + 8]
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        sgn = jnp.where(det < 0.0, -1.0, 1.0)
+        det_a = det * sgn
+        tx = o_x - p0x
+        ty = o_y - p0y
+        tz = o_z - p0z
+        u_n = (tx * pvx + ty * pvy + tz * pvz) * sgn
+        qvx = ty * e1z - tz * e1y
+        qvy = tz * e1x - tx * e1z
+        qvz = tx * e1y - ty * e1x
+        v_n = (d_x * qvx + d_y * qvy + d_z * qvz) * sgn
+        t_n = (e2x * qvx + e2y * qvy + e2z * qvz) * sgn
+        # relative tolerance keeps shared edges from cracking under FMA
+        # contraction (see git history: exact-zero edge functions are not
+        # reproducible across operand orders)
+        tol = jnp.float32(1e-6) * det_a
+        valid = (det_a > 1e-12) & (u_n >= -tol) & (v_n >= -tol) & \
+                (u_n + v_n <= det_a + tol)
+        inv_det = 1.0 / jnp.where(det_a == 0.0, 1.0, det_a)
+        t = t_n * inv_det
+        valid = valid & (t > 1e-6) & (t < t_bound) & (k < n_real)
+        return (t, jnp.full_like(t, jnp.float32(k)), u_n * inv_det,
+                v_n * inv_det, valid)
 
     shape = o_x.shape
     init = (t_max,
@@ -195,15 +163,17 @@ def _run(tri_flat, ox, oy, oz, dx, dy, dz, tmax, n_tris, n_real, any_hit,
 
 
 def pad_triangles(tri_geo):
-    """(T, 10) packed triangle rows -> (T, 16) f32, lane-friendly pad.
+    """(T, 10) packed triangle rows -> (T, 16) f32 flat: [p0, e1, e2, pad]
+    with EDGES precomputed (saves the two per-test vertex subtractions).
 
-    Accepts device or host arrays; returns a jnp array. The pool index IS
-    the brute-force prim id (original order), so column 9 is not needed."""
+    Accepts device or host arrays. The pool index IS the brute-force prim
+    id (original order); padding rows are masked by index in the kernel."""
     t = np.asarray(tri_geo, np.float32)
     T = -(-t.shape[0] // UNROLL) * UNROLL
     out = np.zeros((T, 16), np.float32)
-    out[:t.shape[0], :10] = t
-    # padding rows are degenerate (all-zero vertices -> det == 0, never hit)
+    out[:t.shape[0], 0:3] = t[:, 0:3]
+    out[:t.shape[0], 3:6] = t[:, 3:6] - t[:, 0:3]
+    out[:t.shape[0], 6:9] = t[:, 6:9] - t[:, 0:3]
     return jnp.asarray(out.reshape(-1))  # flat for SMEM scalar prefetch
 
 

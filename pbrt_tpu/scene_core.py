@@ -56,6 +56,7 @@ class Scene:
     # param1, mat, light, phi_max] = 18. param0/param1: sphere zmin/zmax,
     # disk inner_radius/height, cylinder zmin/zmax. Normals transform by
     # A_w2o^T (inverse-transpose of the point map).
+    tri_all: jnp.ndarray = None  # (T, 27) geo+shade fused: ONE hit gather
     quadrics: jnp.ndarray = None  # (Q, 18) f32
     quadric_tags: tuple = struct.field(pytree_node=False, default=())
     n_spheres: int = struct.field(pytree_node=False, default=0)
@@ -748,7 +749,11 @@ class SceneBuilder:
             tri_geo = jnp.asarray(np.concatenate([np.asarray(tri_geo)]
                                                  + extra_geo))
             tri_shade = np.concatenate([tri_shade] + extra_shade)
+        tri_all = jnp.asarray(np.concatenate(
+            [np.asarray(tri_geo), np.asarray(tri_shade, np.float32)],
+            axis=1))
         return Scene(
+            tri_all=tri_all,
             curve_nodes=curve_nodes, curve_segs=curve_segs,
             curve_mats=curve_mats,
             has_curves=bool(self.curve_seg_rows),
@@ -854,8 +859,9 @@ def intersect(scene: Scene, o, d, t_max, time=None):
     prim = jnp.maximum(r["prim"], 0)
     b0, b1, b2 = r["b0"], r["b1"], r["b2"]
     from .ops.gather import pool_lookup
-    geo = pool_lookup(scene.tri_geo, prim)
-    shade = pool_lookup(scene.tri_shade, prim)
+    allrow = pool_lookup(scene.tri_all, prim)   # ONE fused (N, 27) gather
+    geo = allrow[..., :10]
+    shade = allrow[..., 10:]
     p0 = geo[..., 0:3]
     p1 = geo[..., 3:6]
     p2 = geo[..., 6:9]
