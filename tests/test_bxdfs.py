@@ -90,6 +90,7 @@ def test_chi2_diffuse():
     _chi2_sample_vs_pdf(bxdfs.BXDF_DIFFUSE, 0.0, [0.3, 0.2, 0.93])
 
 
+@pytest.mark.slow
 def test_chi2_rough_conductor():
     _chi2_sample_vs_pdf(bxdfs.BXDF_CONDUCTOR, 0.3, [0.4, 0.0, 0.92])
 

@@ -1,5 +1,6 @@
 """Curve shape: pre-split Bezier sub-segments + width-aware ray test
 (reference shapes.h:1219 Curve, shapes.cpp RecursiveIntersect base case)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -53,6 +54,7 @@ def test_curve_u_parameter_monotone():
     np.testing.assert_allclose(u_hit, xs / 3.0, atol=0.05)
 
 
+@pytest.mark.slow
 def test_scene_with_curves_renders_and_occludes():
     """Full scene path: curve BVH closest-hit + shadow occlusion."""
     from pbrt_tpu.utils import spectrum as spc

@@ -23,6 +23,7 @@ def _params_coated_conductor(n, coat_rough=0.2, base_rough=0.3):
         coat_alpha=jnp.full((n,), ca), coat_eta=jnp.full((n,), 1.5))
 
 
+@pytest.mark.slow
 def test_coated_conductor_energy_conservation():
     """Integral of f cos over the hemisphere <= 1 (no energy gain)."""
     n = 4096

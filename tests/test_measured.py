@@ -1,5 +1,6 @@
 """Measured (tabulated) BRDF (reference MeasuredBxDF bxdfs.h:1022; MERL
 half/difference grid representation)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def _lambertian_table(albedo=0.6):
         [coeffs, np.ones((grid.shape[0], 1), np.float32)], 1))
 
 
+@pytest.mark.slow
 def test_measured_lambertian_is_flat():
     table = _lambertian_table(0.6)
     rng = np.random.default_rng(0)
@@ -42,6 +44,7 @@ def test_measured_lambertian_is_flat():
     assert (np.asarray(pdf) > 0).all()
 
 
+@pytest.mark.slow
 def test_measured_energy_reasonable():
     """Directional-hemispherical reflectance of the flat table == albedo."""
     table = _lambertian_table(0.5)
@@ -74,6 +77,7 @@ def test_merl_loader(tmp_path):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_measured_render_smoke():
     from pbrt_tpu import scene_core as sc, cameras as cam_mod
     from pbrt_tpu.integrators import render as rdr

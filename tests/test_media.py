@@ -50,6 +50,7 @@ def test_beer_lambert_absorption():
     np.testing.assert_allclose(lum, expect, rtol=0.05), (lum, expect)
 
 
+@pytest.mark.slow
 def test_shadow_transmittance():
     """NEE shadow rays through an absorbing box are attenuated by
     exp(-sigma l): diffuse floor lit by a point light through the slab."""

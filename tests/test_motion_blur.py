@@ -23,6 +23,7 @@ def _animated_scene():
     return b.build(force_bvh=False)
 
 
+@pytest.mark.slow
 def test_animated_instance_interpolates_with_time():
     scene = _animated_scene()
     o = jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (3, 1))
@@ -79,6 +80,7 @@ def test_motion_blur_render_streaks():
     assert np.abs(deficit[[0, 1, 46, 47]]).max() < 0.1
 
 
+@pytest.mark.slow
 def test_parser_active_transform_animates_instance():
     from pbrt_tpu.scene import parser
     desc = parser.parse_string('''

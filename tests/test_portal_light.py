@@ -34,6 +34,7 @@ def test_portal_uv_roundtrip():
     assert not bool(np.asarray(v2)[0])
 
 
+@pytest.mark.slow
 def test_portal_window_contains_samples():
     env, corners = _portal_light()
     n = 512

@@ -1,4 +1,5 @@
 """RealisticCamera lens-system tracing (reference cameras.h:466)."""
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -66,6 +67,7 @@ def test_vignetting_at_extreme_apertures():
     assert np.asarray(w_stop).mean() < np.asarray(w_open).mean()
 
 
+@pytest.mark.slow
 def test_realistic_render_smoke():
     from pbrt_tpu import scene_core as sc
     from pbrt_tpu.integrators import render as rdr

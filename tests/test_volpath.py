@@ -28,6 +28,7 @@ def _emissive_wall(b, L=1.0, z=5.0):
                [[0, 2, 1], [0, 3, 2]], m, emission=spc.ConstantSpectrum(L))
 
 
+@pytest.mark.slow
 def test_two_disjoint_media_boxes():
     """A ray crossing two separate absorbing boxes must be attenuated by the
     PRODUCT of both transmittances — the scene-level DDA sweeps both
@@ -47,6 +48,7 @@ def test_two_disjoint_media_boxes():
     np.testing.assert_allclose(img.mean(), expect, rtol=0.06)
 
 
+@pytest.mark.slow
 def test_heterogeneous_grid_transmittance():
     """Linear density ramp along z: T = exp(-sigma * integral dens dz) with
     trilinear interpolation. Exercises non-uniform majorant grid cells."""
