@@ -29,6 +29,7 @@ TEX_FBM = 4
 TEX_MARBLE = 5
 TEX_WINDY = 6
 TEX_WRINKLED = 7
+TEX_DOTS = 8
 
 # descriptor columns
 # [0]=tag [1]=img_offset [2]=width [3]=height [4:7]=value_a(rgb)
@@ -217,6 +218,19 @@ class TextureBuilder:
         c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
         return self._add_row(tag=TEX_WRINKLED, octaves=octaves, omega=omega,
                              value_a=c[0], value_b=(s[0] * scale, 0, 0))
+
+    def add_dots(self, rgb_inside, rgb_outside, su=1.0, sv=1.0):
+        """Polka-dot texture (reference DotsTexture, texture.h): one
+        randomly-jittered dot per uv cell."""
+        c1, s1 = self._rgb_to_coeffs_scale(
+            np.broadcast_to(np.asarray(rgb_inside, np.float32), (1, 3)))
+        c2, s2 = self._rgb_to_coeffs_scale(
+            np.broadcast_to(np.asarray(rgb_outside, np.float32), (1, 3)))
+        r = self._add_row(tag=TEX_DOTS, value_a=c1[0], value_b=c2[0],
+                          su=su, sv=sv)
+        self.rows[-1][14] = s1[0]
+        self.rows[-1][15] = s2[0]
+        return r
 
     def add_fbm(self, octaves=6, omega=0.5, scale=1.0):
         # fbm modulates a flat 0.5 reflectance by the noise value
@@ -444,6 +458,23 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
     c_check = jnp.where(is_a[..., None], row[..., 4:7], row[..., 7:10])
     s_check = jnp.where(is_a, row[..., 14], row[..., 15])
 
+    # dots: jittered dot per cell (reference DotsTexture, texture.h) —
+    # cell-hashed center + radius, gather-free
+    from .utils.rng import hash_u32
+    cu = jnp.floor(u + 0.5)
+    cv = jnp.floor(v + 0.5)
+    hx = hash_u32(cu.astype(jnp.int32).astype(jnp.uint32),
+                  cv.astype(jnp.int32).astype(jnp.uint32),
+                  jnp.uint32(0x51ab33cd))
+    hy = hash_u32(cu.astype(jnp.int32).astype(jnp.uint32),
+                  cv.astype(jnp.int32).astype(jnp.uint32),
+                  jnp.uint32(0x91e10da5))
+    cx = cu + (hx.astype(jnp.float32) * (1.0 / 4294967296.0) - 0.5) * 0.5
+    cy = cv + (hy.astype(jnp.float32) * (1.0 / 4294967296.0) - 0.5) * 0.5
+    in_dot = (sqr_ := (u - cx) ** 2 + (v - cy) ** 2) < 0.35 * 0.35
+    c_dots = jnp.where(in_dot[..., None], row[..., 4:7], row[..., 7:10])
+    s_dots = jnp.where(in_dot, row[..., 14], row[..., 15])
+
     # image: bilinear (or trilinear MIP when a footprint is known) over
     # (coeffs, scale) texels; fused 4-tap gathers
     if pool.has_image:
@@ -477,11 +508,13 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
 
     t = tag[..., None]
     coeffs = jnp.where(t == TEX_IMAGE, c_img,
-             jnp.where(t == TEX_CHECKER, c_check, c_const))
+             jnp.where(t == TEX_CHECKER, c_check,
+             jnp.where(t == TEX_DOTS, c_dots, c_const)))
     scale = jnp.where(tag == TEX_IMAGE, s_img,
             jnp.where(tag == TEX_CHECKER, s_check,
+            jnp.where(tag == TEX_DOTS, s_dots,
             jnp.where(tag == TEX_FBM, s_fbm,
             jnp.where(tag == TEX_MARBLE, s_marble,
             jnp.where(tag == TEX_WINDY, s_windy,
-            jnp.where(tag == TEX_WRINKLED, s_wrink, s_const))))))
+            jnp.where(tag == TEX_WRINKLED, s_wrink, s_const)))))))
     return coeffs, scale

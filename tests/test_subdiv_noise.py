@@ -95,3 +95,21 @@ Shape "loopsubdiv" "integer levels" [2]
 ''')
     # 8 faces x 4^2 = 128 triangles
     assert desc.scene.tri_p0.shape[0] == 128
+
+
+def test_dots_texture_two_values_cell_coverage():
+    from pbrt_tpu import textures as tex
+    tb = tex.TextureBuilder()
+    idx = tb.add_dots((1.0, 0.0, 0.0), (0.0, 0.0, 1.0))
+    pool = tb.build()
+    rng = np.random.default_rng(1)
+    uv = jnp.asarray(rng.uniform(0, 8, (4096, 2)), jnp.float32)
+    c, s = tex.eval_texture(pool, jnp.zeros((4096,), jnp.int32) + idx, uv)
+    # both dot and background regions appear, dots cover a minority
+    red = np.asarray(c)[:, 0]
+    frac = (red > np.median(red)).mean()
+    reds = np.unique(np.round(np.asarray(c)[:, 0], 3))
+    assert len(reds) == 2
+    # area fraction of radius-0.35 dots = pi*0.35^2 ~ 0.385
+    in_dot = np.round(np.asarray(c)[:, 0], 3) == reds.max()
+    assert 0.25 < in_dot.mean() < 0.5
