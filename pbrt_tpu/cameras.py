@@ -316,6 +316,14 @@ def realistic_generate_ray(cam: Camera, p_film, u_lens):
     p_rear = jnp.stack([pl[..., 0], pl[..., 1],
                         jnp.broadcast_to(cam.rear_z, x.shape)], -1)
     d = vm.normalize(p_rear - o)
+    # Reference RealisticCamera::GenerateRay weights rays sampled on the
+    # rear-element disk by cos^4(theta) * A_rear / rearZ^2 (cameras.cpp
+    # exit-pupil importance weight). The A/z^2 factor is ray-independent,
+    # so we fold it into exposure normalization (our film has no physical
+    # sensor imaging-ratio chain) and keep the ray-dependent natural
+    # vignetting falloff cos^4(theta), normalized to 1 on-axis.
+    cos_theta = jnp.abs(d[..., 2])
+    ray_weight = cos_theta ** 4
     ok = jnp.ones(x.shape, bool)
     z = cam.rear_z
     eta_prev = jnp.ones(x.shape)
@@ -361,7 +369,7 @@ def realistic_generate_ray(cam: Camera, p_film, u_lens):
     m = cam.c2w_m
     o_w = o @ m[:3, :3].T + m[:3, 3]
     d_w = vm.normalize(d @ m[:3, :3].T)
-    return o_w, d_w, ok.astype(jnp.float32)
+    return o_w, d_w, ok.astype(jnp.float32) * ray_weight
 
 
 def camera_ray_differentials(cam: Camera):

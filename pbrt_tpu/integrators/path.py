@@ -395,4 +395,8 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
     cone_spread = cam_mod.pixel_cone_spread(camera)
     L = trace_paths(scene, sampler, px, py, sample_index, o, d, swl, opts,
                     cone_spread=cone_spread, time=_time)
+    if opts.collect_stats:
+        # trace_paths returns (L, per-depth counters) in stats mode; the
+        # render path only consumes L (use trace_paths directly for stats).
+        L, _ = L
     return L, swl, f_weight * cam_wt

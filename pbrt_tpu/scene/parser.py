@@ -788,13 +788,19 @@ def parse_string(text, base_dir=".", light_sampler="power",
             if obj is None:
                 raise ParseError(f"{p.loc()}: ObjectInstance of unknown "
                                  f"object '{name}'")
+            # Reference semantics (scene.cpp:365 ObjectInstance): the final
+            # shape transform is CTM_instance @ CTM_at_definition, where the
+            # definition CTM includes everything above ObjectBegin. Prototype
+            # meshes below are baked BASE-RELATIVE (base_inv @ rec_ctm), so
+            # the per-instance transform must restore the base:
+            #   inst @ (base_inv @ rec_ctm) = ctm @ rec_ctm.
             base_inv = obj["base_ctm"].inverse()
-            inst_xf = gs.ctm @ base_inv  # world-from-object at instantiation
+            inst_xf = gs.ctm @ obj["base_ctm"]
             inst_xf_end = None
             if gs.ctm_end is not None and \
                     not np.allclose(np.asarray(gs.ctm_end.m),
                                     np.asarray(gs.ctm.m)):
-                inst_xf_end = gs.ctm_end @ base_inv
+                inst_xf_end = gs.ctm_end @ obj["base_ctm"]
             if obj["proto"] is None:
                 obj["proto"] = b.new_prototype()
                 obj["nonmesh"] = []
@@ -816,8 +822,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
                         obj["nonmesh"].append(rec)
             b.add_instance(obj["proto"], inst_xf,
                            object_to_world_end=inst_xf_end)
+            # Non-mesh records are re-baked from their FULL definition CTM
+            # (instantiate_shape applies instance_xf @ rec["ctm"]), so they
+            # take the raw instance CTM, not the base-composed one.
             for rec in obj["nonmesh"]:
-                instantiate_shape(rec, inst_xf)
+                instantiate_shape(rec, gs.ctm)
         elif tok == "ReverseOrientation":
             gs.reverse_orientation = not gs.reverse_orientation
         elif tok == "Shape":

@@ -123,6 +123,40 @@ def test_parse_object_instancing():
     assert hit[0] and hit[1] and not hit[2]
 
 
+def test_parse_object_instancing_nonidentity_base_ctm():
+    """ObjectBegin under a non-identity CTM: reference semantics
+    (scene.cpp:365) compose CTM_instance @ CTM_at_definition, so a quad
+    defined under `Translate 5 0 0` and instanced at identity lands at
+    x=+5 (round-2 advisor bug: it landed at x=-5)."""
+    scene_txt = b'''
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    Camera "perspective"
+    WorldBegin
+    Material "diffuse"
+    AttributeBegin
+    Translate 5 0 0
+    ObjectBegin "tri"
+    Shape "trianglemesh" "integer indices" [0 1 2]
+        "point3 P" [0 0 0  1 0 0  0 1 0]
+    ObjectEnd
+    AttributeEnd
+    ObjectInstance "tri"
+    Translate 0 7 0
+    ObjectInstance "tri"
+    '''
+    desc = pp.parse_string(scene_txt)
+    scene = desc.scene
+    import jax.numpy as jnp
+    from pbrt_tpu import scene_core as sc
+    o = jnp.asarray([[5.2, 0.2, 5.0],    # first instance: at x=+5
+                     [-4.8, 0.2, 5.0],   # the old inverted-base position
+                     [5.2, 7.2, 5.0]])   # second instance: +5,+7
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (3, 1))
+    r = sc.intersect(scene, o, d, jnp.full((3,), 1e30))
+    hit = np.asarray(r["hit"])
+    assert hit[0] and not hit[1] and hit[2]
+
+
 def test_parse_sphere_analytic():
     """Translate + uniform scale -> analytic quadric sphere in the pool."""
     scene_txt = b'''
