@@ -37,6 +37,16 @@ class BVH:
     prim_indices: jnp.ndarray  # (P,) int32 permutation into original prims
 
 
+def to_device(b: "BVH") -> "BVH":
+    """Host (numpy) BVH -> device arrays. build_bvh returns NUMPY leaves:
+    the axon TPU tunnel pulls small-minor-dim 2D device arrays back to host
+    at ~3 KB/s (measured: (24k, 8) f32 device->host = 259 s), so every host
+    consumer (wide-BVH collapse, TLAS packing) must see numpy; convert once
+    here when storing into the Scene pytree."""
+    return BVH(nodes=jnp.asarray(b.nodes),
+               prim_indices=jnp.asarray(b.prim_indices))
+
+
 def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
               max_leaf=MAX_LEAF_PRIMS) -> BVH:
     """Binned SAH build (reference aggregates.cpp:192-387, 12 buckets).
@@ -53,7 +63,8 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
         res = None
     if res is not None:
         nodes, order = res
-        return BVH(nodes=jnp.asarray(nodes), prim_indices=jnp.asarray(order))
+        return BVH(nodes=np.asarray(nodes, np.float32),
+                   prim_indices=np.asarray(order, np.int32))
     prim_lo = np.asarray(prim_lo, np.float64)
     prim_hi = np.asarray(prim_hi, np.float64)
     centroids = 0.5 * (prim_lo + prim_hi)
@@ -180,8 +191,8 @@ def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
         lo, hi,
         right_or_offset[:, None].astype(np.float32),      # value-encoded int
         ((n_prims << 2) | axis)[:, None].astype(np.float32)], axis=1)
-    return BVH(nodes=jnp.asarray(packed),
-               prim_indices=jnp.asarray(ordered.astype(np.int32)))
+    return BVH(nodes=np.asarray(packed, np.float32),
+               prim_indices=ordered.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +211,7 @@ def pack_tri_geo(tri_p0, tri_p1, tri_p2, order=None):
         order = np.asarray(order)
         p0, p1, p2, orig = p0[order], p1[order], p2[order], orig[order]
     packed = np.concatenate([p0, p1, p2, orig[:, None].astype(np.float32)], axis=1)
-    return jnp.asarray(packed)
+    return packed
 
 
 def _unpack_node(rows):
@@ -224,6 +235,8 @@ def bvh_intersect_triangles(bvh: BVH, tri_geo_ordered, o, d, t_max,
     rows (leaf lanes only) + stack push/pop — the packed layout exists
     because each gather costs ~1ms flat on this TPU.
     """
+    bvh = to_device(bvh)  # no-op if already device arrays
+    tri_geo_ordered = jnp.asarray(tri_geo_ordered)
     N = o.shape[0]
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     dir_neg = (inv_d < 0.0)  # (N, 3)

@@ -1,0 +1,681 @@
+"""Pallas TPU 8-wide packet BVH traversal (round-3 rewrite).
+
+Round 2's packet kernel (ops/pallas_bvh.py) visited ONE binary node per
+`while_loop` iteration and measured ~590 cycles/visit: the cost was not the
+vector->scalar `any()` reduction itself (microbenched at ~15 cycles when
+pipelined) but the `lax.cond` leaf branches over vector carries, the
+lane-extract triangle reads from VMEM rows, and the one-node-at-a-time
+serialization. This kernel restructures the traversal around what the VPU
+and the scalar unit actually do well:
+
+- **8-wide BVH** (binary SAH tree collapsed on host): one visit tests 8
+  child slabs back-to-back — 8 *independent* `any()` reductions pipeline
+  where a serial visit chain cannot.
+- **No lax.cond**: leaves are processed inline under `pl.when` with the
+  hit state carried through a `fori_loop` (functional carries; refs written
+  once per leaf), interior children are pushed with predicated SMEM writes.
+- **All scene data scalar-side**: nodes AND triangles live flat in the
+  scalar-prefetch space; every broadcast against the (8, 128) ray block is
+  a scalar load, never a vector lane extract.
+- **Front-to-back**: children are pre-sorted along the node's dominant
+  axis at build time; the kernel pushes them in reverse majority-sign
+  order so the near child pops first and tightens per-lane t_best.
+
+Reference semantics: cpu/aggregates.cpp:529-579 (closest/any hit over a
+flattened BVH with ordered descent); the wide-node layout plays the role
+of the OptiX device BVH (gpu/optix/aggregate.cpp:343).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+BLOCK_ROWS = 8
+BLOCK = BLOCK_ROWS * LANES
+WIDTH = 8                 # children per node
+NODE_F = WIDTH * 8 + 8    # 8 floats per child + [axis, depth-pad x7]
+STACK = 96
+EMPTY = -1.0              # count slot for empty child
+BIG = np.float32(3e38)
+
+
+@struct.dataclass
+class BVH8:
+    nodes: jnp.ndarray         # (n_nodes * NODE_F,) f32 flat
+    tris: jnp.ndarray          # (T * 10,) f32 flat [p0, e1, e2, orig_id]
+    prim_indices: jnp.ndarray  # (T,) int32 permutation into original prims
+    n_nodes: int = struct.field(pytree_node=False)
+    n_tris: int = struct.field(pytree_node=False)
+    depth: int = struct.field(pytree_node=False)
+
+
+def collapse_to_bvh8(nodes_bin: np.ndarray, max_leaf: int = 8,
+                     root: int = 0, prim_base: int = 0):
+    """Collapse a flattened binary SAH BVH (ops/bvh.py layout) into 8-wide
+    nodes, starting at binary node `root`. Leaf first fields are emitted
+    relative to `prim_base` (pass the subtree's DFS prim start to get
+    chunk-local indices). Returns (node_data (n, NODE_F) f32, depth).
+
+    Binary subtrees hold CONTIGUOUS primitive ranges in the depth-first
+    order, so any subtree with <= max_leaf prims becomes one leaf slot
+    spanning [start, start+count)."""
+    nb = np.asarray(nodes_bin, np.float64)
+    m = nb.shape[0]
+    lo = nb[:, 0:3]
+    hi = nb[:, 3:6]
+    roff = np.round(nb[:, 6]).astype(np.int64)
+    meta = np.round(nb[:, 7]).astype(np.int64)
+    nprim = meta >> 2
+    is_leaf = nprim > 0
+
+    # subtree prim ranges (iterative reverse pass: children follow parents
+    # in depth-first order, so a reverse sweep sees children first)
+    start = np.zeros(m, np.int64)
+    count = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            start[i] = roff[i]
+            count[i] = nprim[i]
+        else:
+            l, r = i + 1, roff[i]
+            start[i] = min(start[l], start[r])
+            count[i] = count[l] + count[r]
+
+    area = np.maximum(hi - lo, 0.0)
+    area = area[:, 0] * area[:, 1] + area[:, 1] * area[:, 2] + \
+        area[:, 2] * area[:, 0]
+
+    out = []            # list of per-node np arrays (NODE_F,)
+    max_depth = [0]
+
+    def emit(bin_idx, depth):
+        max_depth[0] = max(max_depth[0], depth)
+        slots = [bin_idx]
+        # expand highest-area expandable slot until 8 slots
+        while len(slots) < WIDTH:
+            best, best_a = -1, -1.0
+            for si, b in enumerate(slots):
+                if not is_leaf[b] and count[b] > max_leaf and \
+                        area[b] > best_a:
+                    best, best_a = si, area[b]
+            if best < 0:
+                # nothing oversized; expand any interior to flatten more
+                for si, b in enumerate(slots):
+                    if not is_leaf[b] and len(slots) < WIDTH and \
+                            area[b] > best_a:
+                        best, best_a = si, area[b]
+                if best < 0:
+                    break
+            b = slots.pop(best)
+            slots.insert(best, roff[b])
+            slots.insert(best, b + 1)
+        # sort children along the dominant axis of their union box
+        ulo = np.min([lo[s] for s in slots], axis=0)
+        uhi = np.max([hi[s] for s in slots], axis=0)
+        axis = int(np.argmax(uhi - ulo))
+        slots.sort(key=lambda s: lo[s][axis] + hi[s][axis])
+
+        my_idx = len(out)
+        row = np.zeros(NODE_F, np.float32)
+        row[WIDTH * 8] = float(axis)
+        out.append(row)  # placeholder; fill below (children may recurse)
+        for c in range(WIDTH):
+            o8 = c * 8
+            if c < len(slots):
+                s = slots[c]
+                row[o8:o8 + 3] = lo[s]
+                row[o8 + 3:o8 + 6] = hi[s]
+                if is_leaf[s] or count[s] <= max_leaf:
+                    row[o8 + 6] = float(start[s] - prim_base)
+                    row[o8 + 7] = float(count[s])
+                else:
+                    row[o8 + 6] = float(emit(s, depth + 1))
+                    row[o8 + 7] = 0.0
+            else:
+                row[o8:o8 + 3] = BIG
+                row[o8 + 3:o8 + 6] = -BIG
+                row[o8 + 6] = 0.0
+                row[o8 + 7] = EMPTY
+        out[my_idx] = row
+        return my_idx
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(200000, old))
+    try:
+        emit(root, 1)
+    finally:
+        sys.setrecursionlimit(old)
+    depth = max_depth[0]
+    assert depth * (WIDTH - 1) + 1 <= STACK, \
+        f"BVH8 depth {depth} overflows the {STACK}-entry traversal stack"
+    return np.stack(out), depth
+
+
+def pack_tris_flat(tri_geo_ordered) -> np.ndarray:
+    """(T, 10) [p0, p1, p2, orig_id] -> flat (T*10,) [p0, e1, e2, orig_id]
+    with precomputed Moeller-Trumbore edges."""
+    t = np.asarray(tri_geo_ordered, np.float32)
+    out = np.empty_like(t)
+    out[:, 0:3] = t[:, 0:3]
+    out[:, 3:6] = t[:, 3:6] - t[:, 0:3]
+    out[:, 6:9] = t[:, 6:9] - t[:, 0:3]
+    out[:, 9] = t[:, 9]
+    return out.reshape(-1)
+
+
+def build_bvh8(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
+               binary_bvh=None) -> BVH8:
+    """Host build: binary SAH (ops/bvh.py, native C++ when available) ->
+    8-wide collapse. tri_geo: (T, 10) UNordered [p0, p1, p2, id] rows.
+    binary_bvh: optional prebuilt ops/bvh.BVH to collapse (skips the
+    binary SAH rebuild when the caller already has one)."""
+    from . import bvh as bvh_mod
+    b = binary_bvh if binary_bvh is not None \
+        else bvh_mod.build_bvh(prim_lo, prim_hi, max_leaf=4)
+    order = np.asarray(b.prim_indices)
+    node_data, depth = collapse_to_bvh8(np.asarray(b.nodes), max_leaf)
+    tg = np.asarray(tri_geo)[order]
+    return BVH8(nodes=jnp.asarray(node_data.reshape(-1)),
+                tris=jnp.asarray(pack_tris_flat(tg)),
+                prim_indices=jnp.asarray(order.astype(np.int32)),
+                n_nodes=node_data.shape[0], n_tris=tg.shape[0],
+                depth=depth)
+
+
+def smem_bytes(n_tris: int, n_nodes: int) -> int:
+    """SMEM footprint of the all-SMEM kernel (nodes + tris scalar
+    prefetch). The chip's scalar-prefetch budget is ~1 MB total
+    (measured: 1008 KB ok, 1024 KB rejected)."""
+    return n_nodes * NODE_F * 4 + n_tris * 10 * 4
+
+
+SMEM_BUDGET = 960 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Forest build (arbitrary triangle counts): the binary SAH tree is
+# partitioned into SUBTREE CHUNKS that each fit an SMEM scratch budget;
+# each chunk is an independent BVH8 whose nodes+tris pack into one
+# (R, 128) f32 page. Pages live in HBM; the kernel DMAs a page into SMEM
+# scratch only when the ray block hits the chunk's root box, then runs
+# the same all-SMEM traversal. This plays the role of OptiX's
+# device-memory GAS at arbitrary scale (gpu/optix/aggregate.cpp:343).
+
+
+@struct.dataclass
+class BVH8Forest:
+    meta: jnp.ndarray          # (K*8,) f32: per chunk [n_nodes, tri_base
+    #                            (flat floats), root lo xyz, hi xyz, pad]
+    pages: jnp.ndarray         # (K, R, 128) f32 HBM chunk pages
+    prim_indices: jnp.ndarray  # (T,) int32 permutation into original prims
+    n_chunks: int = struct.field(pytree_node=False)
+    rows: int = struct.field(pytree_node=False)
+    n_tris: int = struct.field(pytree_node=False)
+    depth: int = struct.field(pytree_node=False)
+
+
+PAGE_BUDGET = 640 * 1024      # bytes per chunk page (SMEM scratch size)
+
+
+def build_bvh8_forest(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
+                      binary_bvh=None,
+                      page_budget: int = PAGE_BUDGET) -> BVH8Forest:
+    """tri_geo: (T, 10) UNordered [p0, p1, p2, id] rows."""
+    from . import bvh as bvh_mod
+    b = binary_bvh if binary_bvh is not None \
+        else bvh_mod.build_bvh(prim_lo, prim_hi, max_leaf=4)
+    order = np.asarray(b.prim_indices)
+    tg = np.asarray(tri_geo, np.float32)[order]
+    nb = np.asarray(b.nodes, np.float64)
+    m = nb.shape[0]
+    roff = np.round(nb[:, 6]).astype(np.int64)
+    meta_b = np.round(nb[:, 7]).astype(np.int64)
+    nprim = meta_b >> 2
+    is_leaf = nprim > 0
+    start = np.zeros(m, np.int64)
+    count = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            start[i] = roff[i]
+            count[i] = nprim[i]
+        else:
+            l, r = i + 1, roff[i]
+            start[i] = min(start[l], start[r])
+            count[i] = count[l] + count[r]
+
+    # greedy DFS partition: a subtree becomes a chunk when its estimated
+    # page (collapsed nodes ~9.3B/tri + tris 40B/tri, margin 1.3x) fits
+    def est(c):
+        return int(c * 50 * 1.3)
+
+    chunk_roots = []
+    stack = [0]
+    while stack:
+        s = stack.pop()
+        if est(count[s]) <= page_budget or is_leaf[s]:
+            chunk_roots.append(s)
+        else:
+            stack.append(roff[s])
+            stack.append(s + 1)
+
+    pages = []
+    metas = []
+    max_depth = 0
+    for s in chunk_roots:
+        nd, dep = collapse_to_bvh8(nb, max_leaf, root=s,
+                                   prim_base=int(start[s]))
+        max_depth = max(max_depth, dep)
+        tri_flat = pack_tris_flat(tg[start[s]:start[s] + count[s]])
+        node_flat = nd.reshape(-1)
+        page = np.concatenate([node_flat, tri_flat])
+        assert page.nbytes <= page_budget, \
+            f"chunk page {page.nbytes}B exceeds budget {page_budget}B"
+        pages.append(page)
+        metas.append([nd.shape[0], node_flat.shape[0],
+                      nb[s, 0], nb[s, 1], nb[s, 2],
+                      nb[s, 3], nb[s, 4], nb[s, 5]])
+    rows = max(-(-p.shape[0] // LANES) for p in pages)
+    K = len(pages)
+    pg = np.zeros((K, rows * LANES), np.float32)
+    for k, p in enumerate(pages):
+        pg[k, :p.shape[0]] = p
+    return BVH8Forest(
+        meta=jnp.asarray(np.asarray(metas, np.float32).reshape(-1)),
+        pages=jnp.asarray(pg.reshape(K, rows, LANES)),
+        prim_indices=jnp.asarray(order.astype(np.int32)),
+        n_chunks=K, rows=rows, n_tris=tg.shape[0], depth=max_depth)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+
+
+def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+                 t_out, k_out, b1_out, b2_out, stack_ref, *, any_hit):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
+    inv_dy = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
+    inv_dz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
+    sgn = [jnp.sum(d_x) < 0, jnp.sum(d_y) < 0, jnp.sum(d_z) < 0]
+
+    t_out[...] = tmax_ref[...]
+    k_out[...] = jnp.full((BLOCK_ROWS, LANES), -1.0, jnp.float32)
+    b1_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    b2_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+
+    stack_ref[0] = 0
+
+    def tri_body(k, carry):
+        t_best, prim, b1, b2, first = carry
+        base = (first + k) * 10
+        p0x, p0y, p0z = tris_ref[base], tris_ref[base + 1], tris_ref[base + 2]
+        e1x, e1y, e1z = tris_ref[base + 3], tris_ref[base + 4], \
+            tris_ref[base + 5]
+        e2x, e2y, e2z = tris_ref[base + 6], tris_ref[base + 7], \
+            tris_ref[base + 8]
+        tid = tris_ref[base + 9]
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        s = jnp.where(det < 0.0, -1.0, 1.0)
+        det_a = det * s
+        tx, ty, tz = o_x - p0x, o_y - p0y, o_z - p0z
+        u_n = (tx * pvx + ty * pvy + tz * pvz) * s
+        qvx = ty * e1z - tz * e1y
+        qvy = tz * e1x - tx * e1z
+        qvz = tx * e1y - ty * e1x
+        v_n = (d_x * qvx + d_y * qvy + d_z * qvz) * s
+        t_n = (e2x * qvx + e2y * qvy + e2z * qvz) * s
+        tol = jnp.float32(1e-6) * det_a
+        valid = (det_a > 1e-12) & (u_n >= -tol) & (v_n >= -tol) & \
+            (u_n + v_n <= det_a + tol)
+        inv_det = 1.0 / jnp.where(det_a == 0.0, 1.0, det_a)
+        t = t_n * inv_det
+        better = valid & (t > 1e-5) & (t < t_best)
+        if any_hit:
+            better = better & (prim < 0.0)
+        t_best = jnp.where(better, t, t_best)
+        prim = jnp.where(better, tid, prim)
+        b1 = jnp.where(better, u_n * inv_det, b1)
+        b2 = jnp.where(better, v_n * inv_det, b2)
+        return t_best, prim, b1, b2, first
+
+    def body(sp):
+        sp = sp - 1
+        cur = stack_ref[sp]
+        base = cur * NODE_F
+        axis = jnp.round(nodes_ref[base + WIDTH * 8]).astype(jnp.int32)
+        neg = jnp.where(axis == 0, sgn[0],
+                        jnp.where(axis == 1, sgn[1], sgn[2]))
+        t_best = t_out[...]
+        if any_hit:
+            live = k_out[...] < 0.0
+        # test all 8 child slabs; reductions are independent -> pipelined
+        infos = []
+        for c in range(WIDTH):
+            cb = base + c * 8
+            lox, loy, loz = nodes_ref[cb], nodes_ref[cb + 1], \
+                nodes_ref[cb + 2]
+            hix, hiy, hiz = nodes_ref[cb + 3], nodes_ref[cb + 4], \
+                nodes_ref[cb + 5]
+            first = jnp.round(nodes_ref[cb + 6]).astype(jnp.int32)
+            cnt = jnp.round(nodes_ref[cb + 7]).astype(jnp.int32)
+            tx0 = (lox - o_x) * inv_dx
+            tx1 = (hix - o_x) * inv_dx
+            ty0 = (loy - o_y) * inv_dy
+            ty1 = (hiy - o_y) * inv_dy
+            tz0 = (loz - o_z) * inv_dz
+            tz1 = (hiz - o_z) * inv_dz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                           jnp.minimum(ty0, ty1)),
+                               jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+            tmx = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                          jnp.maximum(ty0, ty1)),
+                              jnp.minimum(jnp.maximum(tz0, tz1), t_best))
+            mask = tmin <= tmx * 1.0000004
+            if any_hit:
+                mask = mask & live
+            infos.append((first, cnt, jnp.any(mask)))
+
+        # leaves: inline masked triangle loops (no cond over vector state)
+        for c in range(WIDTH):
+            first, cnt, any_c = infos[c]
+
+            @pl.when(any_c & (cnt > 0))
+            def _(first=first, cnt=cnt):
+                carry = (t_out[...], k_out[...], b1_out[...], b2_out[...],
+                         first)
+                t_b, pr, b1, b2, _ = jax.lax.fori_loop(0, cnt, tri_body,
+                                                       carry)
+                t_out[...] = t_b
+                k_out[...] = pr
+                b1_out[...] = b1
+                b2_out[...] = b2
+
+        # interior pushes, far-to-near by block-majority sign: children are
+        # sorted ascending along `axis`, so positive-direction blocks pop
+        # low slots first (push 7..0) and negative-direction blocks the
+        # reverse
+        for c in range(WIDTH - 1, -1, -1):
+            first, cnt, any_c = infos[c]
+            do = any_c & (cnt == 0) & ~neg
+
+            @pl.when(do)
+            def _(first=first, sp=sp):
+                stack_ref[sp] = first
+            sp = jnp.where(do, sp + 1, sp)
+        for c in range(WIDTH):
+            first, cnt, any_c = infos[c]
+            do = any_c & (cnt == 0) & neg
+
+            @pl.when(do)
+            def _(first=first, sp=sp):
+                stack_ref[sp] = first
+            sp = jnp.where(do, sp + 1, sp)
+
+        if any_hit:
+            sp = jnp.where(jnp.any(k_out[...] < 0.0), sp, 0)
+        return sp
+
+    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _run8(nodes_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax,
+          any_hit, interpret=False):
+    nb = ox.shape[0] // BLOCK_ROWS
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, nf, tf: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+    )
+    kern = functools.partial(_bvh8_kernel, any_hit=any_hit)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4,
+        interpret=interpret,
+    )(nodes_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def _forest_kernel(meta_ref, pages_hbm, ox, oy, oz, dx, dy, dz, tmax_ref,
+                   t_out, k_out, b1_out, b2_out, page, sem, stack_ref, *,
+                   n_chunks, any_hit):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
+    inv_dy = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
+    inv_dz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
+    sgn = [jnp.sum(d_x) < 0, jnp.sum(d_y) < 0, jnp.sum(d_z) < 0]
+
+    t_out[...] = tmax_ref[...]
+    k_out[...] = jnp.full((BLOCK_ROWS, LANES), -1.0, jnp.float32)
+    b1_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    b2_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+
+    def rd(i):
+        return page[i >> 7, i & 127]
+
+    def slab(lox, loy, loz, hix, hiy, hiz, t_best):
+        tx0 = (lox - o_x) * inv_dx
+        tx1 = (hix - o_x) * inv_dx
+        ty0 = (loy - o_y) * inv_dy
+        ty1 = (hiy - o_y) * inv_dy
+        tz0 = (loz - o_z) * inv_dz
+        tz1 = (hiz - o_z) * inv_dz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                       jnp.minimum(ty0, ty1)),
+                           jnp.maximum(jnp.minimum(tz0, tz1), 0.0))
+        tmx = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                      jnp.maximum(ty0, ty1)),
+                          jnp.minimum(jnp.maximum(tz0, tz1), t_best))
+        return tmin <= tmx * 1.0000004
+
+    def chunk_body(k, _):
+        mb = k * 8
+        tri_base = jnp.round(meta_ref[mb + 1]).astype(jnp.int32)
+        t_bound = t_out[...]
+        mask0 = slab(meta_ref[mb + 2], meta_ref[mb + 3], meta_ref[mb + 4],
+                     meta_ref[mb + 5], meta_ref[mb + 6], meta_ref[mb + 7],
+                     t_bound)
+        if any_hit:
+            mask0 = mask0 & (k_out[...] < 0.0)
+
+        @pl.when(jnp.any(mask0))
+        def _():
+            dma = pltpu.make_async_copy(pages_hbm.at[k], page, sem)
+            dma.start()
+            dma.wait()
+            stack_ref[0] = 0
+
+            def tri_body(kk, carry):
+                t_best, prim, b1, b2, first = carry
+                base = tri_base + (first + kk) * 10
+                p0x, p0y, p0z = rd(base), rd(base + 1), rd(base + 2)
+                e1x, e1y, e1z = rd(base + 3), rd(base + 4), rd(base + 5)
+                e2x, e2y, e2z = rd(base + 6), rd(base + 7), rd(base + 8)
+                tid = rd(base + 9)
+                pvx = d_y * e2z - d_z * e2y
+                pvy = d_z * e2x - d_x * e2z
+                pvz = d_x * e2y - d_y * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                s = jnp.where(det < 0.0, -1.0, 1.0)
+                det_a = det * s
+                tx, ty, tz = o_x - p0x, o_y - p0y, o_z - p0z
+                u_n = (tx * pvx + ty * pvy + tz * pvz) * s
+                qvx = ty * e1z - tz * e1y
+                qvy = tz * e1x - tx * e1z
+                qvz = tx * e1y - ty * e1x
+                v_n = (d_x * qvx + d_y * qvy + d_z * qvz) * s
+                t_n = (e2x * qvx + e2y * qvy + e2z * qvz) * s
+                tol = jnp.float32(1e-6) * det_a
+                valid = (det_a > 1e-12) & (u_n >= -tol) & (v_n >= -tol) & \
+                    (u_n + v_n <= det_a + tol)
+                inv_det = 1.0 / jnp.where(det_a == 0.0, 1.0, det_a)
+                t = t_n * inv_det
+                better = valid & (t > 1e-5) & (t < t_best)
+                if any_hit:
+                    better = better & (prim < 0.0)
+                t_best = jnp.where(better, t, t_best)
+                prim = jnp.where(better, tid, prim)
+                b1 = jnp.where(better, u_n * inv_det, b1)
+                b2 = jnp.where(better, v_n * inv_det, b2)
+                return t_best, prim, b1, b2, first
+
+            def body(sp):
+                sp = sp - 1
+                cur = stack_ref[sp]
+                base = cur * NODE_F
+                axis = jnp.round(rd(base + WIDTH * 8)).astype(jnp.int32)
+                neg = jnp.where(axis == 0, sgn[0],
+                                jnp.where(axis == 1, sgn[1], sgn[2]))
+                t_best = t_out[...]
+                if any_hit:
+                    live = k_out[...] < 0.0
+                infos = []
+                for c in range(WIDTH):
+                    cb = base + c * 8
+                    first = jnp.round(rd(cb + 6)).astype(jnp.int32)
+                    cnt = jnp.round(rd(cb + 7)).astype(jnp.int32)
+                    mask = slab(rd(cb), rd(cb + 1), rd(cb + 2),
+                                rd(cb + 3), rd(cb + 4), rd(cb + 5),
+                                t_best)
+                    if any_hit:
+                        mask = mask & live
+                    infos.append((first, cnt, jnp.any(mask)))
+
+                for c in range(WIDTH):
+                    first, cnt, any_c = infos[c]
+
+                    @pl.when(any_c & (cnt > 0))
+                    def _(first=first, cnt=cnt):
+                        carry = (t_out[...], k_out[...], b1_out[...],
+                                 b2_out[...], first)
+                        t_b, pr, b1, b2, _ = jax.lax.fori_loop(
+                            0, cnt, tri_body, carry)
+                        t_out[...] = t_b
+                        k_out[...] = pr
+                        b1_out[...] = b1
+                        b2_out[...] = b2
+
+                for c in range(WIDTH - 1, -1, -1):
+                    first, cnt, any_c = infos[c]
+                    do = any_c & (cnt == 0) & ~neg
+
+                    @pl.when(do)
+                    def _(first=first, sp=sp):
+                        stack_ref[sp] = first
+                    sp = jnp.where(do, sp + 1, sp)
+                for c in range(WIDTH):
+                    first, cnt, any_c = infos[c]
+                    do = any_c & (cnt == 0) & neg
+
+                    @pl.when(do)
+                    def _(first=first, sp=sp):
+                        stack_ref[sp] = first
+                    sp = jnp.where(do, sp + 1, sp)
+
+                if any_hit:
+                    sp = jnp.where(jnp.any(k_out[...] < 0.0), sp, 0)
+                return sp
+
+            jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_chunks", "rows", "any_hit",
+                                    "interpret"))
+def _run_forest(meta, pages, ox, oy, oz, dx, dy, dz, tmax,
+                n_chunks, rows, any_hit, interpret=False):
+    nb = ox.shape[0] // BLOCK_ROWS
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, nf: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((rows, LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SMEM((STACK,), jnp.int32)],
+    )
+    kern = functools.partial(_forest_kernel, n_chunks=n_chunks,
+                             any_hit=any_hit)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4,
+        interpret=interpret,
+    )(meta, pages, ox, oy, oz, dx, dy, dz, tmax)
+
+
+def forest_intersect(f: BVH8Forest, o, d, t_max, any_hit=False,
+                     interpret=False):
+    """HBM-paged packet-BVH8 closest/any hit (arbitrary triangle count).
+    Same returns as bvh8_intersect."""
+    N = o.shape[0]
+    n_pad = -(-N // BLOCK) * BLOCK
+
+    def prep(v, fill):
+        v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
+            if n_pad != N else v
+        return v.reshape(n_pad // LANES, LANES)
+
+    ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
+    dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
+    tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
+
+    t, kf, b1, b2 = _run_forest(f.meta, f.pages, ox, oy, oz, dx, dy, dz,
+                                tm, f.n_chunks, f.rows, bool(any_hit),
+                                interpret=bool(interpret))
+    t = t.reshape(-1)[:N]
+    kf = kf.reshape(-1)[:N]
+    b1 = b1.reshape(-1)[:N]
+    b2 = b2.reshape(-1)[:N]
+    prim = jnp.round(kf).astype(jnp.int32)
+    hit = prim >= 0
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
+                b0=1.0 - b1 - b2, b1=b1, b2=b2)
+
+
+def bvh8_intersect(b8: BVH8, o, d, t_max, any_hit=False, interpret=False):
+    """Packet-BVH8 closest/any hit. o, d: (N, 3); t_max: (N,) or scalar.
+    Returns dict(hit, t, prim (ORIGINAL id), b0, b1, b2)."""
+    N = o.shape[0]
+    n_pad = -(-N // BLOCK) * BLOCK
+
+    def prep(v, fill):
+        v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
+            if n_pad != N else v
+        return v.reshape(n_pad // LANES, LANES)
+
+    ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
+    dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
+    tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
+
+    t, kf, b1, b2 = _run8(b8.nodes, b8.tris, ox, oy, oz, dx, dy, dz, tm,
+                          bool(any_hit), interpret=bool(interpret))
+    t = t.reshape(-1)[:N]
+    kf = kf.reshape(-1)[:N]
+    b1 = b1.reshape(-1)[:N]
+    b2 = b2.reshape(-1)[:N]
+    prim = jnp.round(kf).astype(jnp.int32)
+    hit = prim >= 0
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
+                b0=1.0 - b1 - b2, b1=b1, b2=b2)

@@ -73,6 +73,11 @@ class Scene:
     # octant + origin Morton for block coherence
     tris_dense: jnp.ndarray = None
     use_pallas_bvh: bool = struct.field(pytree_node=False, default=False)
+    # Pallas 8-wide BVH kernel (TPU, meshes whose collapsed tree fits the
+    # ~1MB SMEM scalar-prefetch budget): ops/pallas_bvh8.py. Fastest mesh
+    # path (~50 Mray/s vs ~0.5 for the binary packet kernel).
+    bvh8: object = None                # ops/pallas_bvh8.BVH8 | None
+    use_pallas_bvh8: bool = struct.field(pytree_node=False, default=False)
     world_lo: jnp.ndarray = None
     world_hi: jnp.ndarray = None
     n_infinite: int = struct.field(pytree_node=False, default=0)
@@ -638,10 +643,23 @@ class SceneBuilder:
         from .ops import pallas_intersect as pli
         tri_pallas = pli.pad_triangles(np.asarray(tri_geo)) if use_pallas \
             else jnp.zeros((16,), jnp.float32)
+        # Pallas 8-wide BVH (TPU): the fast mesh path when the collapsed
+        # tree + triangles fit the ~1MB SMEM scalar-prefetch budget
+        from .ops import pallas_bvh8 as b8_mod
+        bvh8 = None
+        use_pallas_bvh8 = False
+        if use_bvh and on_tpu and not self.instances \
+                and n_tri * 40 <= b8_mod.SMEM_BUDGET:
+            cand = b8_mod.build_bvh8(lo, hi, np.asarray(tri_geo),
+                                     binary_bvh=bvh)
+            if b8_mod.smem_bytes(cand.n_tris, cand.n_nodes) \
+                    <= b8_mod.SMEM_BUDGET:
+                bvh8 = cand
+                use_pallas_bvh8 = True
         # Pallas packet-BVH (TPU): ~15x the XLA while-loop traversal;
         # VMEM-resident dense triangles cap the scene at ~190k triangles
         use_pallas_bvh = use_bvh and on_tpu and n_tri <= 190000 and \
-            not self.instances
+            not self.instances and not use_pallas_bvh8
         from .ops import pallas_bvh as pbvh_mod
         tris_dense = pbvh_mod.pad_tris_for_bvh(np.asarray(tri_geo_bvh)) \
             if use_pallas_bvh else jnp.zeros((1, 128), jnp.float32)
@@ -731,7 +749,7 @@ class SceneBuilder:
             seg_lo = np.concatenate([b[0] for b in self.curve_seg_bounds])
             seg_hi = np.concatenate([b[1] for b in self.curve_seg_bounds])
             cbvh = bvh_mod.build_bvh(seg_lo, seg_hi)
-            curve_nodes = cbvh.nodes
+            curve_nodes = jnp.asarray(cbvh.nodes)
             ordered_segs = seg_rows[np.asarray(cbvh.prim_indices)]
             curve_segs = jnp.asarray(ordered_segs)
             curve_mats = jnp.asarray(self.curve_mat_list, jnp.int32)
@@ -746,8 +764,7 @@ class SceneBuilder:
             curve_segs_dense = None
             use_pallas_curves = False
         if extra_geo:
-            tri_geo = jnp.asarray(np.concatenate([np.asarray(tri_geo)]
-                                                 + extra_geo))
+            tri_geo = np.concatenate([np.asarray(tri_geo)] + extra_geo)
             tri_shade = np.concatenate([tri_shade] + extra_shade)
         tri_all = jnp.asarray(np.concatenate(
             [np.asarray(tri_geo), np.asarray(tri_shade, np.float32)],
@@ -765,9 +782,9 @@ class SceneBuilder:
             tris_tlas_dense=tris_tlas_dense,
             use_pallas_tlas=use_pallas_tlas,
             tri_p0=jnp.asarray(p0), tri_p1=jnp.asarray(p1), tri_p2=jnp.asarray(p2),
-            tri_geo=tri_geo, tri_geo_bvh=tri_geo_bvh,
+            tri_geo=jnp.asarray(tri_geo), tri_geo_bvh=jnp.asarray(tri_geo_bvh),
             tri_shade=jnp.asarray(tri_shade),
-            bvh=bvh, materials=self.materials.build(),
+            bvh=bvh_mod.to_device(bvh), materials=self.materials.build(),
             textures=self.textures.build(), lights=pool,
             light_sampler=ls, spectra_pool=spectra_pool,
             env=env, media=self.media.build(),
@@ -777,6 +794,7 @@ class SceneBuilder:
             n_spheres=sum(1 for t in quad_tags if t == QUADRIC_SPHERE),
             use_bvh=use_bvh, tri_pallas=tri_pallas, use_pallas=use_pallas,
             use_pallas_bvh=use_pallas_bvh, tris_dense=tris_dense,
+            bvh8=bvh8, use_pallas_bvh8=use_pallas_bvh8,
             world_lo=jnp.asarray(world_lo, jnp.float32),
             world_hi=jnp.asarray(world_hi, jnp.float32),
             n_infinite=n_inf, inf_indices=inf_indices,
@@ -823,6 +841,17 @@ def _pallas_bvh_query(scene: Scene, o, d, t_max, any_hit):
     return {k: v[inv] for k, v in r.items()}
 
 
+def _pallas_bvh8_query(scene: Scene, o, d, t_max, any_hit):
+    from .ops import pallas_bvh8 as b8_mod
+    order = jnp.argsort(_ray_sort_keys(scene, o, d))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               (o.shape[0],))
+    r = b8_mod.bvh8_intersect(scene.bvh8, o[order], d[order],
+                              t_max_b[order], any_hit=any_hit)
+    inv = jnp.argsort(order)
+    return {k: v[inv] for k, v in r.items()}
+
+
 def intersect(scene: Scene, o, d, t_max, time=None):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
 
@@ -844,6 +873,8 @@ def intersect(scene: Scene, o, d, t_max, time=None):
             r = tlas_mod.two_level_intersect(
                 scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
                 scene.tlas_root, o, d, t_max, time=time)
+    elif scene.use_pallas_bvh8:
+        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
@@ -1078,6 +1109,8 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
             r = tlas_mod.two_level_intersect(
                 scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
                 scene.tlas_root, o, d, t_max, any_hit=True, time=time)
+    elif scene.use_pallas_bvh8:
+        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:

@@ -1,0 +1,79 @@
+"""8-wide packet BVH (ops/pallas_bvh8.py) vs brute force.
+
+The Pallas kernel itself is exercised here through interpret mode (same
+kernel code, CPU); compiled runs happen on real TPU in bench/golden runs.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu.ops import bvh as bvh_mod
+from pbrt_tpu.ops import pallas_bvh8 as b8
+
+
+def _scene(T=600, seed=0):
+    rng = np.random.default_rng(seed)
+    p0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    p1 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p2 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    tri_geo = np.concatenate(
+        [p0, p1, p2, np.arange(T, dtype=np.float32)[:, None]], axis=1)
+    return (p0, p1, p2), b8.build_bvh8(lo, hi, tri_geo)
+
+
+def _rays(n=512, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-4, 4, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def test_collapse_covers_all_primitives():
+    """Every original primitive appears in exactly one leaf range."""
+    _, bv8 = _scene(T=777)
+    nodes = np.asarray(bv8.nodes).reshape(bv8.n_nodes, b8.NODE_F)
+    covered = np.zeros(bv8.n_tris, bool)
+    for row in nodes:
+        for c in range(b8.WIDTH):
+            first = int(round(row[c * 8 + 6]))
+            cnt = int(round(row[c * 8 + 7]))
+            if cnt > 0:
+                assert not covered[first:first + cnt].any(), "overlap"
+                covered[first:first + cnt] = True
+    assert covered.all()
+    # permutation validity
+    assert sorted(np.asarray(bv8.prim_indices)) == list(range(bv8.n_tris))
+
+
+def test_bvh8_matches_brute_force():
+    (p0, p1, p2), bv8 = _scene()
+    o, d = _rays()
+    tmax = jnp.full((o.shape[0],), 1e30)
+    ref = bvh_mod.brute_force_intersect_triangles(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), o, d, tmax)
+    got = b8.bvh8_intersect(bv8, o, d, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(got["hit"]))
+    m = np.asarray(ref["hit"])
+    np.testing.assert_array_equal(np.asarray(ref["prim"])[m],
+                                  np.asarray(got["prim"])[m])
+    np.testing.assert_allclose(np.asarray(ref["t"])[m],
+                               np.asarray(got["t"])[m], rtol=3e-5)
+
+
+def test_bvh8_any_hit_and_tmax():
+    (p0, p1, p2), bv8 = _scene(seed=3)
+    o, d = _rays(seed=4)
+    tmax = jnp.full((o.shape[0],), 1e30)
+    ref = bvh_mod.brute_force_intersect_triangles(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), o, d, tmax)
+    got = b8.bvh8_intersect(bv8, o, d, tmax, any_hit=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(got["hit"]))
+    # bounded rays never report hits past t_max
+    got2 = b8.bvh8_intersect(bv8, o, d, jnp.full((o.shape[0],), 2.0),
+                             interpret=True)
+    t = np.asarray(got2["t"])[np.asarray(got2["hit"])]
+    assert (t < 2.0).all()
