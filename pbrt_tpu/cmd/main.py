@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--mse-reference-image", default=None,
                     help="compute MSE vs this EXR after rendering "
                          "(reference --mse-reference-image)")
+    ap.add_argument("--chips", type=int, default=0,
+                    help="shard pixels over this many devices "
+                         "(0 = single device; parallel/mesh.py DP)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -87,11 +90,24 @@ def main(argv=None):
         if not display.connected:
             log.warning("could not connect to display server %s",
                         args.display_server)
-    img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
-                            progress=not args.quiet, stats=acc,
-                            checkpoint_path=args.checkpoint,
-                            checkpoint_every=args.checkpoint_every,
-                            display=display)
+    if args.chips > 0:
+        import jax
+        from ..parallel import mesh as pmesh
+        devs = jax.devices()
+        if len(devs) < args.chips:
+            log.error("--chips %d but only %d devices visible",
+                      args.chips, len(devs))
+            return 1
+        mesh = pmesh.make_mesh(devs[:args.chips])
+        img, stats = pmesh.render_multichip(desc.scene, cam,
+                                            sampler=sampler, opts=opts,
+                                            mesh=mesh)
+    else:
+        img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
+                                progress=not args.quiet, stats=acc,
+                                checkpoint_path=args.checkpoint,
+                                checkpoint_every=args.checkpoint_every,
+                                display=display)
     out = args.outfile or desc.film_params["filename"]
     if out.endswith(".pfm"):
         pimg.write_pfm(out, img)

@@ -125,6 +125,11 @@ def collapse_to_bvh8(nodes_bin: np.ndarray, max_leaf: int = 8,
         my_idx = len(out)
         row = np.zeros(NODE_F, np.float32)
         row[WIDTH * 8] = float(axis)
+        if my_idx == 0:
+            # root: union box in the pad floats — the kernel's cheap
+            # whole-block pre-test (dead blocks skip the full traversal)
+            row[WIDTH * 8 + 1:WIDTH * 8 + 4] = ulo
+            row[WIDTH * 8 + 4:WIDTH * 8 + 7] = uhi
         out.append(row)  # placeholder; fill below (children may recurse)
         for c in range(WIDTH):
             o8 = c * 8
@@ -198,6 +203,161 @@ def smem_bytes(n_tris: int, n_nodes: int) -> int:
 
 
 SMEM_BUDGET = 960 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Chunked multi-launch (arbitrary triangle counts, the PRODUCTION big-mesh
+# path): the binary SAH tree is partitioned into subtree chunks that each
+# fit the SMEM scalar-prefetch budget; each chunk is an independent BVH8.
+# A `lax.scan` over the stacked chunk pages re-launches the all-SMEM
+# kernel once per chunk, carrying (t, prim, b1, b2) so chunk k+1's slab
+# tests are pruned by the best hit from chunks 0..k. The Pallas prologue
+# DMAs each chunk's nodes+tris HBM->SMEM ONCE per launch (amortised over
+# every ray block), which sidesteps the conditional-DMA Mosaic hang that
+# killed the in-kernel paging design (see _forest_kernel below, kept as a
+# reference twin). Plays the role of OptiX's device-memory GAS at
+# arbitrary scale (gpu/optix/aggregate.cpp:343); traversal semantics
+# match cpu/aggregates.cpp:529-579.
+
+
+@struct.dataclass
+class BVH8Chunked:
+    nodes: jnp.ndarray         # (K, NL) f32 per-chunk flat node pages
+    tris: jnp.ndarray          # (K, TL) f32 per-chunk flat tri pages
+    prim_indices: jnp.ndarray  # (T,) int32 permutation into original prims
+    n_chunks: int = struct.field(pytree_node=False)
+    n_tris: int = struct.field(pytree_node=False)
+    depth: int = struct.field(pytree_node=False)
+
+
+def partition_chunk_roots(nodes_bin: np.ndarray, budget: int):
+    """Greedy DFS partition of a flattened binary SAH BVH into subtree
+    chunk roots whose estimated BVH8 page (collapsed nodes ~9.3 B/tri +
+    tris 40 B/tri, 1.3x margin) fits `budget` bytes. Returns
+    (chunk_roots, start, count, is_leaf, roff)."""
+    nb = np.asarray(nodes_bin, np.float64)
+    m = nb.shape[0]
+    roff = np.round(nb[:, 6]).astype(np.int64)
+    meta_b = np.round(nb[:, 7]).astype(np.int64)
+    nprim = meta_b >> 2
+    is_leaf = nprim > 0
+    start = np.zeros(m, np.int64)
+    count = np.zeros(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            start[i] = roff[i]
+            count[i] = nprim[i]
+        else:
+            l, r = i + 1, roff[i]
+            start[i] = min(start[l], start[r])
+            count[i] = count[l] + count[r]
+
+    def est(c):
+        return int(c * 50 * 1.3)
+
+    chunk_roots = []
+    stack = [0]
+    while stack:
+        s = stack.pop()
+        if est(count[s]) <= budget or is_leaf[s]:
+            chunk_roots.append(s)
+        else:
+            stack.append(roff[s])
+            stack.append(s + 1)
+    return chunk_roots, start, count, is_leaf, roff
+
+
+def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
+                       binary_bvh=None,
+                       budget: int = SMEM_BUDGET) -> BVH8Chunked:
+    """Host build for the chunked multi-launch path.
+    tri_geo: (T, 10) UNordered [p0, p1, p2, id] rows."""
+    from . import bvh as bvh_mod
+    b = binary_bvh if binary_bvh is not None \
+        else bvh_mod.build_bvh(prim_lo, prim_hi, max_leaf=4)
+    order = np.asarray(b.prim_indices)
+    tg = np.asarray(tri_geo, np.float32)[order]
+    nb = np.asarray(b.nodes, np.float64)
+
+    # the byte estimate in partition_chunk_roots can under-predict on
+    # skewed trees; the padded (NL + TL) page pair must PROVABLY fit the
+    # scalar-prefetch budget, so shrink and re-partition until it does
+    part_budget = budget
+    for _ in range(8):
+        chunk_roots, start, count, _, _ = partition_chunk_roots(
+            nb, part_budget)
+        node_pages, tri_pages = [], []
+        max_depth = 0
+        for s in chunk_roots:
+            nd, dep = collapse_to_bvh8(nb, max_leaf, root=s,
+                                       prim_base=int(start[s]))
+            max_depth = max(max_depth, dep)
+            node_pages.append(nd.reshape(-1))
+            tri_pages.append(
+                pack_tris_flat(tg[start[s]:start[s] + count[s]]))
+        worst = max(n.shape[0] for n in node_pages) + \
+            max(t.shape[0] for t in tri_pages)
+        if worst * 4 <= budget:
+            break
+        part_budget = int(part_budget * 0.7)
+    else:
+        raise RuntimeError(
+            f"chunk pages ({worst * 4}B) exceed SMEM budget {budget}B "
+            "after 8 re-partitions")
+    K = len(node_pages)
+    NL = max(p.shape[0] for p in node_pages)
+    TL = max(p.shape[0] for p in tri_pages)
+    nodes = np.zeros((K, NL), np.float32)
+    tris = np.zeros((K, TL), np.float32)
+    for k in range(K):
+        nodes[k, :node_pages[k].shape[0]] = node_pages[k]
+        tris[k, :tri_pages[k].shape[0]] = tri_pages[k]
+    return BVH8Chunked(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
+                       prim_indices=jnp.asarray(order.astype(np.int32)),
+                       n_chunks=K, n_tris=tg.shape[0], depth=max_depth)
+
+
+def chunked_intersect(c: BVH8Chunked, o, d, t_max, any_hit=False,
+                      interpret=False):
+    """Closest/any hit over the chunk scan. Same returns as
+    bvh8_intersect. Lanes that already hold a hit enter later chunks with
+    t_max = their hit t (closest) or -1 (any-hit: root slabs all miss and
+    the block exits after one node visit)."""
+    N = o.shape[0]
+    n_pad = -(-N // BLOCK) * BLOCK
+
+    def prep(v, fill):
+        v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
+            if n_pad != N else v
+        return v.reshape(n_pad // LANES, LANES)
+
+    ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
+    dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
+    tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
+
+    def step(carry, pages):
+        t_c, k_c, b1_c, b2_c = carry
+        nodes_k, tris_k = pages
+        tmax_in = jnp.where(k_c >= 0.0, -1.0, t_c) if any_hit else t_c
+        t_n, k_n, b1_n, b2_n = _run8(nodes_k, tris_k, ox, oy, oz,
+                                     dx, dy, dz, tmax_in, any_hit,
+                                     interpret=interpret)
+        better = k_n >= 0.0
+        return (jnp.where(better, t_n, t_c), jnp.where(better, k_n, k_c),
+                jnp.where(better, b1_n, b1_c),
+                jnp.where(better, b2_n, b2_c)), None
+
+    init = (tm, jnp.full_like(tm, -1.0), jnp.zeros_like(tm),
+            jnp.zeros_like(tm))
+    (t, kf, b1, b2), _ = jax.lax.scan(step, init, (c.nodes, c.tris))
+    t = t.reshape(-1)[:N]
+    kf = kf.reshape(-1)[:N]
+    b1 = b1.reshape(-1)[:N]
+    b2 = b2.reshape(-1)[:N]
+    prim = jnp.round(kf).astype(jnp.int32)
+    hit = prim >= 0
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
+                b0=1.0 - b1 - b2, b1=b1, b2=b2)
 
 
 # ---------------------------------------------------------------------------
@@ -312,8 +472,6 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
     b1_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     b2_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
 
-    stack_ref[0] = 0
-
     def tri_body(k, carry):
         t_best, prim, b1, b2, first = carry
         base = (first + k) * 10
@@ -427,7 +585,28 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
             sp = jnp.where(jnp.any(k_out[...] < 0.0), sp, 0)
         return sp
 
-    jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+    # whole-block root pre-test: in the chunked multi-launch scan most
+    # (chunk, block) pairs are dead — one slab test against the root's
+    # union box (stored in node 0's pad floats) skips the traversal
+    rb = WIDTH * 8
+    rtx0 = (nodes_ref[rb + 1] - o_x) * inv_dx
+    rtx1 = (nodes_ref[rb + 4] - o_x) * inv_dx
+    rty0 = (nodes_ref[rb + 2] - o_y) * inv_dy
+    rty1 = (nodes_ref[rb + 5] - o_y) * inv_dy
+    rtz0 = (nodes_ref[rb + 3] - o_z) * inv_dz
+    rtz1 = (nodes_ref[rb + 6] - o_z) * inv_dz
+    rmin = jnp.maximum(jnp.maximum(jnp.minimum(rtx0, rtx1),
+                                   jnp.minimum(rty0, rty1)),
+                       jnp.maximum(jnp.minimum(rtz0, rtz1), 0.0))
+    rmax = jnp.minimum(jnp.minimum(jnp.maximum(rtx0, rtx1),
+                                   jnp.maximum(rty0, rty1)),
+                       jnp.minimum(jnp.maximum(rtz0, rtz1),
+                                   tmax_ref[...]))
+
+    @pl.when(jnp.any(rmin <= rmax * 1.0000004))
+    def _():
+        stack_ref[0] = 0
+        jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))

@@ -78,6 +78,11 @@ class Scene:
     # path (~50 Mray/s vs ~0.5 for the binary packet kernel).
     bvh8: object = None                # ops/pallas_bvh8.BVH8 | None
     use_pallas_bvh8: bool = struct.field(pytree_node=False, default=False)
+    # Chunked multi-launch BVH8 (TPU, ARBITRARY triangle counts): subtree
+    # chunk pages scanned through the same all-SMEM kernel, hit state
+    # carried across launches (ops/pallas_bvh8.BVH8Chunked).
+    bvh8c: object = None               # ops/pallas_bvh8.BVH8Chunked | None
+    use_pallas_bvh8c: bool = struct.field(pytree_node=False, default=False)
     world_lo: jnp.ndarray = None
     world_hi: jnp.ndarray = None
     n_infinite: int = struct.field(pytree_node=False, default=0)
@@ -648,6 +653,8 @@ class SceneBuilder:
         from .ops import pallas_bvh8 as b8_mod
         bvh8 = None
         use_pallas_bvh8 = False
+        bvh8c = None
+        use_pallas_bvh8c = False
         if use_bvh and on_tpu and not self.instances \
                 and n_tri * 40 <= b8_mod.SMEM_BUDGET:
             cand = b8_mod.build_bvh8(lo, hi, np.asarray(tri_geo),
@@ -656,10 +663,17 @@ class SceneBuilder:
                     <= b8_mod.SMEM_BUDGET:
                 bvh8 = cand
                 use_pallas_bvh8 = True
+        if use_bvh and on_tpu and not self.instances \
+                and not use_pallas_bvh8:
+            # big mesh: chunked multi-launch BVH8 (no triangle-count cap)
+            bvh8c = b8_mod.build_bvh8_chunked(lo, hi, np.asarray(tri_geo),
+                                              binary_bvh=bvh)
+            use_pallas_bvh8c = True
         # Pallas packet-BVH (TPU): ~15x the XLA while-loop traversal;
         # VMEM-resident dense triangles cap the scene at ~190k triangles
         use_pallas_bvh = use_bvh and on_tpu and n_tri <= 190000 and \
-            not self.instances and not use_pallas_bvh8
+            not self.instances and not use_pallas_bvh8 \
+            and not use_pallas_bvh8c
         from .ops import pallas_bvh as pbvh_mod
         tris_dense = pbvh_mod.pad_tris_for_bvh(np.asarray(tri_geo_bvh)) \
             if use_pallas_bvh else jnp.zeros((1, 128), jnp.float32)
@@ -795,6 +809,7 @@ class SceneBuilder:
             use_bvh=use_bvh, tri_pallas=tri_pallas, use_pallas=use_pallas,
             use_pallas_bvh=use_pallas_bvh, tris_dense=tris_dense,
             bvh8=bvh8, use_pallas_bvh8=use_pallas_bvh8,
+            bvh8c=bvh8c, use_pallas_bvh8c=use_pallas_bvh8c,
             world_lo=jnp.asarray(world_lo, jnp.float32),
             world_hi=jnp.asarray(world_hi, jnp.float32),
             n_infinite=n_inf, inf_indices=inf_indices,
@@ -852,6 +867,17 @@ def _pallas_bvh8_query(scene: Scene, o, d, t_max, any_hit):
     return {k: v[inv] for k, v in r.items()}
 
 
+def _pallas_bvh8c_query(scene: Scene, o, d, t_max, any_hit):
+    from .ops import pallas_bvh8 as b8_mod
+    order = jnp.argsort(_ray_sort_keys(scene, o, d))
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               (o.shape[0],))
+    r = b8_mod.chunked_intersect(scene.bvh8c, o[order], d[order],
+                                 t_max_b[order], any_hit=any_hit)
+    inv = jnp.argsort(order)
+    return {k: v[inv] for k, v in r.items()}
+
+
 def intersect(scene: Scene, o, d, t_max, time=None):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
 
@@ -875,6 +901,8 @@ def intersect(scene: Scene, o, d, t_max, time=None):
                 scene.tlas_root, o, d, t_max, time=time)
     elif scene.use_pallas_bvh8:
         r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=False)
+    elif scene.use_pallas_bvh8c:
+        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
@@ -1111,6 +1139,8 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
                 scene.tlas_root, o, d, t_max, any_hit=True, time=time)
     elif scene.use_pallas_bvh8:
         r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=True)
+    elif scene.use_pallas_bvh8c:
+        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:

@@ -77,3 +77,35 @@ def test_bvh8_any_hit_and_tmax():
                              interpret=True)
     t = np.asarray(got2["t"])[np.asarray(got2["hit"])]
     assert (t < 2.0).all()
+
+
+def test_chunked_matches_brute_force():
+    """Multi-chunk scan (tiny budget forces ~8+ chunks) == brute force."""
+    T = 900
+    rng = np.random.default_rng(7)
+    p0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    p1 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p2 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    tri_geo = np.concatenate(
+        [p0, p1, p2, np.arange(T, dtype=np.float32)[:, None]], axis=1)
+    c = b8.build_bvh8_chunked(lo, hi, tri_geo, budget=8 * 1024)
+    assert c.n_chunks >= 4, f"expected multiple chunks, got {c.n_chunks}"
+    o, d = _rays(seed=8)
+    tmax = jnp.full((o.shape[0],), 1e30)
+    ref = bvh_mod.brute_force_intersect_triangles(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2), o, d, tmax)
+    got = b8.chunked_intersect(c, o, d, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(got["hit"]))
+    m = np.asarray(ref["hit"])
+    np.testing.assert_array_equal(np.asarray(ref["prim"])[m],
+                                  np.asarray(got["prim"])[m])
+    np.testing.assert_allclose(np.asarray(ref["t"])[m],
+                               np.asarray(got["t"])[m], rtol=3e-5)
+    # any-hit agreement on the hit mask
+    got_a = b8.chunked_intersect(c, o, d, tmax, any_hit=True,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(got_a["hit"]))
