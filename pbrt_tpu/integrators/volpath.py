@@ -108,10 +108,16 @@ def _maj_lookup(pool: med_mod.MediumPool, voxel):
     return pool.maj_grid[flat]
 
 
-def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l):
+def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l,
+                 cur_med=None):
     """Fused SampleT_maj + VolPath event callback (integrators.cpp:979-1110):
     delta-track through the majorant super-grid, performing null events
     inline and stopping at scatter/absorb events or segment end.
+
+    cur_med: optional (N,) int32 RAY-CARRIED medium index (geometry-attached
+    MediumInterface mode, cpu/primitive.h:48) — when given, sigma is
+    evaluated from that medium instead of the legacy point-in-box lookup,
+    and vacuum lanes (cur_med < 0) skip the flight entirely.
 
     Returns dict(status (N,), t_event (N,), p_event (N,3), beta, r_u, r_l,
     g (N,), sigma_s_ratio-folded state). Lanes not `active` pass through
@@ -121,6 +127,8 @@ def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l):
     t0, t1 = _grid_span(pool, o, d, t_max)
     dda = _dda_init(pool, o, d, t0, t1)
     in_grid = active & (t1 > t0)
+    if cur_med is not None:
+        in_grid = in_grid & (cur_med >= 0)
 
     status0 = jnp.where(in_grid, -1, EV_REACH)  # -1 == flying
 
@@ -145,7 +153,7 @@ def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l):
 
         # --- event lanes: classify null / scatter / absorb ---
         p_ev = o + d * t[..., None]
-        med_idx = medium_index_at(pool, p_ev)
+        med_idx = medium_index_at(pool, p_ev) if cur_med is None else cur_med
         row = med_mod.medium_row(pool, med_idx)
         sa, ss = med_mod.sigma_at(pool, row, p_ev, lam)
         no_medium = med_idx < 0
@@ -345,25 +353,40 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         Ld = f_hat * T_ray * ls["L"] / jnp.maximum(denom, _EPS)[..., None]
         return jnp.where((ok & (denom > 0))[..., None], Ld, 0.0)
 
-    def body(depth, state):
+    has_ifaces = scene.has_medium_interfaces
+
+    def body(it, state):
         (o, d, beta, L, active, spec_bounce, r_u, r_l, eta_scale,
-         sec_term) = state
+         sec_term, cur_med, depth) = state
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+
+        # --- medium-interface pool: null-material boundary shells kept out
+        # of the main BVH (cpu/primitive.h:48); a closer interface hit
+        # truncates the segment and pass-throughs below switch the medium
+        if has_ifaces:
+            ii = sc.intersect_interfaces(scene, o, d, isect["t"])
+            iface_first = ii["hit"] & (ii["t"] < isect["t"])
+            t_seg = jnp.where(iface_first, ii["t"], isect["t"])
+        else:
+            iface_first = jnp.zeros((N,), bool)
+            t_seg = isect["t"]
 
         # --- medium flight: DDA delta tracking with inline null events ---
         seed_fl = prng.hash_u32(px.astype(jnp.uint32), py.astype(jnp.uint32),
                                 sample_index.astype(jnp.uint32),
-                                jnp.asarray(depth, jnp.uint32),
+                                jnp.asarray(it, jnp.uint32),
                                 np.uint32(0x6d3a))
-        fl = sample_t_maj(scene, o, d, isect["t"], lam, seed_fl, active,
-                          beta, r_u, r_l)
+        fl = sample_t_maj(scene, o, d, t_seg, lam, seed_fl, active,
+                          beta, r_u, r_l,
+                          cur_med=cur_med if has_ifaces else None)
         beta, r_u, r_l = fl["beta"], fl["r_u"], fl["r_l"]
         scattered = active & (fl["status"] == EV_SCATTER)
         absorbed = active & (fl["status"] == EV_ABSORB)
         reach = fl["status"] == EV_REACH
         p_med = o + d * fl["t"][..., None]
         active = active & ~absorbed
-        hit = isect["hit"] & active & reach
+        passthru = iface_first & active & reach
+        hit = isect["hit"] & active & reach & ~passthru
 
         # --- emitted radiance at hits of emissive triangles ---
         if scene.has_area_lights:
@@ -395,7 +418,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
         # --- escaped rays: image infinite light (env map) ---
         if scene.env is not None:
-            escaped = active & reach & ~isect["hit"]
+            escaped = active & reach & ~isect["hit"] & ~passthru
             Le_env = lgt.env_radiance(scene.env, d, lam)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
             pdf_env = lgt.env_pdf_li(scene.env, d, p_ref=o) * pmf_env
@@ -407,7 +430,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
 
         # --- escaped rays: uniform infinite lights ---
         if scene.n_infinite > 0:
-            escaped = active & reach & ~isect["hit"]
+            escaped = active & reach & ~isect["hit"] & ~passthru
             Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
                                                  scene.spectra_pool, d,
                                                  scene.inf_indices)
@@ -420,7 +443,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                               beta * Le_inf /
                               jnp.maximum(denom, _EPS)[..., None], 0.0)
 
-        active = hit | scattered
+        real_ev = hit | scattered      # events that consume a path bounce
+        active = real_ev | passthru
         # --- shading geometry: Mix resolution + bump/normal mapping ---
         mat_res = mtl.resolve_mix(scene.materials, isect["mat"], isect["p"])
         ns = mtl.apply_normal_mapping(scene.materials, scene.textures,
@@ -432,10 +456,10 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"])
 
-        # --- NEE ---
+        # --- NEE (real events only; pass-throughs don't scatter) ---
         if scene.light_sampler.n_lights > 0:
             p_shade = jnp.where(scattered[..., None], p_med, isect["p"])
-            Ld = sample_ld(p_shade, ns, ng, t1, t2, wo_local, bp, active,
+            Ld = sample_ld(p_shade, ns, ng, t1, t2, wo_local, bp, real_ev,
                            depth, r_u, scattered, -d, fl["g"], seed_fl)
             L = L + beta * Ld
 
@@ -456,24 +480,36 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         sel_pdf = jnp.where(scattered, pdf_hg, sel_pdf)
         sel_valid = jnp.where(scattered, pdf_hg > 0, sel_valid)
         sel_spec = jnp.where(scattered, False, sel_spec)
+        # pass-throughs: continue straight, throughput/pdf state untouched,
+        # the bounce is NOT consumed (reference: the !material continuation
+        # in VolPathIntegrator::Li leaves depth unchanged)
+        if has_ifaces:
+            wi_world = jnp.where(passthru[..., None], d, wi_world)
+            throughput = jnp.where(passthru[..., None], 1.0, throughput)
+            sel_valid = sel_valid | passthru
+            sel_spec = jnp.where(passthru, spec_bounce, sel_spec)
         beta_new = beta * throughput
         # r_l = r_u / scatter pdf (integrators.cpp:1174/1086)
-        r_l = r_u / jnp.maximum(sel_pdf, _EPS)[..., None]
+        r_l_new = r_u / jnp.maximum(sel_pdf, _EPS)[..., None]
+        r_l = jnp.where(passthru[..., None], r_l, r_l_new) if has_ifaces \
+            else r_l_new
         term = jnp.asarray([4.0, 0.0, 0.0, 0.0], jnp.float32)
-        first_disp = bs["dispersed"] & ~sec_term
+        first_disp = bs["dispersed"] & ~sec_term & ~passthru
         beta_new = jnp.where(first_disp[..., None], beta_new * term, beta_new)
-        sec_term = sec_term | (bs["dispersed"] & active)
+        sec_term = sec_term | (bs["dispersed"] & real_ev)
         active = active & sel_valid & jnp.any(beta_new > 0, axis=-1) & \
             jnp.any(r_u > 0, axis=-1)
         beta = jnp.where(active[..., None], beta_new, beta)
-        eta_scale = eta_scale * jnp.where(scattered, 1.0, bs["eta_scale"])
+        eta_scale = eta_scale * jnp.where(scattered | passthru, 1.0,
+                                          bs["eta_scale"])
 
         # --- Russian roulette on beta*eta_scale/avg(r_u) (:1244) ---
         rr_beta_max = jnp.max(beta, axis=-1) * eta_scale / \
             jnp.maximum(_avg(r_u), _EPS)
         u_rr = smp.sample_1d(sampler, px, py, sample_index, base + 6)
         q = jnp.maximum(0.0, 1.0 - rr_beta_max)
-        do_rr = (depth >= opts.rr_start_depth) & (rr_beta_max < 1.0)
+        do_rr = (depth >= opts.rr_start_depth) & (rr_beta_max < 1.0) & \
+            ~passthru
         killed = do_rr & (u_rr < q)
         active = active & ~killed
         beta = jnp.where((do_rr & ~killed)[..., None],
@@ -482,9 +518,26 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
         o_next = jnp.where(scattered[..., None],
                            p_med + 1e-5 * wi_world, o_next)
+        if has_ifaces:
+            # interface crossing: continue from the interface point and
+            # switch the ray's medium by crossing side (med_in behind the
+            # geometric normal, med_out in front)
+            p_if = o + d * ii["t"][..., None]
+            o_if = sc.offset_ray_origin(p_if, ii["ng"], d)
+            o_next = jnp.where(passthru[..., None], o_if, o_next)
+            entering = vm.dot(d, ii["ng"]) < 0
+            med_next = jnp.where(entering, ii["med_in"], ii["med_out"])
+            cur_med = jnp.where(passthru, med_next, cur_med)
+        depth = depth + jnp.where(real_ev, 1, 0).astype(jnp.int32)
+        active = active & (depth < opts.max_depth)
         return (o_next, wi_world, beta, L, active, sel_spec, r_u, r_l,
-                eta_scale, sec_term)
+                eta_scale, sec_term, cur_med, depth)
 
+    # camera medium: point-in-box lookup at the ray origin (the parser
+    # mirrors the reference's implicit camera-medium default; interface
+    # shells in this framework are box-shaped so the box test is exact)
+    cur_med0 = medium_index_at(scene.media, o) if has_ifaces \
+        else jnp.full((N,), -1, jnp.int32)
     state = (o, d,
              jnp.ones((N, 4), jnp.float32),       # beta
              jnp.zeros((N, 4), jnp.float32),      # L
@@ -493,8 +546,13 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
              jnp.ones((N, 4), jnp.float32),       # r_u
              jnp.ones((N, 4), jnp.float32),       # r_l
              jnp.ones((N,), jnp.float32),         # eta_scale
-             jnp.zeros((N,), bool))               # secondaries terminated
-    state = jax.lax.fori_loop(0, opts.max_depth, body, state)
+             jnp.zeros((N,), bool),               # secondaries terminated
+             cur_med0,                            # ray-carried medium
+             jnp.zeros((N,), jnp.int32))          # per-lane bounce count
+    # interface crossings don't consume bounces; give the loop slack to
+    # cover enter/exit shells (2 crossings per box, a few boxes deep)
+    n_iters = opts.max_depth + (8 if has_ifaces else 0)
+    state = jax.lax.fori_loop(0, n_iters, body, state)
     return state[3]
 
 

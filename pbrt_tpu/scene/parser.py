@@ -265,6 +265,9 @@ class GraphicsState:
         self.material = 0
         self.area_light = None  # (Spectrum, scale, two_sided)
         self.named_material = None
+        # MediumInterface names (inside, outside); None = unset (reference
+        # graphics-state currentInsideMedium/currentOutsideMedium)
+        self.medium_interface = None
 
 
 def _apply_xf(gs, f):
@@ -314,6 +317,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
     named_transforms = {}
     named_materials = {}
     named_textures = {}   # name -> ("constant", value) | ("scale", ...) etc.
+    named_media = {}      # name -> index into b.media rows
     objects = {}          # name -> list of deferred shape records
     current_object = None
 
@@ -343,6 +347,10 @@ def parse_string(text, base_dir=".", light_sampler="power",
         return ps.float(name, default)
 
     def make_material(name, ps: ParamSet) -> int:
+        if name in ("", "none", "interface"):
+            # null material: interface-only geometry, never scatters
+            # (reference Material() null case; used with MediumInterface)
+            return -1
         rough = resolve_float_or_texture(ps, "roughness", 0.0)
         urough = resolve_float_or_texture(ps, "uroughness", None)
         vrough = resolve_float_or_texture(ps, "vroughness", None)
@@ -456,7 +464,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
             emission, escale, two_sided = gs.area_light
         record = dict(name=name, ps=ps, ctm=gs.ctm, mat=mat,
                       reverse=gs.reverse_orientation, emission=emission,
-                      escale=escale, two_sided=two_sided)
+                      escale=escale, two_sided=two_sided,
+                      medium_interface=gs.medium_interface)
         if current_object is not None:
             objects[current_object]["records"].append(record)
         else:
@@ -490,6 +499,33 @@ def parse_string(text, base_dir=".", light_sampler="power",
         emission, escale, two = rec["emission"], rec["escale"], rec["two_sided"]
         reverse = rec["reverse"]
         mat = rec["mat"]
+        if mat == -1:
+            # null material: medium-interface boundary geometry (reference
+            # GeometricPrimitive with !material, cpu/primitive.h:48)
+            mi = rec.get("medium_interface") or (None, None)
+
+            def med_idx(nm):
+                if nm is None:
+                    return -1
+                if nm not in named_media:
+                    raise ParseError(
+                        f"{p.loc()}: MediumInterface names unknown medium "
+                        f"'{nm}'")
+                return named_media[nm]
+            if name == "trianglemesh":
+                P = ps.point3s("P")
+                idx = ps.ints("indices").reshape(-1, 3)
+            elif name == "plymesh":
+                mesh = plyio.read_ply(Path(base_dir) / ps.string("filename"))
+                P, idx = mesh["vertices"], mesh["indices"]
+            else:
+                raise ParseError(
+                    f"{p.loc()}: interface (null-material) shapes are "
+                    f"supported for meshes only, not '{name}'")
+            Pw = np.asarray(xf.apply_point(np.asarray(P, np.float32)))
+            b.add_interface_mesh(Pw, idx, med_in=med_idx(mi[0]),
+                                 med_out=med_idx(mi[1]))
+            return
         if name == "trianglemesh":
             P = ps.point3s("P")
             idx = ps.ints("indices").reshape(-1, 3)
@@ -720,8 +756,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             if mtype == "homogeneous":
                 # participate in a box around the whole scene (media are
                 # box-bounded in this framework; see media.py)
-                b.media.add_homogeneous(sigma_a=tuple(sig_a),
-                                        sigma_s=tuple(sig_s), g=g, scale=mscale)
+                named_media[nm] = b.media.add_homogeneous(
+                    sigma_a=tuple(sig_a), sigma_s=tuple(sig_s), g=g,
+                    scale=mscale)
             elif mtype in ("uniformgrid", "rgbgrid"):
                 nx = ps.int("nx", 1)
                 ny = ps.int("ny", 1)
@@ -732,10 +769,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 corners = np.array([[p0[0], p0[1], p0[2]], [p1[0], p1[1], p1[2]]],
                                    np.float32)
                 wc = np.asarray(gs.ctm.apply_point(corners))
-                b.media.add_grid(np.asarray(dens, np.float32).reshape(nz, ny, nx),
-                                 np.minimum(wc[0], wc[1]), np.maximum(wc[0], wc[1]),
-                                 sigma_a=tuple(sig_a), sigma_s=tuple(sig_s),
-                                 g=g, scale=mscale)
+                named_media[nm] = b.media.add_grid(
+                    np.asarray(dens, np.float32).reshape(nz, ny, nx),
+                    np.minimum(wc[0], wc[1]), np.maximum(wc[0], wc[1]),
+                    sigma_a=tuple(sig_a), sigma_s=tuple(sig_s),
+                    g=g, scale=mscale)
             else:
                 import warnings
                 raise ParseError(f"{p.loc()}: medium type '{mtype}' is not supported")
@@ -755,9 +793,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
             elif tok == "ColorSpace":
                 p.parse_string()
             elif tok == "MediumInterface":
-                p.parse_string()
+                inside = p.parse_string()
+                outside = ""
                 if isinstance(p.peek(), str) and p.peek().startswith('"'):
-                    p.parse_string()
+                    outside = p.parse_string()
+                gs.medium_interface = (inside or None, outside or None)
             elif tok == "TransformTimes":
                 p.parse_args(2)
         elif tok == "WorldBegin":

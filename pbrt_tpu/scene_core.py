@@ -107,6 +107,15 @@ class Scene:
     # instances): dense pack of the concatenated BLAS-ordered triangles
     tris_tlas_dense: jnp.ndarray = None
     use_pallas_tlas: bool = struct.field(pytree_node=False, default=False)
+    # geometry-attached medium interfaces (reference cpu/primitive.h:48
+    # MediumInterface): null-material triangles kept OUT of the main BVH —
+    # closest-hits merge a brute-force pass over this small pool (the
+    # integrator pass-throughs them, switching the ray's medium); shadow
+    # rays ignore them entirely (they never occlude).
+    iface_tris: jnp.ndarray = None     # (M, 10) f32 [p0, p1, p2, pad]
+    iface_med: jnp.ndarray = None      # (M, 2) f32 [med_in, med_out]
+    has_medium_interfaces: bool = struct.field(pytree_node=False,
+                                               default=False)
 
 
 class SceneBuilder:
@@ -139,6 +148,7 @@ class SceneBuilder:
         self.curve_mat_list = []     # material index per curve id
         self.quadric_rows = []   # dicts: tag, w2o (3,4), radius, p0, p1,
         #                          mat, light, phi_max, bounds (2,3) world
+        self.iface_rows = []     # (p0, p1, p2, med_in, med_out) interface tris
         self.spectra = []        # list of (471,) arrays
         self._spec_cache = {}
 
@@ -198,6 +208,22 @@ class SceneBuilder:
             else:
                 self.t_light.append(-1)
         return created_lights
+
+    def add_interface_mesh(self, vertices, indices, med_in=-1, med_out=-1):
+        """Null-material medium-interface geometry (reference
+        MediumInterface on a GeometricPrimitive, cpu/primitive.h:48 +
+        the !material pass-through in integrators.cpp). Rays crossing
+        these triangles switch media (med_in on the back side of the
+        geometric normal, med_out on the front) without scattering;
+        shadow rays ignore them. med_in/med_out: indices into
+        self.media (-1 = vacuum)."""
+        vertices = np.asarray(vertices, np.float32)
+        indices = np.asarray(indices, np.int64)
+        for i in range(len(indices)):
+            self.iface_rows.append((vertices[indices[i, 0]],
+                                    vertices[indices[i, 1]],
+                                    vertices[indices[i, 2]],
+                                    int(med_in), int(med_out)))
 
     def add_sphere(self, center, radius, material: int, emission=None,
                    emission_scale=1.0):
@@ -526,7 +552,7 @@ class SceneBuilder:
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
         if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows
-                           or self.instances):
+                           or self.instances or self.iface_rows):
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
@@ -545,6 +571,9 @@ class SceneBuilder:
         for q in self.quadric_rows:
             world_lo = np.minimum(world_lo, q["bounds"][0])
             world_hi = np.maximum(world_hi, q["bounds"][1])
+        for (i0, i1, i2, _mi, _mo) in self.iface_rows:
+            world_lo = np.minimum(world_lo, np.minimum(np.minimum(i0, i1), i2))
+            world_hi = np.maximum(world_hi, np.maximum(np.maximum(i0, i1), i2))
         for (clo, chi) in self.curve_seg_bounds:
             world_lo = np.minimum(world_lo, clo.min(axis=0))
             world_hi = np.maximum(world_hi, chi.max(axis=0))
@@ -783,7 +812,21 @@ class SceneBuilder:
         tri_all = jnp.asarray(np.concatenate(
             [np.asarray(tri_geo), np.asarray(tri_shade, np.float32)],
             axis=1))
+        if self.iface_rows:
+            ifp0 = np.stack([r[0] for r in self.iface_rows])
+            ifp1 = np.stack([r[1] for r in self.iface_rows])
+            ifp2 = np.stack([r[2] for r in self.iface_rows])
+            iface_tris = jnp.asarray(np.concatenate(
+                [ifp0, ifp1, ifp2,
+                 np.zeros((len(self.iface_rows), 1), np.float32)], axis=1))
+            iface_med = jnp.asarray(np.asarray(
+                [[r[3], r[4]] for r in self.iface_rows], np.float32))
+        else:
+            iface_tris = jnp.zeros((1, 10), jnp.float32)
+            iface_med = jnp.full((1, 2), -1.0, jnp.float32)
         return Scene(
+            iface_tris=iface_tris, iface_med=iface_med,
+            has_medium_interfaces=bool(self.iface_rows),
             tri_all=tri_all,
             curve_nodes=curve_nodes, curve_segs=curve_segs,
             curve_mats=curve_mats,
@@ -876,6 +919,45 @@ def _pallas_bvh8c_query(scene: Scene, o, d, t_max, any_hit):
                                  t_max_b[order], any_hit=any_hit)
     inv = jnp.argsort(order)
     return {k: v[inv] for k, v in r.items()}
+
+
+def intersect_interfaces(scene: Scene, o, d, t_max):
+    """Closest hit against the (small) medium-interface triangle pool —
+    vectorized brute-force Moeller-Trumbore, every ray against every
+    interface triangle. Returns dict(hit, t, ng, med_in, med_out).
+    Interface pools are boundary shells (boxes, hulls); they are kept out
+    of the main BVH so shadow queries skip them for free (reference: the
+    !material anyhit pass in cpu/integrators.cpp SampleLd)."""
+    tri = scene.iface_tris                       # (M, 10)
+    p0 = tri[None, :, 0:3]
+    e1 = tri[None, :, 3:6] - tri[None, :, 0:3]
+    e2 = tri[None, :, 6:9] - tri[None, :, 0:3]
+    ov = o[:, None, :]
+    dv = d[:, None, :]
+    pv = jnp.cross(dv, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tv = ov - p0
+    u = jnp.sum(tv * pv, axis=-1) * inv_det
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(dv * qv, axis=-1) * inv_det
+    t = jnp.sum(e2 * qv, axis=-1) * inv_det
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
+                               (o.shape[0],))[:, None]
+    ok = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & \
+        (t > 1e-5) & (t < t_max_b)
+    t = jnp.where(ok, t, jnp.inf)
+    k = jnp.argmin(t, axis=-1)
+    tbest = jnp.take_along_axis(t, k[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(tbest)
+    row = scene.iface_tris[k]
+    ng = jnp.cross(row[:, 3:6] - row[:, 0:3], row[:, 6:9] - row[:, 0:3])
+    ng = ng / jnp.maximum(
+        jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-20)
+    med = scene.iface_med[k]
+    return dict(hit=hit, t=jnp.where(hit, tbest, jnp.inf), ng=ng,
+                med_in=jnp.round(med[:, 0]).astype(jnp.int32),
+                med_out=jnp.round(med[:, 1]).astype(jnp.int32))
 
 
 def intersect(scene: Scene, o, d, t_max, time=None):

@@ -145,7 +145,7 @@ def write_exr_channels(path, channels: dict):
     chans = b"".join(chan(n) for n in names) + b"\x00"
     hdr = b"\x76\x2f\x31\x01" + pystruct.pack("<I", 2)
     hdr += attr("channels", "chlist", chans)
-    hdr += attr("compression", "compression", bytes([4]))  # ZIPS
+    hdr += attr("compression", "compression", bytes([2]))  # ZIPS
     box = pystruct.pack("<iiii", 0, 0, w - 1, h - 1)
     hdr += attr("dataWindow", "box2i", box)
     hdr += attr("displayWindow", "box2i", box)
@@ -234,7 +234,9 @@ def read_exr(path) -> np.ndarray:
         raw = data[off + 8:off + 8 + ln]
         n_lines = min(lines_per_block, y1 - y + 1)
         expect = bytes_per_line * n_lines
-        if comp in (2, 3) and ln != expect:  # ZIPS/ZIP
+        # 2=ZIPS, 3=ZIP; 4 accepted for files written by this writer's old
+        # versions, which mislabeled ZIPS as 4 (the OpenEXR PIZ code)
+        if comp in (2, 3, 4) and ln != expect:
             raw = zlib.decompress(raw)
             raw = _exr_predictor_decode(raw)
         for li in range(n_lines):

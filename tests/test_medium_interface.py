@@ -1,0 +1,106 @@
+"""Geometry-attached medium interfaces (reference cpu/primitive.h:48
+MediumInterface + the !material pass-through in VolPathIntegrator::Li).
+
+Covers: the brute-force interface intersector, vacuum pass-through
+equivalence (an empty interface shell is invisible), and absorption
+through an interface-bounded homogeneous medium."""
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_tpu import scene_core as sc
+from pbrt_tpu import cameras as cam_mod
+from pbrt_tpu import samplers as smp
+from pbrt_tpu.integrators import render as rdr
+from pbrt_tpu.integrators.path import PathOptions
+from pbrt_tpu.utils import spectrum as spc
+from pbrt_tpu.utils import transform as tfm
+
+S = 1.0
+_BOX_V = np.asarray([[-S, -S, -S], [S, -S, -S], [S, S, -S], [-S, S, -S],
+                     [-S, -S, S], [S, -S, S], [S, S, S], [-S, S, S]],
+                    np.float32)
+# outward-facing winding
+_BOX_F = np.asarray([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                     [0, 5, 4], [0, 1, 5], [3, 6, 2], [3, 7, 6],
+                     [0, 7, 3], [0, 4, 7], [1, 6, 5], [1, 2, 6]])
+
+
+def _plane_scene(medium_sigma=None):
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.6,) * 3)
+    b.add_mesh([[-8, -8, -4], [8, -8, -4], [8, 8, -4], [-8, 8, -4]],
+               [[0, 1, 2], [0, 2, 3]], m)
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(1.0))
+    if medium_sigma is not None:
+        sa, ss = medium_sigma
+        mid = b.media.add_homogeneous(sigma_a=(sa,) * 3, sigma_s=(ss,) * 3,
+                                      bounds_lo=(-S,) * 3,
+                                      bounds_hi=(S,) * 3)
+        b.add_interface_mesh(_BOX_V, _BOX_F, med_in=mid, med_out=-1)
+    else:
+        # far-away dummy medium keeps has_media True without participating
+        b.media.add_homogeneous(sigma_a=(1.0,) * 3,
+                                bounds_lo=(900.0,) * 3,
+                                bounds_hi=(901.0,) * 3)
+    scene = b.build(force_bvh=False)
+    cam = cam_mod.make_camera(
+        "perspective", fov=35, width=24, height=24,
+        camera_from_world=tfm.look_at((0, 0, 5), (0, 0, 0),
+                                      (0, 1, 0)).inverse())
+    return scene, cam
+
+
+def _render(scene, cam, spp=8, depth=4):
+    img, _ = rdr.render(scene, cam, spp=spp,
+                        sampler=smp.make_sampler("independent", spp=spp),
+                        opts=PathOptions(max_depth=depth))
+    return np.asarray(img)
+
+
+def test_interface_intersector():
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.5,) * 3)
+    b.add_mesh([[-9, -9, -9], [-9.1, -9, -9], [-9, -9.1, -9]],
+               [[0, 1, 2]], m)
+    b.media.add_homogeneous(bounds_lo=(-S,) * 3, bounds_hi=(S,) * 3)
+    b.add_interface_mesh(_BOX_V, _BOX_F, med_in=0, med_out=-1)
+    scene = b.build(force_bvh=False)
+    assert scene.has_medium_interfaces
+    o = jnp.asarray([[0.0, 0.0, 5.0], [4.0, 4.0, 5.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    r = sc.intersect_interfaces(scene, o, d, 1e30)
+    assert bool(r["hit"][0]) and not bool(r["hit"][1])
+    np.testing.assert_allclose(float(r["t"][0]), 4.0, rtol=1e-5)
+    # front face: normal +z, ray entering => med_in
+    assert float(r["ng"][0, 2]) > 0.99
+    assert int(r["med_in"][0]) == 0 and int(r["med_out"][0]) == -1
+    # shadow queries never see interface geometry
+    occ = sc.intersect_p(scene, o, d, 20.0)
+    assert not bool(occ[0])
+
+
+def test_vacuum_interface_shell_is_invisible():
+    """A sigma=0 interface shell must not change the image at all."""
+    s_ref, cam = _plane_scene(medium_sigma=None)
+    s_box, _ = _plane_scene(medium_sigma=(0.0, 0.0))
+    assert not s_ref.has_medium_interfaces and s_box.has_medium_interfaces
+    img_ref = _render(s_ref, cam)
+    img_box = _render(s_box, cam)
+    np.testing.assert_allclose(img_box, img_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_absorbing_interface_medium_darkens():
+    """Absorbing medium inside the shell attenuates the view through the
+    box by ~exp(-sigma_a * path length) at the image center."""
+    s_ref, cam = _plane_scene(medium_sigma=None)
+    s_abs, _ = _plane_scene(medium_sigma=(1.0, 0.0))
+    img_ref = _render(s_ref, cam, spp=16)
+    img_abs = _render(s_abs, cam, spp=16)
+    c = slice(10, 14)
+    ratio = img_abs[c, c].mean() / img_ref[c, c].mean()
+    # center chord through the box is ~2 units: T = exp(-2) = 0.135;
+    # the plane behind also receives in-scattered env light, so allow slack
+    assert ratio < 0.35, f"expected strong attenuation, ratio={ratio}"
+    # corners look past the box: unchanged
+    edge_ratio = img_abs[:3, :3].mean() / img_ref[:3, :3].mean()
+    assert abs(edge_ratio - 1.0) < 0.05
