@@ -41,6 +41,14 @@ class PathOptions:
     # per-depth wavefront counters (reference --stats ray counts,
     # wavefront/integrator.h:143-152): [active lanes, hits, shadow rays]
     collect_stats: bool = struct.field(pytree_node=False, default=False)
+    # lane compaction (reference workqueue.h:41-137 compaction-by-
+    # construction): from `compaction_start` on, each depth stable-sorts
+    # live lanes to the front and dispatches the bounce on a power-of-two
+    # bucket (N, N/2, N/4, N/8) picked DEVICE-side by lax.switch — dead
+    # lanes past the bucket cost nothing, no host sync. Incompatible with
+    # collect_stats.
+    compaction: bool = struct.field(pytree_node=False, default=False)
+    compaction_start: int = struct.field(pytree_node=False, default=2)
 
 
 def _to_local(ns, t1, t2, w):
@@ -64,6 +72,55 @@ def _shading_frame(ns, dpdu):
     return t1, t2
 
 
+def _run_compacted(body, state, opts):
+    """Compacted wavefront driver (reference workqueue.h:41-137 role):
+    the depth loop is unrolled; from opts.compaction_start on, live lanes
+    are stable-sorted to the front and the bounce dispatches on the
+    smallest power-of-two bucket (N, N/2, N/4, N/8) that holds them. The
+    bucket index is computed on device and selected with lax.switch — no
+    host round-trip. Dead lanes past the bucket are untouched (their L is
+    final). Lane order is restored before returning."""
+    N = state["o"].shape[0]
+
+    def is_lane(k):
+        return k != "dstats"
+
+    state = dict(state, lane=jnp.arange(N, dtype=jnp.int32))
+    buckets = [N, max(1, N // 2), max(1, N // 4), max(1, N // 8)]
+    for depth in range(opts.max_depth):
+        if depth >= opts.compaction_start:
+            order = jnp.argsort(jnp.where(state["active"], 0, 1)
+                                .astype(jnp.int32), stable=True)
+            state = {k: (v[order] if is_lane(k) else v)
+                     for k, v in state.items()}
+            live = jnp.sum(state["active"])
+
+            def make_branch(nb, depth=depth):
+                def run(st):
+                    sub = {k: (v[:nb] if is_lane(k) else v)
+                           for k, v in st.items()}
+                    lane_ids = sub.pop("lane")
+                    out = body(depth, sub)
+                    out["lane"] = lane_ids
+                    return {k: (st[k].at[:nb].set(out[k]) if is_lane(k)
+                                else out[k]) for k in st}
+                return run
+
+            idx = jnp.where(live > buckets[1], 0,
+                  jnp.where(live > buckets[2], 1,
+                  jnp.where(live > buckets[3], 2, 3)))
+            state = jax.lax.switch(idx, [make_branch(nb) for nb in buckets],
+                                   state)
+        else:
+            lane_ids = state.pop("lane")
+            state = body(depth, state)
+            state["lane"] = lane_ids
+    inv = jnp.argsort(state["lane"])
+    state = {k: (v[inv] if is_lane(k) else v) for k, v in state.items()}
+    state.pop("lane")
+    return state
+
+
 def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                 sample_index, o, d, swl: spc.SampledWavelengths,
                 opts: PathOptions, cone_spread=None, time=None):
@@ -85,38 +142,53 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     if scene.spectra_pool.shape[0] <= lgt.SPEC_CACHE_MAX:
         spec_cache = lgt.eval_all_spectra(scene.spectra_pool, lam)
 
-    def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
-        """Next-event estimation (reference SampleLd, integrators.cpp:764)."""
-        base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
-        u_pick = smp.sample_1d(sampler, px, py, sample_index, base)
-        u_l = smp.sample_2d(sampler, px, py, sample_index, base + 1)
-        li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler, u_pick,
-                                                   p=p)
-        li_idx = jnp.maximum(li_idx, 0)
-        ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
-                           scene.spectra_pool, scene.tri_geo,
-                           scene.scene_radius, env=scene.env,
-                           spec_cache=spec_cache)
-        wi = ls["wi"]
-        wi_local = _to_local(ns, t1, t2, wi)
-        f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
-            jnp.abs(wi_local[..., 2])[..., None]
-        pdf_b = bxdfs.bsdf_pdf(bp, wo_local, wi_local)
-        pdf_l = ls["pdf"] * pmf
-        contrib_ok = active & ls["valid"] & (pdf_l > 0) & jnp.any(f > 0, axis=-1)
-        o_sh = sc.offset_ray_origin(p, ng, wi)
-        dist = vm.length(ls["p_light"] - o_sh)
-        occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999,
-                                  time=time)
-        contrib_ok = contrib_ok & ~occluded
-        w_mis = jnp.where(ls["is_delta"], 1.0,
-                          power_heuristic(1.0, pdf_l, 1.0, pdf_b))
-        Ld = f * ls["L"] * safe_div(w_mis, pdf_l)[..., None]
-        return jnp.where(contrib_ok[..., None], Ld, 0.0)
-
     def body(depth, state):
-        (o, d, beta, L, active, spec_bounce, prev_pdf, eta_scale,
-         sec_term, cone_w, cone_s, dstats) = state
+        # every per-lane array rides in the state dict so the compaction
+        # driver can stable-sort + slice the whole wavefront at once
+        o, d = state["o"], state["d"]
+        beta, L = state["beta"], state["L"]
+        active, spec_bounce = state["active"], state["spec"]
+        prev_pdf, eta_scale = state["prev_pdf"], state["eta"]
+        sec_term = state["sec"]
+        cone_w, cone_s = state["cone_w"], state["cone_s"]
+        dstats = state["dstats"]
+        px, py, sample_index = state["px"], state["py"], state["si"]
+        lam = state["lam"]
+        spec_cache = state.get("spec_cache")
+        time = state.get("time")
+        N = o.shape[0]
+
+        def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
+            """Next-event estimation (reference SampleLd,
+            integrators.cpp:764)."""
+            base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
+            u_pick = smp.sample_1d(sampler, px, py, sample_index, base)
+            u_l = smp.sample_2d(sampler, px, py, sample_index, base + 1)
+            li_idx, pmf, u_pick2 = lsamp.sample_light(scene.light_sampler,
+                                                      u_pick, p=p)
+            li_idx = jnp.maximum(li_idx, 0)
+            ls = lgt.sample_li(scene.lights, li_idx, p, ns, u_l, lam,
+                               scene.spectra_pool, scene.tri_geo,
+                               scene.scene_radius, env=scene.env,
+                               spec_cache=spec_cache)
+            wi = ls["wi"]
+            wi_local = _to_local(ns, t1, t2, wi)
+            f = bxdfs.bsdf_f(bp, wo_local, wi_local) * \
+                jnp.abs(wi_local[..., 2])[..., None]
+            pdf_b = bxdfs.bsdf_pdf(bp, wo_local, wi_local)
+            pdf_l = ls["pdf"] * pmf
+            contrib_ok = active & ls["valid"] & (pdf_l > 0) & \
+                jnp.any(f > 0, axis=-1)
+            o_sh = sc.offset_ray_origin(p, ng, wi)
+            dist = vm.length(ls["p_light"] - o_sh)
+            occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999,
+                                      time=time)
+            contrib_ok = contrib_ok & ~occluded
+            w_mis = jnp.where(ls["is_delta"], 1.0,
+                              power_heuristic(1.0, pdf_l, 1.0, pdf_b))
+            Ld = f * ls["L"] * safe_div(w_mis, pdf_l)[..., None]
+            return jnp.where(contrib_ok[..., None], Ld, 0.0)
+
         if opts.collect_stats:
             dstats = dstats.at[depth, 0].set(jnp.sum(active))
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32),
@@ -346,27 +418,37 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         # spread heuristic; reference carries full dual differentials,
         # surfscatter.cpp:75-105 — ray cones are the O(1)-state analog)
         cone_s = cone_s + jnp.where(bs["specular"], 0.0, 0.25)
-        return (o_next, wi_world, beta, L,
-                active, sel_spec, sel_pdf, eta_scale, sec_term,
-                cone_w, cone_s, dstats)
+        return dict(state, o=o_next, d=wi_world, beta=beta, L=L,
+                    active=active, spec=sel_spec, prev_pdf=sel_pdf,
+                    eta=eta_scale, sec=sec_term, cone_w=cone_w,
+                    cone_s=cone_s, dstats=dstats)
 
     spread0 = jnp.zeros((N,), jnp.float32) if cone_spread is None else \
         jnp.broadcast_to(jnp.asarray(cone_spread, jnp.float32), (N,))
-    state = (o, d,
-             jnp.ones((N, 4), jnp.float32),       # beta
-             jnp.zeros((N, 4), jnp.float32),      # L
-             jnp.ones((N,), bool),                # active
-             jnp.zeros((N,), bool),               # specular bounce
-             jnp.ones((N,), jnp.float32),         # prev bsdf pdf
-             jnp.ones((N,), jnp.float32),         # eta_scale
-             jnp.zeros((N,), bool),               # secondaries terminated
-             jnp.zeros((N,), jnp.float32),        # ray-cone width
-             spread0,                             # ray-cone spread
-             jnp.zeros((opts.max_depth, 3), jnp.int32))   # depth stats
-    state = jax.lax.fori_loop(0, opts.max_depth, body, state)
+    state = dict(
+        o=o, d=d,
+        beta=jnp.ones((N, 4), jnp.float32),
+        L=jnp.zeros((N, 4), jnp.float32),
+        active=jnp.ones((N,), bool),
+        spec=jnp.zeros((N,), bool),          # specular bounce
+        prev_pdf=jnp.ones((N,), jnp.float32),
+        eta=jnp.ones((N,), jnp.float32),
+        sec=jnp.zeros((N,), bool),           # secondaries terminated
+        cone_w=jnp.zeros((N,), jnp.float32),
+        cone_s=spread0,
+        dstats=jnp.zeros((opts.max_depth, 3), jnp.int32),
+        px=px, py=py, si=sample_index, lam=lam)
+    if spec_cache is not None:
+        state["spec_cache"] = spec_cache
+    if time is not None:
+        state["time"] = time
+    if opts.compaction and not opts.collect_stats:
+        state = _run_compacted(body, state, opts)
+    else:
+        state = jax.lax.fori_loop(0, opts.max_depth, body, state)
     if opts.collect_stats:
-        return state[3], state[11]
-    return state[3]
+        return state["L"], state["dstats"]
+    return state["L"]
 
 
 def render_wave(scene: sc.Scene, camera: cam_mod.Camera,

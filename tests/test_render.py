@@ -140,3 +140,19 @@ def test_emissive_sphere_light():
     center = img[10:14, 10:14].mean()
     assert 0.1 < center < 0.25, center
     assert np.isfinite(img).all()
+
+
+def test_compaction_matches_fused():
+    """Lane compaction (PathOptions.compaction) must be a pure execution-
+    strategy change: same sampler streams per lane, same image bit-for-bit
+    (lane order is restored after the sort)."""
+    scene, cam = scenes.make_cornell_box(width=32, height=32)
+    sampler = smp.make_sampler("independent", spp=2)
+    img_f, _ = rdr.render(scene, cam, spp=2, sampler=sampler,
+                          opts=PathOptions(max_depth=5),
+                          waves_per_dispatch=1)
+    img_c, _ = rdr.render(scene, cam, spp=2, sampler=sampler,
+                          opts=PathOptions(max_depth=5, compaction=True),
+                          waves_per_dispatch=1)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_f),
+                               rtol=1e-5, atol=1e-6)
