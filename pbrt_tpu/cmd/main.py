@@ -103,11 +103,13 @@ def main(argv=None):
                                             sampler=sampler, opts=opts,
                                             mesh=mesh)
     else:
+        integ = desc.integrator.get("name")
+        integ = integ if integ in ("ao", "ambientocclusion") else None
         img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
                                 progress=not args.quiet, stats=acc,
                                 checkpoint_path=args.checkpoint,
                                 checkpoint_every=args.checkpoint_every,
-                                display=display)
+                                display=display, integrator=integ)
     out = args.outfile or desc.film_params["filename"]
     if out.endswith(".pfm"):
         pimg.write_pfm(out, img)

@@ -270,7 +270,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         bp = mtl.get_bsdf_params(scene.materials, mat_res, lam,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"],
-                                 spec_cache=spec_cache, footprint=footprint)
+                                 spec_cache=spec_cache, footprint=footprint,
+                                 ns=ns)
 
 
         # --- BSSRDF stage (reference bssrdf.h:105 + wavefront

@@ -24,28 +24,38 @@ from . import path as path_mod
 from . import volpath as volpath_mod
 
 
-def wave_module(scene):
+def wave_module(scene, integrator=None):
     """Pick the integrator for a scene: VolPath when media are present
     (reference: RenderCPU picks VolPathIntegrator for scenes with media,
-    cpu/render.cpp; PathIntegrator otherwise)."""
+    cpu/render.cpp; PathIntegrator otherwise). `integrator` overrides:
+    "path" | "volpath" | "ao" (reference AOIntegrator, integrators.h:296)."""
+    if integrator in ("ao", "ambientocclusion"):
+        from . import ao as ao_mod
+        return ao_mod
+    if integrator == "path":
+        return path_mod
+    if integrator == "volpath":
+        return volpath_mod
     return volpath_mod if scene.has_media else path_mod
 
 
-@functools.partial(jax.jit, static_argnames=("opts",), donate_argnums=(5,))
+@functools.partial(jax.jit, static_argnames=("opts", "integrator"),
+                   donate_argnums=(5,))
 def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
-                 sample_index, opts):
-    L, swl, f_weight = wave_module(scene).render_wave(
+                 sample_index, opts, integrator=None):
+    L, swl, f_weight = wave_module(scene, integrator).render_wave(
         scene, camera, sampler, filt, pixel_idx, sample_index, opts)
     rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
     return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "k"), donate_argnums=(5,))
+@functools.partial(jax.jit, static_argnames=("opts", "k", "integrator"),
+                   donate_argnums=(5,))
 def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
-                    s0, opts, k):
+                    s0, opts, k, integrator=None):
     """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
     overhead measured on the axon TPU tunnel)."""
-    mod = wave_module(scene)
+    mod = wave_module(scene, integrator)
 
     def body(i, film):
         sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
@@ -63,7 +73,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            max_rays_per_wave=1 << 20, verbose=False, colorspace=None,
            max_waves=None, progress=False, checkpoint_path=None,
            checkpoint_every=0, stats=None, display=None,
-           display_name="pbrt_tpu", waves_per_dispatch=None):
+           display_name="pbrt_tpu", waves_per_dispatch=None,
+           integrator=None):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
     max_waves: stop after this many sample waves (warmup/benchmark use).
@@ -120,7 +131,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
                 ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1], np.int32)])
             pixel_idx = jnp.asarray(ids)
             film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
-                                   pixel_idx, jnp.asarray(s, jnp.int32), opts, kk)
+                                   pixel_idx, jnp.asarray(s, jnp.int32), opts,
+                                   kk, integrator=integrator)
             n_paths += chunk * kk
         s += kk
         if verbose:

@@ -454,7 +454,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         wo_local = _to_local(ns, t1, t2, isect["wo"])
         bp = mtl.get_bsdf_params(scene.materials, mat_res, lam,
                                  scene.spectra_pool, textures=scene.textures,
-                                 uv=isect["uv"], p_world=isect["p"])
+                                 uv=isect["uv"], p_world=isect["p"],
+                                 ns=ns)
 
         # --- NEE (real events only; pass-throughs don't scatter) ---
         if scene.light_sampler.n_lights > 0:

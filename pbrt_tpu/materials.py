@@ -347,7 +347,8 @@ def apply_normal_mapping(pool: MaterialPool, textures, mat_idx, isect):
 
 def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
                     textures=None, uv=None, p_world=None,
-                    spec_cache=None, footprint=None) -> bxdfs.BSDFParams:
+                    spec_cache=None, footprint=None,
+                    ns=None) -> bxdfs.BSDFParams:
     """Evaluate material textures at the hit -> per-lane BSDFParams.
 
     mat_idx: (N,) int32; lam: (N, 4). textures: optional TexturePool;
@@ -368,9 +369,15 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
         from . import textures as tex_mod
         tex_idx = f32_to_i32(rows[..., 12])
         tex_idx = jnp.where(tag == MTL_MIX, -1, tex_idx)
-        tc, tscale = tex_mod.eval_texture(textures, tex_idx, uv, p_world,
-                                          footprint=footprint)
-        tex_albedo = pcolor.eval_rgb_sigmoid_polynomial(tc, lam) * tscale[..., None]
+        if textures.has_mixers:
+            tex_albedo = tex_mod.eval_texture_spectral(
+                textures, tex_idx, uv, lam, p_world, footprint=footprint,
+                ns=ns)
+        else:
+            tc, tscale = tex_mod.eval_texture(textures, tex_idx, uv,
+                                              p_world, footprint=footprint)
+            tex_albedo = pcolor.eval_rgb_sigmoid_polynomial(tc, lam) * \
+                tscale[..., None]
         albedo = jnp.where((tex_idx >= 0)[..., None], tex_albedo, albedo)
     trans = pcolor.eval_rgb_sigmoid_polynomial(rows[..., 4:7], lam)
     ur = rows[..., 7]

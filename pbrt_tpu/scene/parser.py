@@ -373,6 +373,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 beta_n=ps.float("beta_n", 0.3),
                 eta=ps.float("eta", 1.55))
         if name in ("diffuse", "matte"):
+            tn = ps.texture_name("reflectance")
+            if tn is not None and tn in named_textures and \
+                    named_textures[tn][0] == "tex":
+                return b.materials.add_diffuse(
+                    albedo_tex=named_textures[tn][1])
             refl = ps.rgb("reflectance", None)
             if refl is None:
                 s = ps.spectrum("reflectance", cs)
@@ -887,11 +892,102 @@ def parse_string(text, base_dir=".", light_sampler="power",
             gs.material = named_materials.get(nm, 0)
         elif tok == "Texture":
             nm = p.parse_string()
-            _ty = p.parse_string()
+            ty = p.parse_string()
             cls = p.parse_string()
             ps = p.parse_params()
+
+            def tex_child(pname, default=(0.5, 0.5, 0.5)):
+                """Resolve a texture-or-value parameter to a texture pool
+                index (constants become constant rows)."""
+                t = ps.texture_name(pname)
+                if t is not None and t in named_textures:
+                    e = named_textures[t]
+                    if e[0] == "tex":
+                        return e[1]
+                    if e[0] == "constant":
+                        return b.textures.add_constant((e[1],) * 3)
+                rgb = ps.rgb(pname, None)
+                if rgb is None:
+                    f = ps.float(pname, None)
+                    rgb = (f,) * 3 if f is not None else default
+                return b.textures.add_constant(tuple(rgb))
+
+            uscale = ps.float("uscale", 1.0)
+            vscale = ps.float("vscale", 1.0)
             if cls == "constant":
-                named_textures[nm] = ("constant", ps.float("value", 1.0))
+                if ty == "float":
+                    named_textures[nm] = ("constant", ps.float("value", 1.0))
+                else:
+                    rgb = ps.rgb("value", (1.0,) * 3)
+                    named_textures[nm] = (
+                        "tex", b.textures.add_constant(tuple(rgb)))
+            elif cls == "checkerboard":
+                t1 = ps.rgb("tex1", (1.0,) * 3)
+                t2 = ps.rgb("tex2", (0.0,) * 3)
+                named_textures[nm] = (
+                    "tex", b.textures.add_checker(tuple(t1), tuple(t2),
+                                                  su=uscale, sv=vscale))
+            elif cls == "imagemap":
+                fn = ps.string("filename", None)
+                if fn is None:
+                    raise ParseError(f"{p.loc()}: imagemap needs filename")
+                img = _read_any_image(Path(base_dir) / fn)
+                if not str(fn).endswith((".exr", ".pfm")):
+                    from ..utils.color import srgb_to_linear
+                    img = np.asarray(srgb_to_linear(img), np.float32)
+                named_textures[nm] = (
+                    "tex", b.textures.add_image(
+                        img[..., :3], su=uscale, sv=vscale,
+                        scale=ps.float("scale", 1.0)))
+            elif cls == "scale":
+                # tex * scale expressed through the mix family:
+                # mix(black, tex, amount=s) == s * tex for s in [0, 1]
+                s_val = ps.float("scale", 1.0)
+                child = tex_child("tex", (1.0,) * 3)
+                if 0.0 <= s_val <= 1.0:
+                    black = b.textures.add_constant((0.0,) * 3)
+                    named_textures[nm] = (
+                        "tex", b.textures.add_mix(black, child,
+                                                  amount=s_val))
+                else:
+                    raise ParseError(
+                        f"{p.loc()}: scale texture with scale > 1 is not "
+                        "supported")
+            elif cls == "mix":
+                named_textures[nm] = (
+                    "tex", b.textures.add_mix(tex_child("tex1"),
+                                              tex_child("tex2"),
+                                              amount=ps.float("amount",
+                                                              0.5)))
+            elif cls == "directionmix":
+                dirv = ps.point3s("dir", np.asarray([[0, 1.0, 0]]))[0]
+                named_textures[nm] = (
+                    "tex", b.textures.add_direction_mix(
+                        tex_child("tex1"), tex_child("tex2"),
+                        dir=tuple(np.asarray(gs.ctm.apply_vector(
+                            np.asarray(dirv, np.float32))))))
+            elif cls == "bilerp":
+                v00 = ps.rgb("v00", (0.0,) * 3)
+                v01 = ps.rgb("v01", (1.0,) * 3)
+                v10 = ps.rgb("v10", (0.0,) * 3)
+                v11 = ps.rgb("v11", (1.0,) * 3)
+                named_textures[nm] = (
+                    "tex", b.textures.add_bilerp(tuple(v00), tuple(v10),
+                                                 tuple(v01), tuple(v11)))
+            elif cls == "dots":
+                t1 = ps.rgb("inside", (1.0,) * 3)
+                t2 = ps.rgb("outside", (0.0,) * 3)
+                named_textures[nm] = (
+                    "tex", b.textures.add_dots(tuple(t1), tuple(t2),
+                                               su=uscale, sv=vscale))
+            elif cls in ("fbm", "wrinkled"):
+                add = dict(fbm=b.textures.add_fbm,
+                           wrinkled=b.textures.add_wrinkled)
+                named_textures[nm] = (
+                    "tex", add[cls](octaves=ps.int("octaves", 6),
+                                    omega=ps.float("roughness", 0.5)))
+            elif cls == "windy":
+                named_textures[nm] = ("tex", b.textures.add_windy())
             else:
                 named_textures[nm] = ("unsupported", cls)
         elif tok == "LightSource":

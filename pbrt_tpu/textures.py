@@ -30,6 +30,13 @@ TEX_MARBLE = 5
 TEX_WINDY = 6
 TEX_WRINKLED = 7
 TEX_DOTS = 8
+# mix family (reference textures.h:803-900 FloatMix/SpectrumMix,
+# :831 DirectionMix, :333 Bilerp): rows hold CHILD texture indices in
+# cols 4-7; children are evaluated and blended SPECTRALLY (sigmoid
+# coefficients cannot be lerped), one nesting level deep
+TEX_MIX = 9       # (1-amt)*t1 + amt*t2, amt const in col 8
+TEX_DIRMIX = 10   # absdot(n, dir)*t1 + (1-.)*t2, dir in cols 10:13
+TEX_BILERP = 11   # Bilerp(st; v00, v10, v01, v11) over 4 children
 
 # descriptor columns
 # [0]=tag [1]=img_offset [2]=width [3]=height [4:7]=value_a(rgb)
@@ -49,6 +56,9 @@ class TexturePool:
     has_image: bool = struct.field(pytree_node=False, default=False)
     has_procedural: bool = struct.field(pytree_node=False, default=False)
     has_mips: bool = struct.field(pytree_node=False, default=False)
+    # scene contains mix/directionmix/bilerp rows: albedo lookups route
+    # through eval_texture_spectral's child-blending path
+    has_mixers: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuilder:
@@ -232,6 +242,32 @@ class TextureBuilder:
         self.rows[-1][15] = s2[0]
         return r
 
+    def add_mix(self, tex1: int, tex2: int, amount=0.5):
+        """(1-amount)*tex1 + amount*tex2 (reference SpectrumMixTexture,
+        textures.h:862). Children blended spectrally at eval."""
+        return self._add_row(tag=TEX_MIX,
+                             value_a=(float(tex1), float(tex2), 0.0),
+                             value_b=(0.0, float(amount), 0.0))
+
+    def add_direction_mix(self, tex1: int, tex2: int, dir=(0.0, 1.0, 0.0)):
+        """absdot(n, dir)*tex1 + (1-.)*tex2 (reference
+        DirectionMixTexture, textures.h:831)."""
+        dn = np.asarray(dir, np.float32)
+        dn = dn / max(float(np.linalg.norm(dn)), 1e-9)
+        return self._add_row(tag=TEX_DIRMIX,
+                             value_a=(float(tex1), float(tex2), 0.0),
+                             su=dn[0], sv=dn[1], du=dn[2])
+
+    def add_bilerp(self, rgb00, rgb10, rgb01, rgb11):
+        """Bilinear blend of four corner reflectances over (u, v)
+        (reference SpectrumBilerpTexture, textures.h:333). Corners are
+        stored as constant child rows and blended spectrally."""
+        kids = [self.add_constant(c) for c in (rgb00, rgb10, rgb01, rgb11)]
+        return self._add_row(tag=TEX_BILERP,
+                             value_a=(float(kids[0]), float(kids[1]),
+                                      float(kids[2])),
+                             value_b=(float(kids[3]), 0.0, 0.0))
+
     def add_fbm(self, octaves=6, omega=0.5, scale=1.0):
         # fbm modulates a flat 0.5 reflectance by the noise value
         c, s = self._rgb_to_coeffs_scale(np.full((1, 3), 0.5, np.float32))
@@ -250,7 +286,9 @@ class TextureBuilder:
                            has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE,
                                                        TEX_WINDY,
                                                        TEX_WRINKLED}),
-                           has_mips=bool((mips[:, 0] > 1).any()))
+                           has_mips=bool((mips[:, 0] > 1).any()),
+                           has_mixers=bool(tags & {TEX_MIX, TEX_DIRMIX,
+                                                   TEX_BILERP}))
 
 
 # ---------------------------------------------------------------------------
@@ -518,3 +556,50 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
             jnp.where(tag == TEX_WINDY, s_windy,
             jnp.where(tag == TEX_WRINKLED, s_wrink, s_const)))))))
     return coeffs, scale
+
+
+def eval_texture_spectral(pool: TexturePool, tex_idx, uv, lam,
+                          p_world=None, footprint=None, ns=None):
+    """Spectral albedo (N, 4) of texture tex_idx at uv/lam, including the
+    mix family (TEX_MIX/TEX_DIRMIX/TEX_BILERP): child textures are
+    evaluated and blended at the SAMPLED WAVELENGTHS — sigmoid polynomial
+    coefficients are not linear in reflectance, so blending must happen
+    after spectral evaluation (reference SpectrumMixTexture::Evaluate,
+    textures.h:868). One nesting level: children must not be mixers.
+
+    ns: (N, 3) shading normals, needed by directionmix."""
+    from .utils import color as pcolor
+    from .ops.gather import pool_lookup, f32_to_i32
+
+    def alb(idx):
+        c, s = eval_texture(pool, idx, uv, p_world, footprint=footprint)
+        return pcolor.eval_rgb_sigmoid_polynomial(c, lam) * s[..., None]
+
+    if not pool.has_mixers:
+        return alb(tex_idx)
+    row = pool_lookup(pool.desc, jnp.maximum(tex_idx, 0))
+    tag = f32_to_i32(row[..., 0])
+    is_mixer = (tag == TEX_MIX) | (tag == TEX_DIRMIX) | (tag == TEX_BILERP)
+    c1 = jnp.where(is_mixer, f32_to_i32(row[..., 4]), tex_idx)
+    c2 = jnp.where(is_mixer, f32_to_i32(row[..., 5]), tex_idx)
+    c3 = jnp.where(tag == TEX_BILERP, f32_to_i32(row[..., 6]), tex_idx)
+    c4 = jnp.where(tag == TEX_BILERP, f32_to_i32(row[..., 7]), tex_idx)
+    a1, a2, a3, a4 = alb(c1), alb(c2), alb(c3), alb(c4)
+
+    amt = row[..., 8]
+    out_mix = (1.0 - amt)[..., None] * a1 + amt[..., None] * a2
+    if ns is not None:
+        dirv = row[..., 10:13]
+        amt_d = jnp.abs(jnp.sum(ns * dirv, axis=-1))
+    else:
+        amt_d = jnp.full(tex_idx.shape, 0.5, jnp.float32)
+    out_dir = amt_d[..., None] * a1 + (1.0 - amt_d)[..., None] * a2
+    u = uv[..., 0]
+    v = uv[..., 1]
+    out_bil = ((1 - u) * (1 - v))[..., None] * a1 + \
+        (u * (1 - v))[..., None] * a2 + \
+        ((1 - u) * v)[..., None] * a3 + (u * v)[..., None] * a4
+    t = tag[..., None]
+    return jnp.where(t == TEX_MIX, out_mix,
+           jnp.where(t == TEX_DIRMIX, out_dir,
+           jnp.where(t == TEX_BILERP, out_bil, a1)))

@@ -238,3 +238,54 @@ end_header
     (tmp_path / "q.ply").write_text(txt)
     m = plyio.read_ply(tmp_path / "q.ply")
     assert m["indices"].shape == (2, 3)
+
+
+def test_parser_texture_directive_kinds(tmp_path):
+    """Texture directive: checkerboard / imagemap / mix / directionmix /
+    bilerp / scale build real texture-pool rows and attach to diffuse
+    reflectance (reference textures.cpp Create* registry)."""
+    import numpy as np
+    from pbrt_tpu.utils import image as pimg
+    from pbrt_tpu import textures as tex_mod
+    img = np.ones((8, 8, 3), np.float32) * 0.25
+    pimg.write_exr(tmp_path / "t.exr", img)
+    scene_txt = """
+LookAt 0 0 5  0 0 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+Sampler "independent" "integer pixelsamples" [1]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+Texture "chk" "spectrum" "checkerboard" "rgb tex1" [1 0 0] "rgb tex2" [0 0 1]
+    "float uscale" [4] "float vscale" [4]
+Texture "img" "spectrum" "imagemap" "string filename" "t.exr"
+Texture "mx" "spectrum" "mix" "texture tex1" "chk" "texture tex2" "img"
+    "float amount" [0.3]
+Texture "dm" "spectrum" "directionmix" "texture tex1" "chk"
+    "texture tex2" "img" "vector dir" [0 1 0]
+Texture "bl" "spectrum" "bilerp" "rgb v00" [1 0 0] "rgb v11" [0 0 1]
+Texture "sc" "spectrum" "scale" "texture tex" "img" "float scale" [0.5]
+Material "diffuse" "texture reflectance" "mx"
+Shape "trianglemesh" "integer indices" [0 1 2]
+    "point3 P" [-1 -1 0  1 -1 0  0 1 0]
+LightSource "infinite" "spectrum L" [360 1 830 1]
+"""
+    f = tmp_path / "tex.pbrt"
+    f.write_text(scene_txt)
+    from pbrt_tpu.scene import parser as pparser
+    desc = pparser.parse_file(f)
+    pool = desc.scene.textures
+    assert pool.has_mixers
+    tags = set(np.asarray(pool.desc[:, 0]).astype(int).tolist())
+    assert tex_mod.TEX_CHECKER in tags
+    assert tex_mod.TEX_IMAGE in tags
+    assert tex_mod.TEX_MIX in tags
+    assert tex_mod.TEX_DIRMIX in tags
+    assert tex_mod.TEX_BILERP in tags
+    # renders without error and produces finite pixels
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    img_out, _ = rdr.render(desc.scene, desc.camera, spp=1,
+                            sampler=desc.sampler,
+                            opts=PathOptions(max_depth=2))
+    assert np.isfinite(np.asarray(img_out)).all()

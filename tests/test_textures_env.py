@@ -157,3 +157,63 @@ def test_latlong_to_equalarea_preserves_energy():
     w = np.sin(theta)[:, None, None]
     ll_mean = (latlong * w).sum() / (w.sum() * 64 * 3)
     np.testing.assert_allclose(ea.mean(), ll_mean, rtol=0.05)
+
+
+def test_mix_family_textures():
+    """TEX_MIX / TEX_DIRMIX / TEX_BILERP blend SPECTRALLY (reference
+    textures.h:803-900, :333): amounts interpolate evaluated albedos."""
+    import jax.numpy as jnp
+    from pbrt_tpu import textures as tex_mod
+    from pbrt_tpu.utils import spectrum as spc
+
+    tb = tex_mod.TextureBuilder(None)
+    red = tb.add_constant((0.8, 0.1, 0.1))
+    blue = tb.add_constant((0.1, 0.1, 0.8))
+    mix = tb.add_mix(red, blue, amount=0.25)
+    dmix = tb.add_direction_mix(red, blue, dir=(0, 1, 0))
+    bil = tb.add_bilerp((1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1))
+    pool = tb.build()
+    assert pool.has_mixers
+
+    lam = jnp.tile(jnp.asarray([[460.0, 550.0, 600.0, 630.0]]), (4, 1))
+    uv = jnp.asarray([[0.3, 0.3]] * 4)
+    a_red = tex_mod.eval_texture_spectral(pool, jnp.full(4, red), uv, lam)
+    a_blue = tex_mod.eval_texture_spectral(pool, jnp.full(4, blue), uv, lam)
+
+    # mix: (1-0.25)*red + 0.25*blue
+    a_mix = tex_mod.eval_texture_spectral(pool, jnp.full(4, mix), uv, lam)
+    np.testing.assert_allclose(np.asarray(a_mix),
+                               0.75 * np.asarray(a_red) +
+                               0.25 * np.asarray(a_blue), rtol=1e-5)
+
+    # directionmix: n == dir -> amt=1 -> tex1; n perp dir -> tex2
+    ns_up = jnp.asarray([[0.0, 1.0, 0.0]] * 4)
+    ns_x = jnp.asarray([[1.0, 0.0, 0.0]] * 4)
+    a_up = tex_mod.eval_texture_spectral(pool, jnp.full(4, dmix), uv, lam,
+                                         ns=ns_up)
+    a_x = tex_mod.eval_texture_spectral(pool, jnp.full(4, dmix), uv, lam,
+                                        ns=ns_x)
+    np.testing.assert_allclose(np.asarray(a_up), np.asarray(a_red),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_x), np.asarray(a_blue),
+                               rtol=1e-5)
+
+    # bilerp: corner uv reproduces the matching child's albedo
+    for k, (u, v) in enumerate([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0),
+                                (1.0, 1.0)]):
+        uvq = jnp.asarray([[u, v]] * 4)
+        got = tex_mod.eval_texture_spectral(pool, jnp.full(4, bil), uvq,
+                                            lam)
+        want = tex_mod.eval_texture_spectral(
+            pool, jnp.full(4, bil - 4 + k), uvq, lam)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5)
+    # midpoint is the average of all four corners
+    uvm = jnp.asarray([[0.5, 0.5]] * 4)
+    am = tex_mod.eval_texture_spectral(pool, jnp.full(4, bil), uvm, lam)
+    corners = []
+    for idx in range(bil - 4, bil):  # the 4 auto-created constant children
+        corners.append(np.asarray(tex_mod.eval_texture_spectral(
+            pool, jnp.full(4, idx), uvm, lam)))
+    np.testing.assert_allclose(np.asarray(am),
+                               np.mean(corners, axis=0), rtol=1e-5)
