@@ -190,3 +190,65 @@ def ray_cylinder(o, d, t_max, radius, z_min, z_max, phi_max=None):
     p = jnp.where(use0[..., None], p0v, p1v)
     phi = jnp.where(use0, phi0, phi1)
     return dict(hit=hit, t=t, p=p, phi=phi)
+
+
+def ray_bilinear_patch(o, d, t_max, p00, p10, p01, p11):
+    """Reshetov ray/bilinear-patch intersection (reference shapes.h:1279
+    IntersectBilinearPatch; "Cool Patches", Ray Tracing Gems ch. 8).
+
+    o, d: (N, 3); t_max: (N,); patch corners broadcastable to (N, 3)
+    with point(u, v) = lerp(v; lerp(u; p00, p10), lerp(u; p01, p11)).
+    Returns dict(hit, t, u, v)."""
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    def cross(a, b):
+        return jnp.cross(a, b)
+
+    a = dot(cross(p10 - p00, p01 - p11), d)
+    c = dot(cross(p00 - o, d), p01 - p00)
+    b = dot(cross(p10 - o, d), p11 - p10) - (a + c)
+
+    # robust quadratic (linear when the patch is a parallelogram: a ~ 0)
+    disc = b * b - 4.0 * a * c
+    has_roots = disc >= 0.0
+    sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    qq = -0.5 * (b + jnp.where(b < 0, -sd, sd))
+    lin = jnp.abs(a) < 1e-12 * jnp.maximum(jnp.abs(b), 1.0)
+    ra = qq / jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+    rb = c / jnp.where(jnp.abs(qq) < 1e-30, 1e-30, qq)
+    u_lin = -c / jnp.where(jnp.abs(b) < 1e-30, 1e-30, b)
+    u1 = jnp.where(lin, u_lin, jnp.minimum(ra, rb))
+    u2 = jnp.where(lin, jnp.inf, jnp.maximum(ra, rb))
+
+    mag = (jnp.max(jnp.abs(o), -1) + jnp.max(jnp.abs(d), -1) +
+           jnp.max(jnp.abs(p00), -1) + jnp.max(jnp.abs(p10), -1) +
+           jnp.max(jnp.abs(p01), -1) + jnp.max(jnp.abs(p11), -1))
+    eps = 1.79e-6 * mag  # gamma(30) ~ 30 * 2^-23 / (1 - 30 * 2^-24)
+
+    def eval_at(u):
+        uu = u[..., None]
+        uo = (1 - uu) * p00 + uu * p10
+        ud = ((1 - uu) * p01 + uu * p11) - uo
+        deltao = uo - o
+        perp = cross(d, ud)
+        p2 = dot(perp, perp)
+        # det([deltao | d | perp]) and det([deltao | ud | perp]) as columns:
+        # det = dot(col0, cross(col1, col2))
+        v_num = dot(deltao, cross(d, perp))
+        t_num = dot(deltao, cross(ud, perp))
+        in_u = (u >= 0.0) & (u <= 1.0) & has_roots
+        ok = in_u & (t_num > p2 * eps) & (v_num >= 0.0) & (v_num <= p2)
+        p2s = jnp.where(p2 <= 0, 1.0, p2)
+        return ok & (p2 > 0), t_num / p2s, v_num / p2s
+
+    ok1, t1, v1 = eval_at(u1)
+    ok2, t2, v2 = eval_at(u2)
+    ok1 = ok1 & (t1 < t_max)
+    ok2 = ok2 & (t2 < t_max)
+    pick2 = ok2 & (~ok1 | (t2 < t1))
+    hit = ok1 | ok2
+    t = jnp.where(pick2, t2, t1)
+    u = jnp.where(pick2, u2, u1)
+    v = jnp.where(pick2, v2, v1)
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), u=u, v=v)

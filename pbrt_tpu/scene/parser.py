@@ -649,9 +649,18 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif name == "bilinearmesh":
             P = ps.point3s("P")
             qidx = ps.ints("indices").reshape(-1, 4)
-            idx = np.concatenate([qidx[:, [0, 1, 3]], qidx[:, [0, 3, 2]]])
             N = ps.point3s("N", None)
             uv = ps.point2s("uv", None)
+            if emission is None and N is None and uv is None and \
+                    len(qidx) <= 64 and ps.float("alpha", 1.0) == 1.0:
+                # EXACT Reshetov patches (shapes.h:1279); large/emissive/
+                # attribute-carrying quad meshes triangulate below
+                Pw = np.asarray(xf.apply_point(np.asarray(P, np.float32)))
+                for q4 in qidx:
+                    b.add_bilinear_patch(Pw[q4[0]], Pw[q4[1]], Pw[q4[2]],
+                                         Pw[q4[3]], mat)
+                return
+            idx = np.concatenate([qidx[:, [0, 1, 3]], qidx[:, [0, 3, 2]]])
         else:
             raise ParseError(
                 f"{p.loc()}: shape '{name}' is not supported — refusing to render a "

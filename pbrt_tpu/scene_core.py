@@ -116,6 +116,11 @@ class Scene:
     iface_med: jnp.ndarray = None      # (M, 2) f32 [med_in, med_out]
     has_medium_interfaces: bool = struct.field(pytree_node=False,
                                                default=False)
+    # exact bilinear patches (reference shapes.h:1279 Reshetov): small
+    # vectorized pool merged over the triangle result; emissive/large quad
+    # meshes triangulate instead (parser policy)
+    blp_rows: jnp.ndarray = None       # (K, 14) [p00, p10, p01, p11, mat, lt]
+    has_blps: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -149,6 +154,7 @@ class SceneBuilder:
         self.quadric_rows = []   # dicts: tag, w2o (3,4), radius, p0, p1,
         #                          mat, light, phi_max, bounds (2,3) world
         self.iface_rows = []     # (p0, p1, p2, med_in, med_out) interface tris
+        self.blp_list = []       # (p00, p10, p01, p11, mat) exact patches
         self.spectra = []        # list of (471,) arrays
         self._spec_cache = {}
 
@@ -224,6 +230,17 @@ class SceneBuilder:
                                     vertices[indices[i, 1]],
                                     vertices[indices[i, 2]],
                                     int(med_in), int(med_out)))
+
+    def add_bilinear_patch(self, p00, p10, p01, p11, material: int):
+        """Exact (non-tessellated) bilinear patch with Reshetov ray
+        intersection (reference shapes.h:1279); point(u, v) =
+        lerp(v; lerp(u; p00, p10), lerp(u; p01, p11)). World-space
+        corners. Emissive patches must triangulate instead (the area-light
+        sampler is triangle/sphere-based)."""
+        self.blp_list.append((np.asarray(p00, np.float32),
+                              np.asarray(p10, np.float32),
+                              np.asarray(p01, np.float32),
+                              np.asarray(p11, np.float32), int(material)))
 
     def add_sphere(self, center, radius, material: int, emission=None,
                    emission_scale=1.0):
@@ -552,7 +569,8 @@ class SceneBuilder:
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
         if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows
-                           or self.instances or self.iface_rows):
+                           or self.instances or self.iface_rows
+                           or self.blp_list):
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
@@ -574,6 +592,11 @@ class SceneBuilder:
         for (i0, i1, i2, _mi, _mo) in self.iface_rows:
             world_lo = np.minimum(world_lo, np.minimum(np.minimum(i0, i1), i2))
             world_hi = np.maximum(world_hi, np.maximum(np.maximum(i0, i1), i2))
+        for (b00, b10, b01, b11, _m) in self.blp_list:
+            bl = np.minimum(np.minimum(b00, b10), np.minimum(b01, b11))
+            bh = np.maximum(np.maximum(b00, b10), np.maximum(b01, b11))
+            world_lo = np.minimum(world_lo, bl)
+            world_hi = np.maximum(world_hi, bh)
         for (clo, chi) in self.curve_seg_bounds:
             world_lo = np.minimum(world_lo, clo.min(axis=0))
             world_hi = np.maximum(world_hi, chi.max(axis=0))
@@ -824,7 +847,16 @@ class SceneBuilder:
         else:
             iface_tris = jnp.zeros((1, 10), jnp.float32)
             iface_med = jnp.full((1, 2), -1.0, jnp.float32)
+        if self.blp_list:
+            blp_rows = jnp.asarray(np.stack([
+                np.concatenate([b00, b10, b01, b11,
+                                [float(m), -1.0]])
+                for (b00, b10, b01, b11, m) in self.blp_list])
+                .astype(np.float32))
+        else:
+            blp_rows = jnp.zeros((1, 14), jnp.float32)
         return Scene(
+            blp_rows=blp_rows, has_blps=bool(self.blp_list),
             iface_tris=iface_tris, iface_med=iface_med,
             has_medium_interfaces=bool(self.iface_rows),
             tri_all=tri_all,
@@ -1070,9 +1102,59 @@ def intersect(scene: Scene, o, d, t_max, time=None):
                dpdu=dpdu, dpdv=dpdv)
     if scene.quadric_tags:
         out = _merge_quadric_hits(scene, o, d, t_max, out)
+    if scene.has_blps:
+        out = _merge_blp_hits(scene, o, d, t_max, out)
     if scene.has_curves:
         out = _merge_curve_hits(scene, o, d, t_max, out)
     return out
+
+
+def _blp_query(scene: Scene, o, d, t_max):
+    """Closest hit over the (small, vectorized) bilinear-patch pool.
+    Returns dict(hit, t, k (patch id), u, v)."""
+    from .ops import intersect as isect_ops
+    rows = scene.blp_rows
+    tb = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    r = isect_ops.ray_bilinear_patch(
+        o[:, None, :], d[:, None, :],
+        jnp.broadcast_to(tb[:, None], (o.shape[0], rows.shape[0])),
+        rows[None, :, 0:3], rows[None, :, 3:6],
+        rows[None, :, 6:9], rows[None, :, 9:12])
+    k = jnp.argmin(r["t"], axis=-1)
+    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=-1)[:, 0]
+    t = take(r["t"])
+    return dict(hit=jnp.isfinite(t), t=t, k=k, u=take(r["u"]),
+                v=take(r["v"]))
+
+
+def _merge_blp_hits(scene: Scene, o, d, t_max, out):
+    """Exact bilinear patches merged over the triangle result (reference
+    BilinearPatch shape, shapes.h:1279; uv/dpdu per the patch
+    parameterization)."""
+    t_best = jnp.where(out["hit"], out["t"], t_max)
+    r = _blp_query(scene, o, d, t_best)
+    hit_b = r["hit"] & (r["t"] < t_best)
+    row = scene.blp_rows[r["k"]]
+    p00, p10 = row[..., 0:3], row[..., 3:6]
+    p01, p11 = row[..., 6:9], row[..., 9:12]
+    u, v = r["u"], r["v"]
+    dpdu = (1 - v)[..., None] * (p10 - p00) + v[..., None] * (p11 - p01)
+    dpdv = (1 - u)[..., None] * (p01 - p00) + u[..., None] * (p11 - p10)
+    ng = vm.normalize(vm.cross(dpdu, dpdv))
+    p_b = o + r["t"][..., None] * d
+    mat_b = jnp.round(row[..., 12]).astype(jnp.int32)
+    h = hit_b[..., None]
+    return dict(out,
+                hit=out["hit"] | hit_b,
+                t=jnp.where(hit_b, r["t"], out["t"]),
+                p=jnp.where(h, p_b, out["p"]),
+                ng=jnp.where(h, ng, out["ng"]),
+                ns=jnp.where(h, ng, out["ns"]),
+                uv=jnp.where(h, jnp.stack([u, v], -1), out["uv"]),
+                mat=jnp.where(hit_b, mat_b, out["mat"]),
+                light=jnp.where(hit_b, -1, out["light"]),
+                dpdu=jnp.where(h, dpdu, out["dpdu"]),
+                dpdv=jnp.where(h, dpdv, out["dpdv"]))
 
 
 def _quadric_ray(row, o, d):
@@ -1242,6 +1324,9 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
         o_obj, d_obj, _A = _quadric_ray(row, o, d)
         rq = _quadric_test(tag, row, o_obj, d_obj, t_max)
         occluded = occluded | rq["hit"]
+    if scene.has_blps:
+        rb = _blp_query(scene, o, d, t_max)
+        occluded = occluded | rb["hit"]
     if scene.has_curves:
         from .ops import curves as crv
         if scene.use_pallas_curves:

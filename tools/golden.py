@@ -48,6 +48,7 @@ CONFIGS = [
     ("instances", "instances_200_32spp.exr", 32, 3, 0.05, 0.02),
     ("envlit", "envlit_200_64spp.exr", 64, 5, 0.06, 0.02),
     ("volume", "volume_200_32spp.exr", 32, 6, 0.10, 0.03),
+    ("patches", "patches_200_32spp.exr", 32, 3, 0.05, 0.02),
 ]
 
 
