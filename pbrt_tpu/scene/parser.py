@@ -671,11 +671,20 @@ def parse_string(text, base_dir=".", light_sampler="power",
             N = N / np.maximum(np.linalg.norm(N, axis=-1, keepdims=True), 1e-20)
         if reverse ^ xf.swaps_handedness():
             idx = np.asarray(idx)[:, ::-1]
+        alpha_tex = -1
+        tn_alpha = ps.texture_name("alpha")
+        if tn_alpha is not None and tn_alpha in named_textures:
+            e = named_textures[tn_alpha]
+            if e[0] in ("ftex", "tex"):
+                alpha_tex = e[1]
+            elif e[0] == "constant" and float(e[1]) == 0.0:
+                return  # constant-0 alpha: fully cut away
         alpha = ps.float("alpha", 1.0)
         if alpha == 0.0:
             return  # fully cut-away shape
         b.add_mesh(P, idx, mat, normals=N, uvs=uv, emission=emission,
-                   emission_scale=escale, two_sided=two)
+                   emission_scale=escale, two_sided=two,
+                   alpha_tex=alpha_tex)
 
     while p.peek() is not None:
         directive_pos = p.pos
@@ -941,13 +950,25 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 if fn is None:
                     raise ParseError(f"{p.loc()}: imagemap needs filename")
                 img = _read_any_image(Path(base_dir) / fn)
-                if not str(fn).endswith((".exr", ".pfm")):
-                    from ..utils.color import srgb_to_linear
-                    img = np.asarray(srgb_to_linear(img), np.float32)
-                named_textures[nm] = (
-                    "tex", b.textures.add_image(
-                        img[..., :3], su=uscale, sv=vscale,
-                        scale=ps.float("scale", 1.0)))
+                if ty == "float":
+                    # raw-valued map (alpha masks, roughness, bump):
+                    # values, not reflectance coefficients
+                    if img.ndim == 2:
+                        img = img[..., None]
+                    img3 = np.repeat(img[..., :1], 3, axis=-1) \
+                        if img.shape[-1] < 3 else img[..., :3]
+                    named_textures[nm] = (
+                        "ftex", b.textures.add_image_raw(
+                            np.asarray(img3, np.float32),
+                            su=uscale, sv=vscale))
+                else:
+                    if not str(fn).endswith((".exr", ".pfm")):
+                        from ..utils.color import srgb_to_linear
+                        img = np.asarray(srgb_to_linear(img), np.float32)
+                    named_textures[nm] = (
+                        "tex", b.textures.add_image(
+                            img[..., :3], su=uscale, sv=vscale,
+                            scale=ps.float("scale", 1.0)))
             elif cls == "scale":
                 # tex * scale expressed through the mix family:
                 # mix(black, tex, amount=s) == s * tex for s in [0, 1]

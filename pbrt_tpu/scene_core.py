@@ -121,6 +121,11 @@ class Scene:
     # meshes triangulate instead (parser policy)
     blp_rows: jnp.ndarray = None       # (K, 14) [p00, p10, p01, p11, mat, lt]
     has_blps: bool = struct.field(pytree_node=False, default=False)
+    # textured-alpha intersection (reference anyhit alpha test,
+    # gpu/optix/optix.cu:231-246): per-triangle float-texture index
+    # (-1 = opaque); hits are stochastically kept/re-traced
+    tri_alpha: jnp.ndarray = None      # (T,) f32 alpha texture index
+    has_alpha: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -145,6 +150,7 @@ class SceneBuilder:
         self.uv2 = []
         self.t_mat = []
         self.t_light = []
+        self.t_alpha = []        # per-tri float alpha texture idx (-1 opaque)
         self.light_rows = []
         self.protos = []             # instancing prototypes (triangle lists)
         self.instances = []          # dicts: proto, o2w/w2o (3,4)
@@ -168,7 +174,8 @@ class SceneBuilder:
         return idx
 
     def add_mesh(self, vertices, indices, material: int, normals=None, uvs=None,
-                 emission=None, emission_scale=1.0, two_sided=False):
+                 emission=None, emission_scale=1.0, two_sided=False,
+                 alpha_tex=-1):
         """vertices (V,3); indices (F,3); emission: host Spectrum for area light.
         Returns list of light indices created (one per triangle if emissive)."""
         vertices = np.asarray(vertices, np.float32)
@@ -197,6 +204,7 @@ class SceneBuilder:
             self.n0.append(n0[i]); self.n1.append(n1[i]); self.n2.append(n2[i])
             self.uv0.append(uv0[i]); self.uv1.append(uv1[i]); self.uv2.append(uv2[i])
             self.t_mat.append(material)
+            self.t_alpha.append(int(alpha_tex))
             if emission is not None:
                 area = 0.5 * np.linalg.norm(np.cross(p1[i] - p0[i], p2[i] - p0[i]))
                 sidx = self.add_spectrum(emission, key=("emit", id(emission)))
@@ -835,6 +843,11 @@ class SceneBuilder:
         tri_all = jnp.asarray(np.concatenate(
             [np.asarray(tri_geo), np.asarray(tri_shade, np.float32)],
             axis=1))
+        tri_alpha = np.asarray(self.t_alpha, np.float32)
+        n_extra = tri_all.shape[0] - tri_alpha.shape[0]
+        if n_extra > 0:  # instanced prototypes: opaque
+            tri_alpha = np.concatenate(
+                [tri_alpha, np.full(n_extra, -1.0, np.float32)])
         if self.iface_rows:
             ifp0 = np.stack([r[0] for r in self.iface_rows])
             ifp1 = np.stack([r[1] for r in self.iface_rows])
@@ -856,6 +869,8 @@ class SceneBuilder:
         else:
             blp_rows = jnp.zeros((1, 14), jnp.float32)
         return Scene(
+            tri_alpha=jnp.asarray(tri_alpha),
+            has_alpha=bool(any(a >= 0 for a in self.t_alpha)),
             blp_rows=blp_rows, has_blps=bool(self.blp_list),
             iface_tris=iface_tris, iface_med=iface_med,
             has_medium_interfaces=bool(self.iface_rows),
@@ -992,11 +1007,9 @@ def intersect_interfaces(scene: Scene, o, d, t_max):
                 med_out=jnp.round(med[:, 1]).astype(jnp.int32))
 
 
-def intersect(scene: Scene, o, d, t_max, time=None):
-    """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
-
-    time: optional (N,) shutter times for animated instances.
-    Gather budget after traversal: 2 packed rows (geo + shade)."""
+def _tri_dispatch(scene: Scene, o, d, t_max, time=None):
+    """Triangle-pool closest hit through whichever traversal backend the
+    scene selected. Returns the raw traversal result dict."""
     if scene.has_instances:
         from .ops import tlas as tlas_mod
         if scene.use_pallas_tlas:
@@ -1029,6 +1042,78 @@ def intersect(scene: Scene, o, d, t_max, time=None):
     else:
         r = bvh_mod.brute_force_intersect_triangles(
             scene.tri_p0, scene.tri_p1, scene.tri_p2, o, d, t_max)
+    return r
+
+
+def _alpha_uv_and_tex(scene: Scene, r):
+    """(alpha_tex (N,), uv (N,2)) at the current triangle hit."""
+    from .ops.gather import pool_lookup
+    prim = jnp.maximum(r["prim"], 0)
+    atex = jnp.round(scene.tri_alpha[prim]).astype(jnp.int32)
+    row = pool_lookup(scene.tri_all, prim)
+    uv0 = row[..., 19:21]
+    uv1 = row[..., 21:23]
+    uv2 = row[..., 23:25]
+    b0, b1, b2 = r["b0"], r["b1"], r["b2"]
+    uv = b0[..., None] * uv0 + b1[..., None] * uv1 + b2[..., None] * uv2
+    return atex, uv
+
+
+_ALPHA_ROUNDS = 3
+
+
+def _alpha_retrace(scene: Scene, o, d, t_max, r, time=None, seed=0x7a1fa):
+    """Textured-alpha intersection: hits on alpha-textured triangles are
+    kept with probability alpha(uv) (stochastic test hashed from the ray,
+    like the reference's HashFloat(ray.o, ray.d) anyhit,
+    gpu/optix/optix.cu:231-246) and otherwise RE-TRACED from just past the
+    hit — bounded to _ALPHA_ROUNDS rounds."""
+    from .utils import rng as prng
+
+    def fbits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    u_alpha = prng.uniform_float(
+        jnp.uint32(seed),
+        fbits(o[:, 0]) ^ fbits(o[:, 1]) ^ fbits(o[:, 2]),
+        fbits(d[:, 0]) ^ fbits(d[:, 1]) ^ fbits(d[:, 2]))
+    o_cur = o
+    t_used = jnp.zeros(o.shape[:1], jnp.float32)
+    tb = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:1])
+    for _ in range(_ALPHA_ROUNDS):
+        from . import textures as tex_mod
+        atex, uv = _alpha_uv_and_tex(scene, r)
+        a = tex_mod.eval_texture_float(scene.textures, atex, uv)
+        cut = r["hit"] & (atex >= 0) & (u_alpha >= a)
+        # advance past the cut hit and re-trace (all lanes re-queried;
+        # non-cut lanes keep their previous result below)
+        t_adv = jnp.where(cut, r["t"] + 1e-4 * (1.0 + r["t"]), 0.0)
+        o_nxt = o_cur + t_adv[..., None] * d
+        t_nxt = t_used + t_adv
+        r2 = _tri_dispatch(scene, o_nxt, d, jnp.maximum(tb - t_nxt, 0.0),
+                           time=time)
+        r2 = dict(r2, t=r2["t"] + t_nxt)
+        r = {k: jnp.where(cut, r2[k], r[k]) if r[k].ndim == 1 else
+             jnp.where(cut[..., None], r2[k], r[k]) for k in r}
+        o_cur = jnp.where(cut[..., None], o_nxt, o_cur)
+        t_used = jnp.where(cut, t_nxt, t_used)
+    # whatever still fails after the last round is dropped (treated as a
+    # miss) — matches the reference's bounded anyhit budget
+    atex, uv = _alpha_uv_and_tex(scene, r)
+    from . import textures as tex_mod
+    a = tex_mod.eval_texture_float(scene.textures, atex, uv)
+    still_cut = r["hit"] & (atex >= 0) & (u_alpha >= a)
+    return dict(r, hit=r["hit"] & ~still_cut)
+
+
+def intersect(scene: Scene, o, d, t_max, time=None):
+    """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
+
+    time: optional (N,) shutter times for animated instances.
+    Gather budget after traversal: 2 packed rows (geo + shade)."""
+    r = _tri_dispatch(scene, o, d, t_max, time=time)
+    if scene.has_alpha:
+        r = _alpha_retrace(scene, o, d, t_max, r, time=time)
     prim = jnp.maximum(r["prim"], 0)
     b0, b1, b2 = r["b0"], r["b1"], r["b2"]
     from .ops.gather import pool_lookup
@@ -1284,6 +1369,27 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
 
 def intersect_p(scene: Scene, o, d, t_max, time=None):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
+    if scene.has_alpha:
+        # alpha cutouts must not occlude: run the alpha-aware closest hit
+        # (the reference's anyhit alpha program, optix.cu:231-246)
+        r = _tri_dispatch(scene, o, d, t_max, time=time)
+        r = _alpha_retrace(scene, o, d, t_max, r, time=time, seed=0x51ad)
+        occluded = r["hit"]
+        for q, tag in enumerate(scene.quadric_tags):
+            row = scene.quadrics[q]
+            o_obj, d_obj, _A = _quadric_ray(row, o, d)
+            rq = _quadric_test(tag, row, o_obj, d_obj, t_max)
+            occluded = occluded | rq["hit"]
+        if scene.has_blps:
+            rb = _blp_query(scene, o, d, t_max)
+            occluded = occluded | rb["hit"]
+        if scene.has_curves:
+            from .ops import curves as crv
+            rc = crv.bvh_intersect_curves(scene.curve_nodes,
+                                          scene.curve_segs, o, d, t_max,
+                                          any_hit=True)
+            occluded = occluded | rc["hit"]
+        return occluded
     if scene.has_instances:
         from .ops import tlas as tlas_mod
         if scene.use_pallas_tlas:
