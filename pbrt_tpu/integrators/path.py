@@ -288,21 +288,34 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             Fr_in = bxdfs.fr_dielectric(wo_local[..., 2], eta_s)
             enter = is_sss & (u_ent >= Fr_in)
             mirror = is_sss & ~enter
-            # spectral diffusion radii d (4,) from the k slot
-            d_spec = jnp.maximum(bp.k, 1e-6)
-            # channel choice (uniform over 4) + two-exponential radius
+            # channel choice (uniform over 4 wavelengths)
             ch = jnp.clip((u_ch * 4.0).astype(jnp.int32), 0, 3)
             oh = (ch[..., None] == jnp.arange(4, dtype=jnp.int32))
-            d_c = jnp.sum(d_spec * oh, axis=-1)
             u_r = u_rp[..., 0]
-            # radial pdf: 1/4 Exp(1/d) + 3/4 Exp(1/(3d))  (Burley profile)
-            pick3e = u_r < 0.25
-            u_e = jnp.where(pick3e, u_r / 0.25, (u_r - 0.25) / 0.75)
-            u_e = jnp.clip(u_e, 1e-6, 1.0 - 1e-6)
-            r_s = jnp.where(pick3e, -d_c * jnp.log(1.0 - u_e),
-                            -3.0 * d_c * jnp.log(1.0 - u_e))
-            r_max = 12.0 * d_c
-            r_s = jnp.minimum(r_s, r_max)
+            tabulated = scene.materials.sss_tabulated
+            if tabulated:
+                # photon-beam-diffusion table (bssrdf.cpp:26-128): rho(λ)
+                # rides the albedo slot, sigma_t(λ) the k slot; radius
+                # sampled from the tabulated radial CDF of the chosen λ
+                from .. import bssrdf as _bs
+                tbl = scene.materials.sss_table
+                rho4 = jnp.clip(bp.albedo, 0.0, 1.0)
+                st4 = jnp.maximum(bp.k, 1e-6)
+                rho_c = jnp.sum(rho4 * oh, axis=-1)
+                st_c = jnp.sum(st4 * oh, axis=-1)
+                r_s, r_max = _bs.sample_r(tbl, rho_c, st_c,
+                                          jnp.clip(u_r, 1e-6, 1 - 1e-6))
+            else:
+                # Burley two-exponential stand-in profile
+                d_spec = jnp.maximum(bp.k, 1e-6)
+                d_c = jnp.sum(d_spec * oh, axis=-1)
+                pick3e = u_r < 0.25
+                u_e = jnp.where(pick3e, u_r / 0.25, (u_r - 0.25) / 0.75)
+                u_e = jnp.clip(u_e, 1e-6, 1.0 - 1e-6)
+                r_s = jnp.where(pick3e, -d_c * jnp.log(1.0 - u_e),
+                                -3.0 * d_c * jnp.log(1.0 - u_e))
+                r_max = 12.0 * d_c
+                r_s = jnp.minimum(r_s, r_max)
             phi_s = 2.0 * np.pi * u_rp[..., 1]
             # probe ray: disk point above the surface, cast along -ns
             h_probe = jnp.sqrt(jnp.maximum(sqr(r_max) - sqr(r_s), 1e-12))
@@ -316,19 +329,24 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             # actual entry->exit distance; profile + combined-channel pdf
             r_hit = vm.length(probe["p"] - isect["p"])
             r_eval = jnp.maximum(r_hit, 1e-6)
-
-            def _profile(r, dd):
-                # Sr(r) * 2*pi*r (radial density), per channel
-                return 0.25 / dd * (jnp.exp(-r / dd) +
-                                    jnp.exp(-r / (3.0 * dd)))
-
-            sp_r = _profile(r_eval[..., None], d_spec)      # (N, 4)
-            pdf_r = jnp.mean(sp_r, axis=-1)                 # channel MIS
             cos_axis = jnp.abs(vm.dot(probe["ng"], ns))
-            w_sp = safe_div(sp_r, (pdf_r * jnp.maximum(cos_axis, 0.1)
-                                   )[..., None])
-            A_alb = bp.albedo
-            w_sp = w_sp * A_alb  # diffuse albedo of the profile
+            if tabulated:
+                q_r, pdf_r, _re = _bs.radial_profile_pdf(tbl, rho4, st4,
+                                                         r_eval)
+                # the tabulated profile carries the color: no albedo factor
+                w_sp = safe_div(q_r, (pdf_r * jnp.maximum(cos_axis, 0.1)
+                                      )[..., None])
+            else:
+                def _profile(r, dd):
+                    # Sr(r) * 2*pi*r (radial density), per channel
+                    return 0.25 / dd * (jnp.exp(-r / dd) +
+                                        jnp.exp(-r / (3.0 * dd)))
+
+                sp_r = _profile(r_eval[..., None], d_spec)      # (N, 4)
+                pdf_r = jnp.mean(sp_r, axis=-1)                 # channel MIS
+                w_sp = safe_div(sp_r, (pdf_r * jnp.maximum(cos_axis, 0.1)
+                                       )[..., None])
+                w_sp = w_sp * bp.albedo  # diffuse albedo of the profile
             beta = jnp.where(found[..., None], beta * w_sp, beta)
             # entry that found no exit terminates (reference: no probe
             # intersection -> path break)

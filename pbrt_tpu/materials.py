@@ -44,6 +44,10 @@ class MaterialPool:
     has_coated_conductor: bool = struct.field(pytree_node=False,
                                               default=False)
     has_subsurface: bool = struct.field(pytree_node=False, default=False)
+    # tabulated photon-beam-diffusion BSSRDF (bssrdf.cpp:26-128); None ->
+    # the Burley stand-in profile
+    sss_table: object = None         # bssrdf.BSSRDFTable | None
+    sss_tabulated: bool = struct.field(pytree_node=False, default=False)
     # measured BRDF table ((Nh*Nd*Np, 4) sigmoid coeffs + scale); one
     # shared table per scene (reference MeasuredBxDF data, bxdfs.h:1022)
     measured_table: jnp.ndarray = None
@@ -60,6 +64,8 @@ class MaterialBuilder:
     def __init__(self, colorspace=None):
         self.cs = colorspace or pcolor.srgb()
         self.rows = []
+        self._sss_profile = None     # 'burley' | 'tabulated' | None
+        self._sss_table = None       # bssrdf.BSSRDFTable (tabulated)
 
     def _add(self, **kw):
         row = dict(bxdf_tag=bxdfs.BXDF_DIFFUSE,
@@ -131,14 +137,49 @@ class MaterialBuilder:
                          remap_roughness=False)
 
     def add_subsurface(self, reflectance=(0.8, 0.6, 0.5), mfp=(0.1, 0.1, 0.1),
-                       eta=1.33):
+                       eta=1.33, profile="tabulated", sigma_a=None,
+                       sigma_s=None, g=0.0):
         """Subsurface material (reference \"subsurface\" +
-        TabulatedBSSRDF, bssrdf.h:105). TPU substitution: the Burley
-        normalized-diffusion profile (Christensen-Burley 2015) replaces
-        the photon-beam-diffusion tables — closed-form Sr(r), exactly
-        invertible sampling (two-exponential mixture), no table gathers.
-        reflectance: diffuse surface albedo A; mfp: per-channel mean free
-        path length `d` scale (world units)."""
+        TabulatedBSSRDF, bssrdf.h:105).
+
+        profile=\"tabulated\" (default): photon-beam-diffusion tables
+        (bssrdf.cpp:26-128) — (reflectance, mfp) invert to (sigma_a,
+        sigma_s) via SubsurfaceFromDiffuse (bssrdf.cpp:280), or pass
+        sigma_a/sigma_s directly (measured presets). Row packing: rho(λ)
+        rides the albedo slot, sigma_t(λ) the trans slot × scale.
+
+        profile=\"burley\": the Christensen-Burley normalized-diffusion
+        stand-in (closed-form Sr, no tables)."""
+        if profile == "tabulated":
+            from . import bssrdf as bs
+            if self._sss_profile == "burley":
+                raise ValueError("cannot mix burley and tabulated "
+                                 "subsurface materials in one scene")
+            self._sss_profile = "tabulated"
+            if self._sss_table is None or self._sss_table.eta != eta or \
+                    self._sss_table.g != g:
+                self._sss_table = bs.compute_table(g=g, eta=eta)
+            if sigma_a is not None and sigma_s is not None:
+                sa = np.asarray(sigma_a, np.float32)
+                ss = np.asarray(sigma_s, np.float32) * (1.0 - g)
+            else:
+                sa, ss = bs.subsurface_from_diffuse(
+                    self._sss_table, np.asarray(reflectance, np.float32),
+                    np.asarray(mfp, np.float32))
+            st = np.maximum(sa + ss, 1e-6)
+            rho = ss / st
+            st_max = float(st.max())
+            return self._add(bxdf_tag=bxdfs.BXDF_SUBSURFACE,
+                             albedo_coeffs=self.cs.to_spectrum_coeffs(
+                                 np.clip(rho, 0, 1)),
+                             trans_coeffs=self.cs.to_spectrum_coeffs(
+                                 st / st_max),
+                             mix_amount=st_max,  # sigma_t scale
+                             eta_const=eta, remap_roughness=False)
+        if self._sss_profile == "tabulated":
+            raise ValueError("cannot mix burley and tabulated subsurface "
+                             "materials in one scene")
+        self._sss_profile = "burley"
         A = np.clip(np.asarray(reflectance, np.float32), 0.0, 1.0)
         # Burley fit: s = 1.85 - A + 7|A - 0.8|^3  (searchlight config)
         s_fit = 1.85 - A + 7.0 * np.abs(A - 0.8) ** 3
@@ -248,6 +289,8 @@ class MaterialBuilder:
             has_coated_conductor=bool(
                 (tags == bxdfs.BXDF_COATED_CONDUCTOR).any()),
             has_subsurface=bool((tags == bxdfs.BXDF_SUBSURFACE).any()),
+            sss_table=self._sss_table,
+            sss_tabulated=self._sss_profile == "tabulated",
             measured_table=(jnp.asarray(self._measured)
                             if getattr(self, "_measured", None) is not None
                             else None),

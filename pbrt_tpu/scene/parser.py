@@ -356,12 +356,32 @@ def parse_string(text, base_dir=".", light_sampler="power",
         vrough = resolve_float_or_texture(ps, "vroughness", None)
         remap = ps.bool("remaproughness", True)
         if name == "subsurface":
+            g_par = ps.float("g", 0.0)
+            eta_par = ps.float("eta", 1.33)
+            pname = ps.string("name", None)
+            if pname is not None:
+                from .. import bssrdf as _bs
+                got = _bs.get_scattering_preset(pname,
+                                                scale=ps.float("scale", 1.0))
+                if got is None:
+                    raise ParseError(
+                        f"{p.loc()}: unknown scattering preset '{pname}'")
+                sa, sps = got
+                return b.materials.add_subsurface(
+                    sigma_a=sa, sigma_s=sps / max(1.0 - g_par, 1e-3),
+                    eta=eta_par, g=g_par)
+            sa = ps.rgb("sigma_a", None)
+            ss = ps.rgb("sigma_s", None)
+            if sa is not None and ss is not None:
+                return b.materials.add_subsurface(sigma_a=np.asarray(sa),
+                                                  sigma_s=np.asarray(ss),
+                                                  eta=eta_par, g=g_par)
             refl = ps.rgb("reflectance", (0.8, 0.6, 0.5))
             mfp = ps.rgb("mfp", None)
             if mfp is None:
                 mfp = (0.1, 0.1, 0.1)
             return b.materials.add_subsurface(
-                reflectance=refl, mfp=mfp, eta=ps.float("eta", 1.33))
+                reflectance=refl, mfp=mfp, eta=eta_par, g=g_par)
         if name == "hair":
             sig = ps.rgb("sigma_a", None)
             if sig is None:
