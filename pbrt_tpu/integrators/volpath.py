@@ -139,7 +139,7 @@ def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l,
 
     def body(state):
         (status, t_lo, voxel, next_crossing, beta, r_u, r_l, t_ev, g_ev,
-         it) = state
+         em, it) = state
         flying = status == -1
         sigma_bar = _maj_lookup(pool, voxel)
         u1 = prng.uniform_float(seed, jnp.uint32(it), jnp.uint32(0x51a7))
@@ -172,6 +172,16 @@ def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l,
         rl_null = sigma_bar / jnp.maximum(sn_h, _EPS)
         ss_h = ss[..., 0]
         w_scat = ss / jnp.maximum(ss_h, _EPS)[..., None]
+
+        # volumetric emission at absorption events (reference: the
+        # absorption callback adds beta * Le, integrators.cpp:1006; with
+        # scalar majorants the estimator weight is sa/sa_hero)
+        if pool.has_emissive:
+            Le = med_mod.le_at(pool, row, p_ev, lam)
+            w_abs = sa / jnp.maximum(sa[..., 0:1], _EPS)
+            em_new = beta * w_abs * Le / \
+                jnp.maximum(_avg(r_u), _EPS)[..., None]
+            em = em + jnp.where(absorb[..., None], em_new, 0.0)
 
         beta = jnp.where(null[..., None], beta * w_null,
                jnp.where(scatter[..., None], beta * w_scat, beta))
@@ -206,16 +216,16 @@ def sample_t_maj(scene, o, d, t_max, lam, seed, active, beta, r_u, r_l,
         reached = advance & ((t_cell >= t1) | out)
         status = jnp.where(reached, EV_REACH, status)
         return (status, t_lo, voxel, next_crossing, beta, r_u, r_l, t_ev,
-                g_ev, it + 1)
+                g_ev, em, it + 1)
 
     state = (status0, t0, dda["voxel"], dda["next_crossing"], beta, r_u, r_l,
              jnp.zeros((N,), jnp.float32), jnp.zeros((N,), jnp.float32),
-             jnp.asarray(0, jnp.int32))
-    (status, _t_lo, _v, _nc, beta, r_u, r_l, t_ev, g_ev,
+             jnp.zeros((N, 4), jnp.float32), jnp.asarray(0, jnp.int32))
+    (status, _t_lo, _v, _nc, beta, r_u, r_l, t_ev, g_ev, em,
      n_it) = jax.lax.while_loop(cond, body, state)
     status = jnp.where(status == -1, EV_REACH, status)
     return dict(status=status, t=t_ev, g=g_ev, beta=beta, r_u=r_u, r_l=r_l,
-                n_iters=n_it)
+                em=em, n_iters=n_it)
 
 
 def transmittance_ratio(scene, o, d, dist, lam, seed, active):
@@ -380,6 +390,9 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                           beta, r_u, r_l,
                           cur_med=cur_med if has_ifaces else None)
         beta, r_u, r_l = fl["beta"], fl["r_u"], fl["r_l"]
+        if scene.media.has_emissive:
+            # volumetric emission accumulated at absorption events
+            L = L + fl["em"]
         scattered = active & (fl["status"] == EV_SCATTER)
         absorbed = active & (fl["status"] == EV_ABSORB)
         reach = fl["status"] == EV_REACH

@@ -802,21 +802,56 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 named_media[nm] = b.media.add_homogeneous(
                     sigma_a=tuple(sig_a), sigma_s=tuple(sig_s), g=g,
                     scale=mscale)
-            elif mtype in ("uniformgrid", "rgbgrid"):
+            elif mtype in ("uniformgrid", "rgbgrid", "cloud"):
                 nx = ps.int("nx", 1)
                 ny = ps.int("ny", 1)
                 nz = ps.int("nz", 1)
-                dens = ps.floats("density", np.ones(nx * ny * nz))
                 p0 = ps.point3s("p0", np.zeros((1, 3)))[0]
                 p1 = ps.point3s("p1", np.ones((1, 3)))[0]
                 corners = np.array([[p0[0], p0[1], p0[2]], [p1[0], p1[1], p1[2]]],
                                    np.float32)
                 wc = np.asarray(gs.ctm.apply_point(corners))
-                named_media[nm] = b.media.add_grid(
-                    np.asarray(dens, np.float32).reshape(nz, ny, nx),
-                    np.minimum(wc[0], wc[1]), np.maximum(wc[0], wc[1]),
-                    sigma_a=tuple(sig_a), sigma_s=tuple(sig_s),
-                    g=g, scale=mscale)
+                blo = np.minimum(wc[0], wc[1])
+                bhi = np.maximum(wc[0], wc[1])
+                if mtype == "cloud":
+                    # reference CloudMedium (media.h:430); recipe baked to
+                    # a dense grid at build (media.add_cloud)
+                    named_media[nm] = b.media.add_cloud(
+                        blo, bhi, sigma_a=tuple(sig_a),
+                        sigma_s=tuple(sig_s), g=g, scale=mscale,
+                        density=ps.float("density", 1.0),
+                        wispiness=ps.float("wispiness", 1.0),
+                        frequency=ps.float("frequency", 5.0))
+                elif mtype == "rgbgrid":
+                    # reference RGBGridMedium (media.h:355): per-voxel rgb
+                    # sigma grids + optional Le emission grid
+                    n3 = nx * ny * nz
+                    sa_g = ps.floats("sigma_a", None)
+                    ss_g = ps.floats("sigma_s", None)
+                    le_g = ps.floats("Le", None)
+
+                    def vol(vals, default):
+                        if vals is None:
+                            return np.full((nz, ny, nx, 3), default,
+                                           np.float32)
+                        v = np.asarray(vals, np.float32)
+                        if v.size == 3 * n3:
+                            return v.reshape(nz, ny, nx, 3)
+                        return np.broadcast_to(
+                            v.reshape(nz, ny, nx, 1),
+                            (nz, ny, nx, 3)).astype(np.float32)
+
+                    named_media[nm] = b.media.add_rgbgrid(
+                        vol(sa_g, 1.0), vol(ss_g, 1.0), blo, bhi, g=g,
+                        scale=mscale,
+                        Le_rgb=vol(le_g, 0.0) if le_g is not None else None,
+                        le_scale=ps.float("Lescale", 1.0))
+                else:
+                    dens = ps.floats("density", np.ones(nx * ny * nz))
+                    named_media[nm] = b.media.add_grid(
+                        np.asarray(dens, np.float32).reshape(nz, ny, nx),
+                        blo, bhi, sigma_a=tuple(sig_a),
+                        sigma_s=tuple(sig_s), g=g, scale=mscale)
             else:
                 import warnings
                 raise ParseError(f"{p.loc()}: medium type '{mtype}' is not supported")

@@ -578,7 +578,7 @@ class SceneBuilder:
         n_tri = len(self.v0)
         if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows
                            or self.instances or self.iface_rows
-                           or self.blp_list):
+                           or self.blp_list or self.media.rows):
             # a dummy far-away triangle keeps the triangle pipeline non-empty
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],

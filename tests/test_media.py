@@ -141,3 +141,69 @@ def test_grid_medium_beer_lambert():
                         sampler=smp.make_sampler("independent", spp=256),
                         opts=PathOptions(max_depth=2))
     np.testing.assert_allclose(img.mean(), np.exp(-sigma * 2.0), rtol=0.06)
+
+
+def test_rgbgrid_emissive_slab_analytic():
+    """Pure-absorbing emissive RGBGrid slab viewed head-on: L =
+    Le * (1 - exp(-sigma_a * depth)) analytically (emission source term
+    integrated against its own attenuation; reference RGBGridMedium
+    media.h:355 + the absorb-event emission, integrators.cpp:1006)."""
+    from pbrt_tpu import scene_core as sc
+    from pbrt_tpu import cameras as cam_mod
+    from pbrt_tpu import samplers as smp
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    from pbrt_tpu.utils import transform as tfm
+    b = sc.SceneBuilder()
+    b.materials.add_diffuse((0.0,) * 3)
+    sig = 1.2
+    le = 0.8
+    n = 4
+    sa = np.full((n, n, n, 3), sig, np.float32)
+    ss = np.zeros((n, n, n, 3), np.float32)
+    Le = np.full((n, n, n, 3), le, np.float32)
+    mid = b.media.add_rgbgrid(sa, ss, (-1, -1, -1), (1, 1, 1), Le_rgb=Le)
+    assert mid >= 0
+    scene = b.build(force_bvh=False)
+    assert scene.media.has_rgbgrid and scene.media.has_emissive
+    cam = cam_mod.make_camera(
+        "perspective", fov=8, width=8, height=8,
+        camera_from_world=tfm.look_at((0, 0, 5), (0, 0, 0),
+                                      (0, 1, 0)).inverse())
+    img, _ = rdr.render(scene, cam, spp=64,
+                        sampler=smp.make_sampler("independent", spp=64),
+                        opts=PathOptions(max_depth=3))
+    got = float(np.asarray(img)[2:6, 2:6].mean())
+    want = le * (1.0 - np.exp(-sig * 2.0))   # slab depth 2
+    assert abs(got - want) / want < 0.06, (got, want)
+
+
+def test_cloud_medium_renders():
+    """Baked procedural cloud (reference CloudMedium media.h:430 recipe):
+    builds, has structure, renders finite."""
+    from pbrt_tpu import scene_core as sc
+    from pbrt_tpu import cameras as cam_mod
+    from pbrt_tpu import samplers as smp
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    from pbrt_tpu.utils import spectrum as spc
+    from pbrt_tpu.utils import transform as tfm
+    b = sc.SceneBuilder()
+    mg = b.materials.add_diffuse((0.4,) * 3)
+    b.add_mesh([[-6, -1.5, -6], [6, -1.5, -6], [6, -1.5, 6], [-6, -1.5, 6]],
+               [[0, 1, 2], [0, 2, 3]], mg)
+    b.media.add_cloud((-1, -1, -1), (1, 1, 1), sigma_a=(0.3,) * 3,
+                      sigma_s=(3.0,) * 3, scale=3.0, res=32)
+    b.add_uniform_infinite_light(spc.ConstantSpectrum(1.0))
+    scene = b.build(force_bvh=False)
+    dens = np.asarray(scene.media.grid)
+    assert dens.max() > 0.3 and dens.min() >= 0.0
+    cam = cam_mod.make_camera(
+        "perspective", fov=45, width=16, height=16,
+        camera_from_world=tfm.look_at((0, 0.5, 4), (0, 0, 0),
+                                      (0, 1, 0)).inverse())
+    img, _ = rdr.render(scene, cam, spp=8,
+                        sampler=smp.make_sampler("independent", spp=8),
+                        opts=PathOptions(max_depth=4))
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(np.asarray(img).mean()) > 0.05
