@@ -287,6 +287,28 @@ class BlackbodySpectrum(Spectrum):
         return np.asarray(blackbody_normalized(jnp.asarray(lam, jnp.float32), self.T), np.float64)
 
 
+def cie_d_illuminant(temperature: float) -> Spectrum:
+    """CIE standard daylight illuminant D for a color temperature in Kelvin
+    (reference util/spectrum.cpp Spectra::D).  Below 4000K CCT the D series
+    is undefined and a blackbody is returned, matching the reference."""
+    cct = temperature * 1.4388 / 1.4380
+    if cct < 4000.0:
+        return BlackbodySpectrum(cct)
+    if cct <= 7000.0:
+        x = (-4.607e9 / cct ** 3 + 2.9678e6 / cct ** 2
+             + 0.09911e3 / cct + 0.244063)
+    else:
+        x = (-2.0064e9 / cct ** 3 + 1.9018e6 / cct ** 2
+             + 0.24748e3 / cct + 0.23704)
+    y = -3.0 * x * x + 2.870 * x - 0.275
+    m = 0.0241 + 0.2562 * x - 0.7341 * y
+    m1 = (-1.3515 - 1.7703 * x + 5.9114 * y) / m
+    m2 = (0.0300 - 31.4424 * x + 30.0717 * y) / m
+    d = np.load(_DATA / "cie_daylight.npz")
+    vals = (d["s0"] + d["s1"] * m1 + d["s2"] * m2) * 0.01
+    return PiecewiseLinearSpectrum(d["lam"], vals)
+
+
 class ScaledSpectrum(Spectrum):
     def __init__(self, scale: float, s: Spectrum):
         self.scale, self.s = float(scale), s

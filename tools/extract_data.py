@@ -71,6 +71,13 @@ def main():
     np.savez_compressed(OUT / "named_spectra.npz", **named)
     print("named_spectra.npz: %d arrays" % len(named))
 
+    # --- CIE daylight basis S0/S1/S2 (public CIE 15 data) ---
+    day = {"lam": arrays["CIE_S_lambda"], "s0": arrays["CIE_S0"],
+           "s1": arrays["CIE_S1"], "s2": arrays["CIE_S2"]}
+    np.savez_compressed(OUT / "cie_daylight.npz",
+                        **{k: v.astype(np.float64) for k, v in day.items()})
+    print("cie_daylight.npz:", {k: v.shape for k, v in day.items()})
+
     # --- Sobol direction numbers (Joe & Kuo 2008) ---
     sob = (REF / "util/sobolmatrices.cpp").read_text()
     sarrays = parse_c_arrays(sob, r"(?:PBRT_CONST\s+)?uint32_t")
