@@ -27,6 +27,8 @@ def _read(path):
         return pimg.read_exr(p)
     if p.endswith(".pfm"):
         return pimg.read_pfm(p)
+    if p.endswith(".qoi"):
+        return pimg.read_qoi(p).astype(np.float32) / 255.0
     img = pimg.read_png(p)
     return img.astype(np.float32) / (65535.0 if img.dtype == np.uint16 else 255.0)
 
@@ -38,6 +40,8 @@ def _write(path, img):
         pimg.write_exr(p, img)
     elif p.endswith(".pfm"):
         pimg.write_pfm(p, img)
+    elif p.endswith(".qoi"):
+        pimg.write_qoi(p, np.clip(img, 0, 1))
     else:
         pimg.write_png(p, np.clip(img, 0, 1))
 

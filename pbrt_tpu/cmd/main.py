@@ -68,6 +68,23 @@ def main(argv=None):
              time.time() - t0, desc.scene.tri_p0.shape[0],
              desc.scene.lights.packed.shape[0])
 
+    if desc.integrator.get("name") == "function":
+        # sampler-convergence mode, no rendering (integrators.h:481)
+        from ..integrators import function as fnint
+        rows, avg = fnint.run(
+            function=desc.integrator.get("function", "step"),
+            sampler=smp.kind_name(desc.sampler),
+            spp=args.spp or desc.sampler.spp,
+            resolution=(desc.film_params["xres"], desc.film_params["yres"]))
+        text = "".join(f"{n} {mse:f}\n" for n, mse in rows)
+        outname = desc.integrator.get("filename") or \
+            f"{desc.integrator.get('function', 'step')}-mse.txt"
+        with open(outname, "w") as f:
+            f.write(text)
+        log.info("function integrator: wrote %s (avg estimate %.5f)",
+                 outname, avg)
+        return 0
+
     cam = desc.camera
     if args.resolution:
         w, h = map(int, args.resolution.lower().split("x"))

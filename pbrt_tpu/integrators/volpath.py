@@ -412,7 +412,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                          scene.spectra_pool)
             tri_rows = jnp.concatenate([isect["p0"], isect["p1"],
                                         isect["p2"]], axis=-1)
-            if scene.light_sampler.kind == lsamp.LS_BVH:
+            if scene.light_sampler.kind in (lsamp.LS_BVH,
+                                            lsamp.LS_EXHAUSTIVE):
                 pick_pmf = lsamp.light_pmf(scene.light_sampler,
                                            light_idx=li_safe, p=o)
             else:

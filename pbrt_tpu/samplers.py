@@ -78,12 +78,20 @@ class SamplerParams:
     jitter: bool = struct.field(pytree_node=False, default=True)
 
 
+_KIND_NAMES = {"independent": SAMPLER_INDEPENDENT,
+               "stratified": SAMPLER_STRATIFIED,
+               "zsobol": SAMPLER_ZSOBOL, "sobol": SAMPLER_SOBOL,
+               "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON,
+               "pmj02bn": SAMPLER_PMJ02BN}
+
+
+def kind_name(params: "SamplerParams") -> str:
+    return {v: k for k, v in _KIND_NAMES.items()}[params.kind]
+
+
 def make_sampler(kind="zsobol", spp=16, seed=0, full_resolution=(1024, 1024),
                  jitter=True) -> SamplerParams:
-    kinds = {"independent": SAMPLER_INDEPENDENT, "stratified": SAMPLER_STRATIFIED,
-             "zsobol": SAMPLER_ZSOBOL, "sobol": SAMPLER_SOBOL,
-             "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON,
-             "pmj02bn": SAMPLER_PMJ02BN}
+    kinds = _KIND_NAMES
     k = kinds[kind]
     if k in (SAMPLER_ZSOBOL, SAMPLER_SOBOL, SAMPLER_PADDED_SOBOL,
              SAMPLER_PMJ02BN):

@@ -785,6 +785,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             name = p.parse_string()
             ps = p.parse_params()
             integrator = dict(name=name, max_depth=ps.int("maxdepth", 5))
+            if name == "function":
+                integrator["function"] = ps.string("function", "step")
+                integrator["filename"] = ps.string("filename", "")
         elif tok == "Accelerator":
             p.parse_string()
             p.parse_params()

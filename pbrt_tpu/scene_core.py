@@ -576,10 +576,10 @@ class SceneBuilder:
 
     def build(self, light_sampler="power", force_bvh=None) -> Scene:
         n_tri = len(self.v0)
-        if n_tri == 0 and (self.quadric_rows or self.curve_seg_rows
-                           or self.instances or self.iface_rows
-                           or self.blp_list or self.media.rows):
+        if n_tri == 0:
             # a dummy far-away triangle keeps the triangle pipeline non-empty
+            # (also makes a fully-empty world — e.g. a "function"-integrator
+            # scene — buildable)
             self.add_mesh([[9e8, 9e8, 9e8], [9.0001e8, 9e8, 9e8],
                            [9e8, 9.0001e8, 9e8]], [[0, 1, 2]],
                           self.materials.add_diffuse((0, 0, 0)))
@@ -654,7 +654,7 @@ class SceneBuilder:
             quad_tags = ()
         ls = lsamp.make_light_sampler(light_sampler, powers,
                                       light_bounds=light_bounds)
-        if ls.kind == lsamp.LS_BVH:
+        if ls.kind in (lsamp.LS_BVH, lsamp.LS_EXHAUSTIVE):
             pmfs = np.full(max(len(rows), 1), 1.0 / max(len(rows), 1), np.float32)
         else:
             pmfs = np.asarray(ls.pmf_table, np.float32)

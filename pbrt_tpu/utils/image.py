@@ -269,6 +269,117 @@ def _exr_predictor_decode(data: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# QOI codec ("Quite OK Image", qoiformat.org spec; the reference reads/writes
+# QOI via the vendored ext/qoi single-header, util/image.cpp:869-886).
+
+_QOI_OP_INDEX, _QOI_OP_DIFF, _QOI_OP_LUMA, _QOI_OP_RUN = 0x00, 0x40, 0x80, 0xC0
+_QOI_OP_RGB, _QOI_OP_RGBA = 0xFE, 0xFF
+
+
+def write_qoi(path, img: np.ndarray):
+    """img: (H, W, 3|4) uint8, or float in [0,1] (converted with rounding)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    h, w, nc = img.shape
+    assert nc in (3, 4), "QOI supports 3 or 4 channels"
+    out = bytearray()
+    out += b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    out += bytes([nc, 0])  # channels, colorspace = sRGB
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    flat = img.reshape(-1, nc)
+    for px in flat:
+        r, g, b = int(px[0]), int(px[1]), int(px[2])
+        a = int(px[3]) if nc == 4 else 255
+        cur = (r, g, b, a)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(_QOI_OP_RUN | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(_QOI_OP_RUN | (run - 1))
+            run = 0
+        ih = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[ih] == cur:
+            out.append(_QOI_OP_INDEX | ih)
+        else:
+            index[ih] = cur
+            if a == prev[3]:
+                dr = (r - prev[0] + 128) % 256 - 128
+                dg = (g - prev[1] + 128) % 256 - 128
+                db = (b - prev[2] + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(_QOI_OP_DIFF | ((dr + 2) << 4)
+                               | ((dg + 2) << 2) | (db + 2))
+                elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                      and -8 <= db - dg <= 7):
+                    out.append(_QOI_OP_LUMA | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes([_QOI_OP_RGB, r, g, b])
+            else:
+                out += bytes([_QOI_OP_RGBA, r, g, b, a])
+        prev = cur
+    if run:
+        out.append(_QOI_OP_RUN | (run - 1))
+    out += b"\x00\x00\x00\x00\x00\x00\x00\x01"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_qoi(path) -> np.ndarray:
+    """Returns (H, W, 3|4) uint8."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"qoif":
+        raise ValueError(f"{path}: not a QOI file")
+    w = int.from_bytes(data[4:8], "big")
+    h = int.from_bytes(data[8:12], "big")
+    nc = data[12]
+    out = np.empty((h * w, 4), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    n = h * w
+    while i < n:
+        byte = data[pos]; pos += 1
+        if byte == _QOI_OP_RGB:
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]; pos += 3
+        elif byte == _QOI_OP_RGBA:
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        else:
+            tag = byte & 0xC0
+            if tag == _QOI_OP_INDEX:
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == _QOI_OP_DIFF:
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == _QOI_OP_LUMA:
+                dg = (byte & 0x3F) - 32
+                b2 = data[pos]; pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:  # run
+                cnt = (byte & 0x3F) + 1
+                out[i:i + cnt] = (r, g, b, a)
+                i += cnt
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b, a)
+        i += 1
+    return out.reshape(h, w, 4)[..., :nc]
+
+
+# ---------------------------------------------------------------------------
 # Metrics (reference cmd/imgtool.cpp diff: MAE/MSE/MRSE)
 
 def image_mae(a, b):

@@ -42,3 +42,19 @@ def test_metrics():
     assert pimg.image_mae(a, b) == 2.0
     assert pimg.image_mse(a, b) == 4.0
     assert pimg.image_mrse(a, b) == 4.0 / 4.01
+
+
+def test_qoi_roundtrip(tmp_path):
+    """QOI codec (qoiformat.org; reference util/image.cpp QOI read/write)."""
+    rng = np.random.RandomState(0)
+    img = np.zeros((40, 50, 3), np.uint8)
+    img[:10] = 7                                       # QOI_OP_RUN
+    img[10:20] = rng.randint(0, 255, (10, 50, 3))      # RGB/INDEX ops
+    img[20:] = (np.cumsum(rng.randint(-2, 2, (20, 50, 3)), axis=1)
+                % 256).astype(np.uint8)                # DIFF/LUMA ops
+    p = str(tmp_path / "t.qoi")
+    pimg.write_qoi(p, img)
+    np.testing.assert_array_equal(pimg.read_qoi(p), img)
+    img4 = rng.randint(0, 255, (16, 16, 4)).astype(np.uint8)
+    pimg.write_qoi(p, img4)
+    np.testing.assert_array_equal(pimg.read_qoi(p), img4)

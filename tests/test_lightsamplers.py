@@ -101,3 +101,51 @@ def test_bvh_render_matches_power_render():
     m_pow = imgs["power"].mean()
     m_bvh = imgs["bvh"].mean()
     np.testing.assert_allclose(m_bvh, m_pow, rtol=0.06), (m_bvh, m_pow)
+
+
+def test_exhaustive_sampler_pmf_matches_frequency():
+    """Exhaustive sampler (reference lightsamplers.h:407): dense per-light
+    importance pick; pmf must equal empirical frequency and sum to 1."""
+    scene = _many_light_scene(10, light_sampler="exhaustive")
+    ls = scene.light_sampler
+    assert ls.kind == lsamp.LS_EXHAUSTIVE
+    n = 100_000
+    u = jnp.asarray(np.random.RandomState(2).rand(n), jnp.float32)
+    p = jnp.broadcast_to(jnp.asarray([3.0, 0.5, -2.0]), (n, 3))
+    idx, pmf, u2 = lsamp.sample_light(ls, u, p=p)
+    idx = np.asarray(idx)
+    n_lights = scene.lights.packed.shape[0]
+    freq = np.bincount(idx, minlength=n_lights) / n
+    li = jnp.arange(n_lights, dtype=jnp.int32)
+    pq = jnp.broadcast_to(jnp.asarray([3.0, 0.5, -2.0]), (n_lights, 3))
+    pmf_q = np.asarray(lsamp.light_pmf(ls, light_idx=li, p=pq))
+    np.testing.assert_allclose(pmf_q.sum(), 1.0, rtol=1e-3)
+    for l in range(n_lights):
+        if pmf_q[l] > 0.005:
+            assert abs(freq[l] - pmf_q[l]) < 0.01 + 3 * np.sqrt(pmf_q[l] / n)
+    np.testing.assert_allclose(np.asarray(pmf), pmf_q[idx], rtol=1e-3,
+                               atol=1e-6)
+    assert np.all((np.asarray(u2) >= 0) & (np.asarray(u2) < 1))
+
+
+def test_exhaustive_agrees_with_bvh_preference():
+    """Both importance-aware samplers should prefer the near light."""
+    sc_ex = _many_light_scene(8, light_sampler="exhaustive", seed=5)
+    sc_bvh = _many_light_scene(8, light_sampler="bvh", seed=5)
+    n = 50_000
+    u = jnp.asarray(np.random.RandomState(3).rand(n), jnp.float32)
+    # directly under light 1 (lights start at index... probe all)
+    p = jnp.broadcast_to(jnp.asarray([0.0, 4.9, 0.0]), (n, 3))
+    i_ex, _, _ = lsamp.sample_light(sc_ex.light_sampler, u, p=p)
+    i_bvh, _, _ = lsamp.sample_light(sc_bvh.light_sampler, u, p=p)
+    n_lights = sc_ex.lights.packed.shape[0]
+    f_ex = np.bincount(np.asarray(i_ex), minlength=n_lights) / n
+    f_bvh = np.bincount(np.asarray(i_bvh), minlength=n_lights) / n
+    # the exhaustive distribution is the ground truth the BVH approximates;
+    # cluster-level cone unions can reorder the top lights, but the two
+    # distributions must be strongly correlated and agree on the important set
+    corr = np.corrcoef(f_ex, f_bvh)[0, 1]
+    assert corr > 0.5, (corr, f_ex, f_bvh)
+    top_ex = set(np.argsort(f_ex)[-4:])
+    top_bvh = set(np.argsort(f_bvh)[-4:])
+    assert len(top_ex & top_bvh) >= 3, (top_ex, top_bvh)
