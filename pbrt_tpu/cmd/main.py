@@ -44,7 +44,23 @@ def main(argv=None):
     ap.add_argument("--chips", type=int, default=0,
                     help="shard pixels over this many devices "
                          "(0 = single device; parallel/mesh.py DP)")
+    ap.add_argument("--format", action="store_true",
+                    help="re-emit the scene canonically formatted and exit "
+                         "(reference --format)")
+    ap.add_argument("--upgrade", action="store_true",
+                    help="re-emit the scene upgraded from pbrt-v3 syntax "
+                         "and exit (reference --upgrade)")
+    ap.add_argument("--toply", action="store_true",
+                    help="with --format/--upgrade: extract large triangle "
+                         "meshes to .ply files (reference --toply)")
     args = ap.parse_args(argv)
+
+    if args.format or args.upgrade or args.toply:
+        from ..scene.format import format_file
+        f = format_file(args.scene,
+                        out=open(args.outfile, "w") if args.outfile else None,
+                        upgrade=args.upgrade, toply=args.toply)
+        return 1 if f.warnings else 0
 
     if args.cpu:
         import jax
