@@ -95,6 +95,14 @@ def main(argv=None):
     asm.add_argument("infiles", nargs="+")
     asm.add_argument("--outfile", required=True)
 
+    dn = sub.add_parser("denoise",
+                        help="AOV-guided a-trous denoise (role of imgtool "
+                             "denoise-optix; input: GBuffer EXR)")
+    dn.add_argument("infile")
+    dn.add_argument("--outfile", required=True)
+    dn.add_argument("--iterations", type=int, default=5)
+    dn.add_argument("--sigma-color", type=float, default=4.0)
+
     bl = sub.add_parser("bloom", help="bloom effect (imgtool.cpp bloom)")
     bl.add_argument("infile")
     bl.add_argument("--outfile", required=True)
@@ -241,6 +249,14 @@ def main(argv=None):
             img = _read(f)
             total = img if total is None else total + img
         _write(args.outfile, total)
+        return 0
+    if args.cmd == "denoise":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from ..denoise import denoise_gbuffer_exr
+        denoise_gbuffer_exr(args.infile, args.outfile,
+                            iterations=args.iterations,
+                            sigma_color=args.sigma_color)
         return 0
     if args.cmd == "bloom":
         return _cmd_bloom(args)

@@ -253,6 +253,63 @@ def read_exr(path) -> np.ndarray:
     return img
 
 
+def read_exr_channels(path) -> dict:
+    """All named channels of a (possibly multi-channel AOV) EXR:
+    {name: (H, W) float32} — inverse of write_exr_channels."""
+    import io
+    # reuse read_exr's parser by re-reading with channel collapse disabled:
+    # the cheap approach is to re-run the scanline parse here.
+    data = Path(path).read_bytes()
+    assert data[:4] == b"\x76\x2f\x31\x01"
+    pos = 8
+    attrs = {}
+    while data[pos] != 0:
+        e = data.index(b"\x00", pos)
+        name = data[pos:e].decode()
+        pos = e + 1
+        e = data.index(b"\x00", pos)
+        pos = e + 1
+        ln = pystruct.unpack("<I", data[pos:pos + 4])[0]
+        pos += 4
+        attrs[name] = data[pos:pos + ln]
+        pos += ln
+    pos += 1
+    x0, y0, x1, y1 = pystruct.unpack("<iiii", attrs["dataWindow"])
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    comp = attrs["compression"][0]
+    ch, ch_type = [], []
+    cdata = attrs["channels"]
+    cpos = 0
+    while cdata[cpos] != 0:
+        e = cdata.index(b"\x00", cpos)
+        ch.append(cdata[cpos:e].decode())
+        ch_type.append(pystruct.unpack("<i", cdata[e + 1:e + 5])[0])
+        cpos = e + 1 + 16
+    sizes = [2 if t == 1 else 4 for t in ch_type]
+    dtypes = [np.float16 if t == 1 else np.float32 for t in ch_type]
+    lines_per_block = 16 if comp == 3 else 1
+    n_blocks = (h + lines_per_block - 1) // lines_per_block
+    offsets = pystruct.unpack(f"<{n_blocks}Q", data[pos:pos + 8 * n_blocks])
+    img = np.zeros((h, w, len(ch)), np.float32)
+    bytes_per_line = w * sum(sizes)
+    for off in offsets:
+        y, ln = pystruct.unpack("<iI", data[off:off + 8])
+        raw = data[off + 8:off + 8 + ln]
+        n_lines = min(lines_per_block, y1 - y + 1)
+        if comp in (2, 3, 4) and ln != bytes_per_line * n_lines:
+            raw = zlib.decompress(raw)
+            raw = _exr_predictor_decode(raw)
+        for li in range(n_lines):
+            line = raw[li * bytes_per_line:(li + 1) * bytes_per_line]
+            cp = 0
+            for ci in range(len(ch)):
+                n = w * sizes[ci]
+                img[y - y0 + li, :, ci] = np.frombuffer(
+                    line[cp:cp + n], dtypes[ci]).astype(np.float32)
+                cp += n
+    return {c: img[:, :, i] for i, c in enumerate(ch)}
+
+
 def _exr_predictor_decode(data: bytes) -> bytes:
     """Inverse of _exr_predictor_encode: un-delta THEN un-reorder."""
     d = np.frombuffer(data, np.uint8).astype(np.int64)
