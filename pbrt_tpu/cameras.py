@@ -392,3 +392,87 @@ def pixel_cone_spread(cam: Camera):
         return 2.0 * cam.tan_half_fov * \
             (cam.screen_max[0] - cam.screen_min[0]) / 2.0 / cam.width
     return jnp.float32(1.0 / cam.width)
+
+
+# ---------------------------------------------------------------------------
+# Camera importance (reference cameras.cpp PerspectiveCamera::We / PDF_We /
+# SampleWi) — the camera-as-sensor side of the path integral, needed by the
+# light-transport family (LightPath / BDPT splats).
+
+def _image_plane_area(cam: Camera):
+    """Area of the film's image rectangle on the z=1 camera plane."""
+    sx = (cam.screen_max[0] - cam.screen_min[0])
+    sy = (cam.screen_max[1] - cam.screen_min[1])
+    return jnp.abs(sx * sy) * cam.tan_half_fov * cam.tan_half_fov
+
+
+def camera_we(cam: Camera, o_w, d_w):
+    """Importance We of rays (o, d) arriving at the lens, plus the raster
+    point they focus to. Perspective only.
+
+    Returns dict(we (N,), p_raster (N, 2), valid (N,)).
+    (reference PerspectiveCamera::We, cameras.cpp)"""
+    m = cam.c2w_m
+    fwd = m[:3, 2]                           # camera +z in world
+    cos_theta = vm.dot(d_w, fwd)
+    valid = cos_theta > 1e-6
+    ct = jnp.maximum(cos_theta, 1e-6)
+    lens_ok = cam.lens_radius > 0
+    focus_t = jnp.where(lens_ok, cam.focal_distance, 1.0) / ct
+    p_focus_w = o_w + focus_t[..., None] * d_w
+    # world -> camera
+    r = m[:3, :3]
+    p_cam = (p_focus_w - m[:3, 3]) @ r      # R^T (inverse rotation)
+    z = jnp.maximum(p_cam[..., 2], 1e-6)
+    sx = p_cam[..., 0] / (z * cam.tan_half_fov)
+    sy = p_cam[..., 1] / (z * cam.tan_half_fov)
+    px = (sx - cam.screen_min[0]) / (cam.screen_max[0] - cam.screen_min[0]) \
+        * cam.width
+    py = (cam.screen_max[1] - sy) / (cam.screen_max[1] - cam.screen_min[1]) \
+        * cam.height
+    inside = (px >= 0) & (px < cam.width) & (py >= 0) & (py < cam.height)
+    valid = valid & inside
+    lens_area = jnp.where(lens_ok, PI * cam.lens_radius ** 2, 1.0)
+    we = 1.0 / (_image_plane_area(cam) * lens_area * ct ** 4)
+    return dict(we=jnp.where(valid, we, 0.0),
+                p_raster=jnp.stack([px, py], -1), valid=valid)
+
+
+def camera_sample_wi(cam: Camera, p_ref, u_lens):
+    """Sample a lens point and the direction from p_ref toward it
+    (reference PerspectiveCamera::SampleWi).
+
+    Returns dict(wi (N,3) toward camera, we (N,), pdf (N,) solid angle at
+    p_ref, p_raster (N,2), p_lens (N,3), valid (N,))."""
+    from .utils import sampling as sp
+    m = cam.c2w_m
+    lens_ok = cam.lens_radius > 0
+    p_l2 = cam.lens_radius * sp.sample_uniform_disk_concentric(u_lens)
+    p_lens_cam = jnp.stack([p_l2[..., 0], p_l2[..., 1],
+                            jnp.zeros_like(p_l2[..., 0])], -1)
+    p_lens_w = p_lens_cam @ m[:3, :3].T + m[:3, 3]
+    fwd = m[:3, 2]
+    wi = p_lens_w - p_ref
+    dist = jnp.maximum(vm.length(wi), 1e-9)
+    wi = wi / dist[..., None]
+    lens_area = jnp.where(lens_ok, PI * cam.lens_radius ** 2, 1.0)
+    cos_lens = jnp.abs(vm.dot(fwd, wi))
+    pdf = dist * dist / (jnp.maximum(cos_lens, 1e-9) * lens_area)
+    we = camera_we(cam, p_lens_w, -wi)
+    return dict(wi=wi, we=we["we"], pdf=pdf, p_raster=we["p_raster"],
+                p_lens=p_lens_w, valid=we["valid"])
+
+
+def camera_pdf_we(cam: Camera, o_w, d_w):
+    """(pdf_pos, pdf_dir) of GenerateRay producing ray (o, d)
+    (reference PerspectiveCamera::PDF_We) — BDPT camera-vertex pdfs."""
+    m = cam.c2w_m
+    fwd = m[:3, 2]
+    we = camera_we(cam, o_w, d_w)
+    cos_theta = jnp.maximum(vm.dot(d_w, fwd), 1e-6)
+    lens_ok = cam.lens_radius > 0
+    lens_area = jnp.where(lens_ok, PI * cam.lens_radius ** 2, 1.0)
+    pdf_pos = jnp.where(we["valid"], 1.0 / lens_area, 0.0)
+    pdf_dir = jnp.where(we["valid"],
+                        1.0 / (_image_plane_area(cam) * cos_theta ** 3), 0.0)
+    return pdf_pos, pdf_dir

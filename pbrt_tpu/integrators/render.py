@@ -32,6 +32,9 @@ def wave_module(scene, integrator=None):
     if integrator in ("ao", "ambientocclusion"):
         from . import ao as ao_mod
         return ao_mod
+    if integrator == "lightpath":
+        from . import lightpath as lp_mod
+        return lp_mod
     if integrator == "path":
         return path_mod
     if integrator == "volpath":
@@ -56,6 +59,14 @@ def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
     """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
     overhead measured on the axon TPU tunnel)."""
     mod = wave_module(scene, integrator)
+
+    if hasattr(mod, "render_wave_film"):
+        # splat-style integrators (lightpath) update the film directly
+        def body(i, film):
+            sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
+            return mod.render_wave_film(scene, camera, sampler, filt, sensor,
+                                        film, pixel_idx, sample_index, opts)
+        return jax.lax.fori_loop(0, k, body, film)
 
     def body(i, film):
         sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
@@ -156,6 +167,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     dt = time.time() - t0
     if stats is not None:
         stats.add_time("render/wave loop", dt)
-    img = film_mod.get_image(film, sensor, colorspace)
+    splat_scale = 1.0 / max(s, 1) if integrator == "lightpath" else 1.0
+    img = film_mod.get_image(film, sensor, colorspace,
+                             splat_scale=splat_scale)
     return img, dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),
                      spp=sampler.spp)

@@ -784,3 +784,177 @@ def compute_light_power(tag, scale, spectrum: spc.Spectrum, area=None,
         img_mean = area if area is not None else 1.0
         return 4 * np.pi * img_mean * lum
     return lum
+
+
+# ---------------------------------------------------------------------------
+# Emission sampling (reference Light::SampleLe / PDF_Le, lights.cpp) — the
+# light-side of the path integral for LightPath/BDPT.
+
+def sample_le(lights: LightPool, light_idx, u0, u1, lam, spectra_pool,
+              tri_geo, scene_radius, scene_center, env: "EnvLight" = None,
+              spec_cache=None):
+    """Sample an emitted ray from light light_idx.
+
+    u0, u1: (N, 2); returns dict(o (N,3), d (N,3), L (N,4), pdf_pos (N,),
+    pdf_dir (N,), n_l (N,3) surface normal at the emitter (area lights),
+    has_area (N,) bool, valid (N,)).
+
+    Sampling strategies per type (each self-consistent with its pdf;
+    efficiency refinements of the reference — e.g. the SpotLight two-zone
+    cone split — are intentionally simplified to single-zone warps):
+      point/projection/goniometric: uniform sphere direction
+      spot: uniform cone up to the outer falloff angle
+      distant/infinite: world-radius disk origin, fixed/uniform direction
+      area tri / sphere: uniform-area point + cosine hemisphere
+    """
+    from .ops.gather import pool_lookup
+    from .utils import sampling as sp
+    row = LightRow(pool_lookup(lights.packed, light_idx))
+    tag = row.tag
+    lp = row.p
+    ldir = row.dir
+    Lspec = _lspec(spectra_pool, row.spec_idx, row.scale, lam, spec_cache)
+    N = lam.shape[0]
+
+    present = lights.tags_present
+    if present is None:
+        present = (LIGHT_POINT, LIGHT_DISTANT, LIGHT_SPOT, LIGHT_AREA_TRI,
+                   LIGHT_UNIFORM_INFINITE, LIGHT_IMAGE_INFINITE,
+                   LIGHT_AREA_SPHERE, LIGHT_PROJECTION, LIGHT_GONIOMETRIC)
+    single = len(present) == 1
+
+    o = jnp.zeros_like(lp)
+    d = jnp.zeros_like(lp)
+    L = jnp.zeros_like(lam)
+    pdf_pos = jnp.zeros((N,), jnp.float32)
+    pdf_dir = jnp.zeros((N,), jnp.float32)
+    n_l = jnp.zeros_like(lp)
+    has_area = jnp.zeros((N,), bool)
+
+    def pick(tagv, vals, cur):
+        if single:
+            return vals
+        m = tag == tagv
+        out = []
+        for v, c in zip(vals, cur):
+            mm = m[..., None] if v.ndim == c.ndim == 2 else m
+            out.append(jnp.where(mm, v, c))
+        return out
+
+    d_sph = sp.sample_uniform_sphere(u1)
+    inv4pi = 1.0 / (4.0 * np.pi)
+
+    if LIGHT_POINT in present:
+        vals = (lp, d_sph, Lspec, jnp.ones((N,), jnp.float32),
+                jnp.full((N,), inv4pi), d_sph, jnp.zeros((N,), bool))
+        o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+            LIGHT_POINT, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
+
+    if LIGHT_SPOT in present:
+        # uniform cone around ldir up to cos_falloff_end (row.cfe)
+        frame_t1, frame_t2 = vm.coordinate_system(ldir)
+        d_cone_local = sp.sample_uniform_cone(u1, row.cfe)
+        d_cone = (d_cone_local[..., 0:1] * frame_t1 +
+                  d_cone_local[..., 1:2] * frame_t2 +
+                  d_cone_local[..., 2:3] * ldir)
+        cos_t = vm.dot(d_cone, ldir)
+        t = jnp.clip(safe_div(cos_t - row.cfe, row.cfs - row.cfe), 0.0, 1.0)
+        falloff = t * t * (3.0 - 2.0 * t)
+        falloff = jnp.where(cos_t >= row.cfs, 1.0, falloff)
+        pdf_cone = 1.0 / (2.0 * np.pi * jnp.maximum(1.0 - row.cfe, 1e-9))
+        vals = (lp, d_cone, Lspec * falloff[..., None],
+                jnp.ones((N,), jnp.float32), pdf_cone, d_cone,
+                jnp.zeros((N,), bool))
+        o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+            LIGHT_SPOT, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
+
+    if LIGHT_PROJECTION in present or LIGHT_GONIOMETRIC in present:
+        mod = _image_delta_modulation(lights, row, -d_sph, lam,
+                                      tag == LIGHT_PROJECTION)
+        vals = (lp, d_sph, Lspec * mod, jnp.ones((N,), jnp.float32),
+                jnp.full((N,), inv4pi), d_sph, jnp.zeros((N,), bool))
+        for tg in (LIGHT_PROJECTION, LIGHT_GONIOMETRIC):
+            if tg in present:
+                o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+                    tg, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
+
+    if LIGHT_DISTANT in present or LIGHT_UNIFORM_INFINITE in present or \
+            (LIGHT_IMAGE_INFINITE in present):
+        # world-disk origin construction (reference DistantLight::SampleLe)
+        r = scene_radius * 1.0001
+        disk = sp.sample_uniform_disk_concentric(u0)
+        pdf_disk = 1.0 / (np.pi * r * r)
+        if LIGHT_DISTANT in present:
+            dd = vm.normalize(ldir)
+            t1d, t2d = vm.coordinate_system(dd)
+            p0 = scene_center + r * (disk[..., 0:1] * t1d +
+                                     disk[..., 1:2] * t2d - dd)
+            vals = (p0, dd, Lspec, jnp.full((N,), pdf_disk),
+                    jnp.ones((N,), jnp.float32), dd, jnp.zeros((N,), bool))
+            o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+                LIGHT_DISTANT, vals, (o, d, L, pdf_pos, pdf_dir, n_l,
+                                      has_area))
+        inf_present = [t for t in (LIGHT_UNIFORM_INFINITE,
+                                   LIGHT_IMAGE_INFINITE) if t in present]
+        for tg in inf_present:
+            dd = d_sph
+            t1d, t2d = vm.coordinate_system(dd)
+            p0 = scene_center + r * (disk[..., 0:1] * t1d +
+                                     disk[..., 1:2] * t2d - dd)
+            if tg == LIGHT_IMAGE_INFINITE and env is not None:
+                Le = env_radiance(env, -dd, lam)
+            else:
+                Le = Lspec
+            vals = (p0, dd, Le, jnp.full((N,), pdf_disk),
+                    jnp.full((N,), inv4pi), dd, jnp.zeros((N,), bool))
+            o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+                tg, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
+
+    if LIGHT_AREA_TRI in present:
+        from .ops.gather import pool_lookup as pl
+        ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
+        geo = pl(tri_geo, ti)
+        a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+        bary = sp.sample_uniform_triangle(u0)
+        p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
+        ngv = vm.cross(b - a, c - a)
+        area = jnp.maximum(0.5 * vm.length(ngv), 1e-12)
+        ngv = vm.normalize(ngv)
+        # cosine hemisphere about the normal; two-sided lights flip with a
+        # remapped u (reference DiffuseAreaLight::SampleLe)
+        two = row.two_sided
+        uflip = u1[..., 0]
+        flip = two & (uflip < 0.5)
+        u1r = jnp.where(two[..., None], jnp.stack(
+            [jnp.where(flip, uflip * 2.0, (uflip - 0.5) * 2.0),
+             u1[..., 1]], -1), u1)
+        w_local = sp.sample_cosine_hemisphere(u1r)
+        t1a, t2a = vm.coordinate_system(ngv)
+        nn = jnp.where(flip[..., None], -ngv, ngv)
+        w = (w_local[..., 0:1] * t1a + w_local[..., 1:2] * t2a +
+             w_local[..., 2:3] * nn)
+        pdir = jnp.abs(w_local[..., 2]) / np.pi
+        pdir = jnp.where(two, pdir * 0.5, pdir)
+        vals = (p_tri, w, Lspec, 1.0 / area, pdir, nn,
+                jnp.ones((N,), bool))
+        o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+            LIGHT_AREA_TRI, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
+
+    if LIGHT_AREA_SPHERE in present:
+        rad = jnp.maximum(row.cfs, 1e-9)
+        n_s = sp.sample_uniform_sphere(u0)
+        p_s = lp + rad[..., None] * n_s
+        w_local = sp.sample_cosine_hemisphere(u1)
+        t1s, t2s = vm.coordinate_system(n_s)
+        w = (w_local[..., 0:1] * t1s + w_local[..., 1:2] * t2s +
+             w_local[..., 2:3] * n_s)
+        pdir = jnp.abs(w_local[..., 2]) / np.pi
+        vals = (p_s, w, Lspec, 1.0 / (4.0 * np.pi * rad * rad), pdir, n_s,
+                jnp.ones((N,), bool))
+        o, d, L, pdf_pos, pdf_dir, n_l, has_area = pick(
+            LIGHT_AREA_SPHERE, vals, (o, d, L, pdf_pos, pdf_dir, n_l,
+                                      has_area))
+
+    valid = (pdf_pos > 0) & (pdf_dir > 0) & jnp.any(L != 0, axis=-1)
+    return dict(o=o, d=d, L=L, pdf_pos=pdf_pos, pdf_dir=pdf_dir, n_l=n_l,
+                has_area=has_area, valid=valid, two_sided=row.two_sided)
