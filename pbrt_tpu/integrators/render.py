@@ -35,6 +35,9 @@ def wave_module(scene, integrator=None):
     if integrator == "lightpath":
         from . import lightpath as lp_mod
         return lp_mod
+    if integrator == "bdpt":
+        from . import bdpt as bdpt_mod
+        return bdpt_mod
     if integrator == "path":
         return path_mod
     if integrator == "volpath":
@@ -167,7 +170,7 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     dt = time.time() - t0
     if stats is not None:
         stats.add_time("render/wave loop", dt)
-    splat_scale = 1.0 / max(s, 1) if integrator == "lightpath" else 1.0
+    splat_scale = 1.0 / max(s, 1) if integrator in ("lightpath", "bdpt") else 1.0
     img = film_mod.get_image(film, sensor, colorspace,
                              splat_scale=splat_scale)
     return img, dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),

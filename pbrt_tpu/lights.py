@@ -958,3 +958,67 @@ def sample_le(lights: LightPool, light_idx, u0, u1, lam, spectra_pool,
     valid = (pdf_pos > 0) & (pdf_dir > 0) & jnp.any(L != 0, axis=-1)
     return dict(o=o, d=d, L=L, pdf_pos=pdf_pos, pdf_dir=pdf_dir, n_l=n_l,
                 has_area=has_area, valid=valid, two_sided=row.two_sided)
+
+
+def pdf_le(lights: LightPool, light_idx, w, tri_geo, scene_radius):
+    """(pdf_pos, pdf_dir) of sample_le emitting in direction w from light
+    light_idx (reference Light::PDF_Le).  Matches THIS module's sampling
+    strategies (see sample_le docstring).  w: (N, 3) unit directions."""
+    from .ops.gather import pool_lookup
+    row = LightRow(pool_lookup(lights.packed, light_idx))
+    tag = row.tag
+    N = w.shape[0]
+    inv4pi = 1.0 / (4.0 * np.pi)
+
+    pdf_pos = jnp.ones((N,), jnp.float32)
+    pdf_dir = jnp.full((N,), inv4pi, jnp.float32)
+
+    # spot: uniform cone
+    cos_sp = vm.dot(w, row.dir)
+    pdf_cone = jnp.where(cos_sp >= row.cfe,
+                         1.0 / (2.0 * np.pi *
+                                jnp.maximum(1.0 - row.cfe, 1e-9)), 0.0)
+    pdf_dir = jnp.where(tag == LIGHT_SPOT, pdf_cone, pdf_dir)
+    # distant: delta direction
+    pdf_pos = jnp.where(tag == LIGHT_DISTANT,
+                        1.0 / (np.pi * scene_radius ** 2), pdf_pos)
+    pdf_dir = jnp.where(tag == LIGHT_DISTANT, 0.0, pdf_dir)
+    # area triangle: uniform area + cosine hemisphere
+    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
+    geo = pool_lookup(tri_geo, ti)
+    a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+    ngv = vm.cross(b - a, c - a)
+    area = jnp.maximum(0.5 * vm.length(ngv), 1e-12)
+    ngv = vm.normalize(ngv)
+    cos_l = vm.dot(ngv, w)
+    pdir_tri = jnp.where(row.two_sided, jnp.abs(cos_l) / (2.0 * np.pi),
+                         jnp.maximum(cos_l, 0.0) / np.pi)
+    pdf_pos = jnp.where(tag == LIGHT_AREA_TRI, 1.0 / area, pdf_pos)
+    pdf_dir = jnp.where(tag == LIGHT_AREA_TRI, pdir_tri, pdf_dir)
+    # area sphere: needs the surface point for the local cosine; callers
+    # supply w measured from the sampled point, use |cos| via the radial
+    # normal approximation is not available here -> treat via cos with the
+    # direction from center (callers pass n explicitly via pdf_le_area)
+    rad = jnp.maximum(row.cfs, 1e-9)
+    pdf_pos = jnp.where(tag == LIGHT_AREA_SPHERE,
+                        1.0 / (4.0 * np.pi * rad * rad), pdf_pos)
+    # infinite: disk origin + uniform sphere
+    is_inf = (tag == LIGHT_UNIFORM_INFINITE) | (tag == LIGHT_IMAGE_INFINITE)
+    pdf_pos = jnp.where(is_inf, 1.0 / (np.pi * scene_radius ** 2), pdf_pos)
+    return pdf_pos, pdf_dir
+
+
+def light_point_normal(lights: LightPool, light_idx, p_on_light, tri_geo):
+    """Emitter surface normal at a point on an area light (tri: face normal;
+    sphere: radial). Zero vector for point-like lights."""
+    from .ops.gather import pool_lookup
+    row = LightRow(pool_lookup(lights.packed, light_idx))
+    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
+    geo = pool_lookup(tri_geo, ti)
+    a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+    n_tri = vm.normalize(vm.cross(b - a, c - a))
+    n_sph = vm.normalize(p_on_light - row.p)
+    n = jnp.zeros_like(p_on_light)
+    n = jnp.where((row.tag == LIGHT_AREA_TRI)[..., None], n_tri, n)
+    n = jnp.where((row.tag == LIGHT_AREA_SPHERE)[..., None], n_sph, n)
+    return n

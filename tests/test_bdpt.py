@@ -1,0 +1,84 @@
+"""BDPT integrator (reference cpu/integrators.h:345 BDPTIntegrator):
+bidirectional estimates must agree with forward path tracing."""
+import numpy as np
+import pytest
+
+from pbrt_tpu import scene_core as sc
+from pbrt_tpu import scenes, samplers as smp, cameras as cm
+from pbrt_tpu.integrators import render as rdr
+from pbrt_tpu.integrators.path import PathOptions
+from pbrt_tpu.utils import spectrum as spc
+from pbrt_tpu.utils import transform as tfm
+
+
+def test_direct_lighting_matches_path():
+    """max_depth=2: strategies (s,t) = (0,3),(1,2),(2,2),(t=1) must combine
+    to the same direct+one-bounce image path tracing gives."""
+    b = sc.SceneBuilder()
+    md = b.materials.add_diffuse((0.6, 0.6, 0.6))
+    mb = b.materials.add_diffuse((0.0, 0.0, 0.0))
+    b.add_mesh([[-1, 2, 2], [1, 2, 2], [1, 2, 4], [-1, 2, 4]],
+               [[0, 1, 2], [0, 2, 3]], mb,
+               emission=spc.ConstantSpectrum(8.0))
+    b.add_mesh([[-4, -1, 0], [-4, -1, 8], [4, -1, 8], [4, -1, 0]],
+               [[0, 1, 2], [0, 2, 3]], md)
+    scene = b.build(light_sampler="power", force_bvh=False)
+    cam = cm.make_camera(width=32, height=32, fov=70.0,
+                         camera_from_world=tfm.identity())
+    opts = PathOptions(max_depth=2)
+    s = smp.make_sampler("independent", spp=64, full_resolution=(32, 32))
+    img_p, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="path")
+    img_b, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="bdpt")
+    assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.05, \
+        (img_b.mean(), img_p.mean())
+
+
+@pytest.mark.slow
+def test_cornell_bdpt_matches_path():
+    scene, cam = scenes.make_cornell_box(width=40, height=40)
+    opts = PathOptions(max_depth=4)
+    s = smp.make_sampler("independent", spp=64, full_resolution=(40, 40))
+    img_p, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="path")
+    img_b, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="bdpt")
+    assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.04
+    for c in range(3):
+        r = img_b[..., c].mean() / img_p[..., c].mean()
+        assert abs(r - 1.0) < 0.06, (c, r)
+    bp = img_p.reshape(8, 5, 8, 5, 3).mean(axis=(1, 3, 4))
+    bb = img_b.reshape(8, 5, 8, 5, 3).mean(axis=(1, 3, 4))
+    rel = np.abs(bb - bp) / np.maximum(bp, 0.05)
+    assert np.percentile(rel, 90) < 0.25, np.percentile(rel, 90)
+
+
+@pytest.mark.slow
+def test_bdpt_specular_scene_matches_path():
+    """Delta vertices: a smooth conductor floor under an area light —
+    exercises the specular pdf_fwd/pdf_rev = 0 and delta-flag MIS rules."""
+    b = sc.SceneBuilder()
+    mb = b.materials.add_diffuse((0.0, 0.0, 0.0))
+    mwall = b.materials.add_diffuse((0.7, 0.7, 0.7))
+    mmirror = b.materials.add_conductor(roughness=0.0)
+    b.add_mesh([[-1, 2.5, 2], [1, 2.5, 2], [1, 2.5, 4], [-1, 2.5, 4]],
+               [[0, 1, 2], [0, 2, 3]], mb,
+               emission=spc.ConstantSpectrum(6.0))
+    # mirror floor
+    b.add_mesh([[-4, -1, 0], [-4, -1, 8], [4, -1, 8], [4, -1, 0]],
+               [[0, 1, 2], [0, 2, 3]], mmirror)
+    # diffuse back wall catches the reflected light
+    b.add_mesh([[-4, -1, 7], [4, -1, 7], [4, 4, 7], [-4, 4, 7]],
+               [[0, 1, 2], [0, 2, 3]], mwall)
+    scene = b.build(light_sampler="power", force_bvh=False)
+    cam = cm.make_camera(width=32, height=32, fov=70.0,
+                         camera_from_world=tfm.identity())
+    opts = PathOptions(max_depth=4)
+    s = smp.make_sampler("independent", spp=128, full_resolution=(32, 32))
+    img_p, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="path")
+    img_b, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="bdpt")
+    assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.08, \
+        (img_b.mean(), img_p.mean())
