@@ -137,8 +137,8 @@ def main(argv=None):
                                             mesh=mesh)
     else:
         integ = desc.integrator.get("name")
-        integ = integ if integ in ("ao", "ambientocclusion",
-                                   "lightpath", "bdpt") else None
+        integ = integ if integ in ("ao", "ambientocclusion", "lightpath",
+                                   "bdpt", "simplepath", "randomwalk") else None
         img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
                                 progress=not args.quiet, stats=acc,
                                 checkpoint_path=args.checkpoint,

@@ -38,6 +38,19 @@ def wave_module(scene, integrator=None):
     if integrator == "bdpt":
         from . import bdpt as bdpt_mod
         return bdpt_mod
+    if integrator in ("simplepath", "randomwalk"):
+        from . import simple as simple_mod
+        import types
+        kind = integrator
+
+        def rw(scene, camera, sampler, filt, pixel_idx, sample_index, opts):
+            if not isinstance(opts, simple_mod.SimpleOptions) or \
+                    opts.kind != kind:
+                opts = simple_mod.SimpleOptions(max_depth=opts.max_depth,
+                                                kind=kind)
+            return simple_mod.render_wave(scene, camera, sampler, filt,
+                                          pixel_idx, sample_index, opts)
+        return types.SimpleNamespace(render_wave=rw)
     if integrator == "path":
         return path_mod
     if integrator == "volpath":
