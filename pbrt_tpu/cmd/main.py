@@ -138,7 +138,8 @@ def main(argv=None):
     else:
         integ = desc.integrator.get("name")
         integ = integ if integ in ("ao", "ambientocclusion", "lightpath",
-                                   "bdpt", "simplepath", "randomwalk") else None
+                                   "bdpt", "simplepath", "randomwalk",
+                                   "mlt") else None
         img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
                                 progress=not args.quiet, stats=acc,
                                 checkpoint_path=args.checkpoint,

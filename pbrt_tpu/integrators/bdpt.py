@@ -166,9 +166,15 @@ def _fix_prev_rev(verts, prev_rev, endpoints_on_surface):
 
 
 def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
-               sample_index, swl, opts: PathOptions, splat, ls_power=None):
+               sample_index, swl, opts: PathOptions, splat, ls_power=None,
+               p_film=None, collect=False):
     """One BDPT wave. Returns (L (N, 4) for the lane's own pixel from t>=2
-    strategies, updated splat buffer)."""
+    strategies, updated splat buffer).
+
+    p_film: optional (N, 2) raster position override (MLT samples the film
+    plane globally). collect=True returns the per-strategy list
+    [{s, t, L (N,4), p_raster|None}] instead of the summed L (MLT picks one
+    strategy per chain)."""
     lam = swl.lam
     N = lam.shape[0]
     max_depth = opts.max_depth
@@ -188,11 +194,12 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
 
     # ---------------- camera subpath --------------------------------------
     # camera ray was generated by the caller: first vertex is the camera
-    u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
     u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)
-    p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + u_pix[..., 0] - 0.5,
-                        py.astype(jnp.float32) + 0.5 + u_pix[..., 1] - 0.5],
-                       -1)
+    if p_film is None:
+        u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
+        p_film = jnp.stack(
+            [px.astype(jnp.float32) + 0.5 + u_pix[..., 0] - 0.5,
+             py.astype(jnp.float32) + 0.5 + u_pix[..., 1] - 0.5], -1)
     o_cam, d_cam, _t = cam_mod.generate_ray(camera, p_film, u_lens,
                                             jnp.zeros((N,), jnp.float32))
     _, cam_pdf_dir = cam_mod.camera_pdf_we(camera, o_cam, d_cam)
@@ -301,7 +308,7 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             sum_ri = sum_ri + jnp.where(~delta_i & ~dlv, ri, 0.0)
         return 1.0 / (1.0 + sum_ri)
 
-    L_total = jnp.zeros((N, 4), jnp.float32)
+    strategies = []
 
     def vert_f(v, p_toward):
         """f at surface vertex v toward point p_toward (Vertex::f)."""
@@ -338,8 +345,9 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                     cos_pm = jnp.abs(vm.dot(cv[t - 3]["ng"], w_pm))
                     over[("c", t - 2)] = pdir / d2 * cos_pm
                 w = mis_weight(s, t, None, None, pt, None, over)
-                L_total = L_total + jnp.where(ok[..., None],
-                                              Lc * w[..., None], 0.0)
+                strategies.append(dict(s=s, t=t, p_raster=None,
+                                       L=jnp.where(ok[..., None],
+                                                   Lc * w[..., None], 0.0)))
                 continue
 
             if t == 1:
@@ -402,8 +410,9 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                                               n_s1, on_surf1)
                 over[("ld", 0)] = jnp.zeros((N,), bool)
                 w = mis_weight(s, t, sampled, None, pt, None, over)
-                L_total = L_total + jnp.where(ok[..., None],
-                                              Lc * w[..., None], 0.0)
+                strategies.append(dict(s=s, t=t, p_raster=None,
+                                       L=jnp.where(ok[..., None],
+                                                   Lc * w[..., None], 0.0)))
                 continue
 
             # ----- general s >= 2, t >= 2 connection -----
@@ -445,8 +454,9 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 over[("l", 0)] = _surface_pdf(
                     qs, pt["p"], lv0["p"], lv0["ng"], lv0["on_surface"])
             w = mis_weight(s, t, qs, None, pt, None, over)
-            L_total = L_total + jnp.where(ok[..., None],
-                                          Lc * w[..., None], 0.0)
+            strategies.append(dict(s=s, t=t, p_raster=None,
+                                   L=jnp.where(ok[..., None],
+                                               Lc * w[..., None], 0.0)))
 
     # ---------------- t == 1 splat strategies ------------------------------
     def to_rgb(L):
@@ -485,9 +495,19 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             over[("l", 0)] = _surface_pdf(
                 qs, cs["p_lens"], lv0["p"], lv0["ng"], lv0["on_surface"])
         w = mis_weight(s, 1, qs, None, None, None, over)
-        splat = _splat(splat, camera, cs["p_raster"],
-                       to_rgb(Lc * w[..., None]), ok)
+        strategies.append(dict(s=s, t=1, p_raster=cs["p_raster"],
+                               L=jnp.where(ok[..., None],
+                                           Lc * w[..., None], 0.0)))
 
+    if collect:
+        return strategies, splat
+    L_total = jnp.zeros((N, 4), jnp.float32)
+    for st in strategies:
+        if st["t"] == 1:
+            splat = _splat(splat, camera, st["p_raster"], to_rgb(st["L"]),
+                           jnp.any(st["L"] != 0, axis=-1))
+        else:
+            L_total = L_total + st["L"]
     return L_total, splat
 
 

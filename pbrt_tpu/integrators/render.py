@@ -114,6 +114,14 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     display: optional utils.display.DisplayServer — streams the partial
     image to a tev viewer after every fused dispatch (display.h:23)."""
     W, H = camera.width, camera.height
+    if integrator == "mlt":
+        # Markov chains, not sample waves — separate driver (integrators/mlt.py)
+        from . import mlt as mlt_mod
+        mpp = spp if sampler is None else sampler.spp
+        md = opts.max_depth if opts is not None else 5
+        return mlt_mod.render_mlt(scene, camera, max_depth=md,
+                                  mutations_per_pixel=4 * mpp,
+                                  colorspace=colorspace, verbose=verbose)
     if sampler is None:
         sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
     if filt is None:

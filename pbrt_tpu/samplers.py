@@ -25,6 +25,7 @@ SAMPLER_SOBOL = 3
 SAMPLER_PADDED_SOBOL = 4
 SAMPLER_HALTON = 5
 SAMPLER_PMJ02BN = 6
+SAMPLER_TABLE = 7   # per-lane primary-sample-space table (MLT chains)
 
 _U32 = jnp.uint32
 
@@ -76,6 +77,9 @@ class SamplerParams:
     x_strata: int = struct.field(pytree_node=False, default=4)
     y_strata: int = struct.field(pytree_node=False, default=4)
     jitter: bool = struct.field(pytree_node=False, default=True)
+    # SAMPLER_TABLE: (N_lanes, D) primary-sample values; px indexes the lane
+    # (the MLTSampler PSS vector, reference samplers.h:634)
+    table: jnp.ndarray = None
 
 
 _KIND_NAMES = {"independent": SAMPLER_INDEPENDENT,
@@ -231,6 +235,9 @@ def sample_1d(params: SamplerParams, px, py, sample_index, dim):
     py = jnp.asarray(py)
     sample_index = jnp.asarray(sample_index)
     dim = jnp.asarray(dim, jnp.int32) + jnp.zeros_like(px, jnp.int32)
+    if params.kind == SAMPLER_TABLE:
+        d = jnp.clip(dim, 0, params.table.shape[1] - 1)
+        return params.table[px.astype(jnp.int32), d]
     if params.kind == SAMPLER_INDEPENDENT:
         return prng.uniform_float(np.uint32(params.seed), px.astype(_U32),
                                   py.astype(_U32), sample_index.astype(_U32),
@@ -275,6 +282,11 @@ def sample_2d(params: SamplerParams, px, py, sample_index, dim):
     py = jnp.asarray(py)
     sample_index = jnp.asarray(sample_index)
     dim = jnp.asarray(dim, jnp.int32) + jnp.zeros_like(px, jnp.int32)
+    if params.kind == SAMPLER_TABLE:
+        d = jnp.clip(dim, 0, params.table.shape[1] - 2)
+        lane = px.astype(jnp.int32)
+        return jnp.stack([params.table[lane, d],
+                          params.table[lane, d + 1]], axis=-1)
     if params.kind == SAMPLER_INDEPENDENT:
         u = prng.uniform_float(np.uint32(params.seed), px.astype(_U32),
                                py.astype(_U32), sample_index.astype(_U32),
