@@ -89,7 +89,7 @@ def _eval_chains(scene, camera, sensor, table, depth_lane, max_depth,
 
 
 def render_mlt(scene: sc.Scene, camera, max_depth=5, n_chains=16384,
-               n_bootstrap=16384, mutations_per_pixel=32, sigma=0.01,
+               n_bootstrap=131072, mutations_per_pixel=32, sigma=0.01,
                p_large=0.3, sensor=None, colorspace=None, seed=0,
                verbose=False):
     """Render with MLT; returns ((H, W, 3) image, stats dict)."""
@@ -105,11 +105,23 @@ def render_mlt(scene: sc.Scene, camera, max_depth=5, n_chains=16384,
         scene, camera, sensor, tbl, dep, max_depth, ls_power))
 
     # ---- bootstrap: estimate b and draw chain starting states ------------
-    key, k1 = jax.random.split(key)
-    boot_tables = jax.random.uniform(k1, (n_bootstrap, D), jnp.float32)
-    boot_depth = jnp.arange(n_bootstrap, dtype=jnp.int32) % n_depths
-    y_boot, _, _ = eval_j(boot_tables, boot_depth)
-    y_np = np.asarray(y_boot, np.float64)
+    # heavy-tailed y (direct light hits dominate) makes b the main bias
+    # risk — use a large sample like the reference (nBootstrap=100k default)
+    batch = min(n_bootstrap, 16384)
+    tables_np, y_list, dep_list = [], [], []
+    done = 0
+    while done < n_bootstrap:
+        key, k1 = jax.random.split(key)
+        bt = jax.random.uniform(k1, (batch, D), jnp.float32)
+        bd = (done + jnp.arange(batch, dtype=jnp.int32)) % n_depths
+        y_b, _, _ = eval_j(bt, bd)
+        tables_np.append(np.asarray(bt))
+        dep_list.append(np.asarray(bd))
+        y_list.append(np.asarray(y_b, np.float64))
+        done += batch
+    y_np = np.concatenate(y_list)
+    boot_tables = np.concatenate(tables_np)
+    boot_depth = np.concatenate(dep_list)
     b = float(y_np.mean()) * n_depths
     if b <= 0:
         return np.zeros((H, W, 3), np.float32), dict(b=0.0, seconds=0.0)
@@ -118,8 +130,8 @@ def render_mlt(scene: sc.Scene, camera, max_depth=5, n_chains=16384,
     cdf /= cdf[-1]
     rng = np.random.RandomState(seed)
     picks = np.searchsorted(cdf, rng.rand(n_chains))
-    table = jnp.asarray(np.asarray(boot_tables)[picks])
-    depth = jnp.asarray(np.asarray(boot_depth)[picks])
+    table = jnp.asarray(boot_tables[picks])
+    depth = jnp.asarray(boot_depth[picks])
     y_cur, rgb_cur, pr_cur = eval_j(table, depth)
 
     total_mutations = mutations_per_pixel * W * H
