@@ -114,6 +114,13 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     display: optional utils.display.DisplayServer — streams the partial
     image to a tev viewer after every fused dispatch (display.h:23)."""
     W, H = camera.width, camera.height
+    if integrator == "sppm":
+        from . import sppm as sppm_mod
+        mpp = spp if sampler is None else sampler.spp
+        md = opts.max_depth if opts is not None else 5
+        return sppm_mod.render_sppm(scene, camera, n_iterations=mpp,
+                                    max_depth=md, colorspace=colorspace,
+                                    verbose=verbose)
     if integrator == "mlt":
         # Markov chains, not sample waves — separate driver (integrators/mlt.py)
         from . import mlt as mlt_mod
