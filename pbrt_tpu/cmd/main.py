@@ -139,7 +139,7 @@ def main(argv=None):
         integ = desc.integrator.get("name")
         integ = integ if integ in ("ao", "ambientocclusion", "lightpath",
                                    "bdpt", "simplepath", "randomwalk",
-                                   "mlt", "sppm") else None
+                                   "mlt", "sppm", "simplevolpath") else None
         img, stats = rdr.render(desc.scene, cam, sampler=sampler, opts=opts,
                                 progress=not args.quiet, stats=acc,
                                 checkpoint_path=args.checkpoint,

@@ -51,6 +51,11 @@ def wave_module(scene, integrator=None):
             return simple_mod.render_wave(scene, camera, sampler, filt,
                                           pixel_idx, sample_index, opts)
         return types.SimpleNamespace(render_wave=rw)
+    if integrator == "simplevolpath":
+        from . import simple as simple_mod
+        import types
+        return types.SimpleNamespace(
+            render_wave=simple_mod.render_wave_simplevol)
     if integrator == "path":
         return path_mod
     if integrator == "volpath":

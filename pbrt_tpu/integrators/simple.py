@@ -175,3 +175,95 @@ def render_wave(scene, camera, sampler, filt, pixel_idx, sample_index, opts):
         opts = SimpleOptions(max_depth=opts.max_depth)
     L = trace_simple(scene, sampler, px, py, sample_index, o, d, swl, opts)
     return L, swl, f_weight * w
+
+
+def trace_simplevolpath(scene: sc.Scene, sampler, px, py, sample_index,
+                        o, d, swl, opts):
+    """SimpleVolPath (reference cpu/integrators.h:239,
+    integrators.cpp:837+): delta-tracking volumetric transport with phase
+    sampling only — no NEE, no MIS.  Documented divergence: the reference
+    errors out on scattering surfaces; here surface hits terminate the
+    path after collecting any emission (interfaces/vacuum boxes excepted)."""
+    from ..utils import rng as prng
+    from ..utils import sampling as usamp
+    from .volpath import sample_t_maj, EV_ABSORB, EV_SCATTER
+    lam = swl.lam
+    N = o.shape[0]
+    spec_cache = None
+    if scene.spectra_pool.shape[0] <= lgt.SPEC_CACHE_MAX:
+        spec_cache = lgt.eval_all_spectra(scene.spectra_pool, lam)
+
+    def body(depth, state):
+        o, d, beta, L, active = (state["o"], state["d"], state["beta"],
+                                 state["L"], state["active"])
+        isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
+        seed = prng.hash_u32(px.astype(jnp.uint32), py.astype(jnp.uint32),
+                             sample_index.astype(jnp.uint32),
+                             jnp.asarray(depth, jnp.uint32),
+                             np.uint32(0x51f0))
+        ones = jnp.ones((N, 4), jnp.float32)
+        fl = sample_t_maj(scene, o, d, isect["t"], lam, seed, active,
+                          beta, ones, ones)
+        beta = fl["beta"]
+        L = L + jnp.where(active[..., None], fl["em"], 0.0)
+        absorbed = active & (fl["status"] == EV_ABSORB)
+        scattered = active & (fl["status"] == EV_SCATTER)
+        reach = active & ~absorbed & ~scattered
+
+        # surface: collect emission, terminate
+        if scene.has_area_lights:
+            from ..ops.gather import pool_lookup
+            li = isect["light"]
+            lrow = lgt.LightRow(pool_lookup(scene.lights.packed,
+                                            jnp.maximum(li, 0)))
+            Le = lgt.area_light_radiance(lrow, isect["ng"], isect["wo"],
+                                         lam, scene.spectra_pool,
+                                         spec_cache=spec_cache)
+            L = L + jnp.where((reach & isect["hit"] & (li >= 0))[..., None],
+                              beta * Le, 0.0)
+        if scene.env is not None:
+            Le_env = lgt.env_radiance(scene.env, d, lam)
+            L = L + jnp.where((reach & ~isect["hit"])[..., None],
+                              beta * Le_env, 0.0)
+        if scene.n_infinite > 0:
+            Le_inf = lgt.infinite_light_radiance(scene.lights, lam,
+                                                 scene.spectra_pool, d,
+                                                 scene.inf_indices,
+                                                 spec_cache=spec_cache)
+            L = L + jnp.where((reach & ~isect["hit"])[..., None],
+                              beta * Le_inf, 0.0)
+
+        # phase-sampled continuation from the scatter point
+        u2 = smp.sample_2d(sampler, px, py, sample_index,
+                           _CAM_DIMS + depth * _DIMS + 4)
+        p_ev = o + d * fl["t"][..., None]
+        wi, pdf_hg = usamp.sample_henyey_greenstein(u2, fl["g"], -d)
+        o = jnp.where(scattered[..., None], p_ev, o)
+        d = jnp.where(scattered[..., None], wi, d)
+        active = scattered  # only scattering lanes continue
+        return dict(o=o, d=d, beta=beta, L=L, active=active)
+
+    state = dict(o=o, d=d, beta=jnp.ones((N, 4), jnp.float32),
+                 L=jnp.zeros((N, 4), jnp.float32),
+                 active=jnp.ones((N,), bool))
+    state = jax.lax.fori_loop(0, opts.max_depth + 1, body, state)
+    return state["L"]
+
+
+def render_wave_simplevol(scene, camera, sampler, filt, pixel_idx,
+                          sample_index, opts):
+    import pbrt_tpu.filters as flt
+    px = pixel_idx % camera.width
+    py = pixel_idx // camera.width
+    u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
+    u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)
+    u_lam = smp.sample_1d(sampler, px, py, sample_index, 5)
+    swl = spc.sample_visible_wavelengths(u_lam)
+    f_off, f_weight = flt.sample(filt, u_pix)
+    p_film = jnp.stack([px.astype(jnp.float32) + 0.5 + f_off[..., 0],
+                        py.astype(jnp.float32) + 0.5 + f_off[..., 1]], -1)
+    o, d, _t, w = cam_mod.generate_ray_weighted(
+        camera, p_film, u_lens, jnp.zeros_like(f_weight))
+    L = trace_simplevolpath(scene, sampler, px, py, sample_index, o, d, swl,
+                            opts)
+    return L, swl, f_weight * w
