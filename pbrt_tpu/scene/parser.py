@@ -40,6 +40,41 @@ class ParseError(ValueError):
 _TOKEN_RE = re.compile(rb'"[^"]*"|\[|\]|[^\s"\[\]#]+|#[^\n]*')
 
 
+# Include/Import token streams prefetched on the host thread pool keyed by
+# absolute path (reference parser.cpp:771-808 parallel Import parsing)
+_prefetch_cache = {}
+
+
+def _prefetch_assets(toks, base_dir):
+    """Kick off background tokenization of Include/Import files and PLY
+    reads referenced by the token stream (reference: parallel Import +
+    async shape creation, parser.cpp:771 / scene.cpp:1391)."""
+    from ..parallel import host as phost
+    from pathlib import Path as _P
+
+    def prefetch_stream(stream):
+        for i, t in enumerate(stream[:-1]):
+            if t in ("Include", "Import"):
+                nxt = stream[i + 1]
+                if isinstance(nxt, str) and nxt.startswith('"'):
+                    sub = _P(base_dir) / nxt[1:-1]
+                    key = str(sub)
+                    if key not in _prefetch_cache and sub.exists():
+                        def job(path=sub):
+                            st = tokenize(path.read_bytes())
+                            # one level of nested prefetch
+                            prefetch_stream(st)
+                            return st
+                        _prefetch_cache[key] = phost.run_async(job)
+            elif isinstance(t, str) and t.endswith('.ply"'):
+                ply = _P(base_dir) / t[1:-1]
+                if ply.exists():
+                    from . import plyio
+                    phost.run_async(plyio.read_ply, str(ply))
+
+    prefetch_stream(toks)
+
+
 def tokenize(text: bytes):
     """pbrt tokens: quoted strings, brackets, atoms; # comments stripped
     (reference Tokenizer, parser.cpp:130-266). Numbers come back pre-parsed
@@ -308,6 +343,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
     if isinstance(text, str):
         text = text.encode()
     toks, offs = tokenize_with_offsets(text)
+    _prefetch_assets(toks, base_dir)
     p = Parser(toks, base_dir, offsets=offs, fname=fname, text=text)
     b = sc.SceneBuilder()
     cs = b.cs
@@ -715,7 +751,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
         if tok == "Include" or tok == "Import":
             fn = p.parse_string()
             sub = Path(base_dir) / fn
-            subtoks = tokenize(sub.read_bytes())
+            # prefetched in a background thread at parse start (the role of
+            # the reference's parallel Import parsing, parser.cpp:771-808)
+            fut = _prefetch_cache.get(str(sub))
+            subtoks = fut.result() if fut is not None \
+                else tokenize(sub.read_bytes())
             p.toks = p.toks[:p.pos] + subtoks + p.toks[p.pos:]
         elif tok == "Identity":
             _apply_xf(gs, lambda c: tfm.identity())

@@ -757,14 +757,27 @@ class SceneBuilder:
                               o2w=np.eye(4, dtype=np.float32)[:3],
                               w2o=np.eye(4, dtype=np.float32)[:3])]
             proto_index_map = {}
-            for pi, P in enumerate(self.protos):
+            # per-prototype SAH builds run on the host thread pool (the
+            # native ctypes builder releases the GIL; reference: parallel
+            # BVH subtree builds, aggregates.cpp:363-379)
+            from .parallel import host as phost
+
+            def _proto_build(P):
                 if not P["p0"]:
-                    continue
+                    return None
                 pp0 = np.stack(P["p0"]); pp1 = np.stack(P["p1"])
                 pp2 = np.stack(P["p2"])
                 plo = np.minimum(np.minimum(pp0, pp1), pp2)
                 phi = np.maximum(np.maximum(pp0, pp1), pp2)
-                pbvh = bvh_mod.build_bvh(plo, phi)
+                return (pp0, pp1, pp2, bvh_mod.build_bvh(plo, phi))
+
+            proto_built = phost.parallel_map(_proto_build, self.protos)
+            for pi, P in enumerate(self.protos):
+                if proto_built[pi] is None:
+                    continue
+                pp0, pp1, pp2, pbvh = proto_built[pi]
+                plo = np.minimum(np.minimum(pp0, pp1), pp2)
+                phi = np.maximum(np.maximum(pp0, pp1), pp2)
                 ordered = np.array(bvh_mod.pack_tri_geo(
                     pp0, pp1, pp2, order=np.asarray(pbvh.prim_indices)))
                 # rebase the coded original index to the GLOBAL pool
