@@ -322,13 +322,15 @@ def _apply_xf(gs, f):
 class PbrtSceneDescription:
     """Everything a .pbrt file defines: compiled scene + camera + render opts."""
 
-    def __init__(self, scene, camera, sampler, filter_, integrator, film_params):
+    def __init__(self, scene, camera, sampler, filter_, integrator,
+                 film_params, ir=None):
         self.scene = scene
         self.camera = camera
         self.sampler = sampler
         self.filter = filter_
         self.integrator = integrator  # dict(name, max_depth, ...)
         self.film_params = film_params  # dict(filename, xres, yres)
+        self.ir = ir  # scene.ir.SceneIR entity lists (reference BasicScene)
 
 
 def parse_file(path, **overrides) -> PbrtSceneDescription:
@@ -345,6 +347,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
     toks, offs = tokenize_with_offsets(text)
     _prefetch_assets(toks, base_dir)
     p = Parser(toks, base_dir, offsets=offs, fname=fname, text=text)
+    from . import ir as sir
+    scene_ir = sir.SceneIR()
     b = sc.SceneBuilder()
     cs = b.cs
 
@@ -791,6 +795,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "Camera":
             kind = p.parse_string()
             ps = p.parse_params()
+            scene_ir.camera = sir.SceneEntity(name=kind, params=dict(ps.d),
+                                              loc=p.loc(directive_pos))
             cam_params = dict(kind=kind, fov=ps.float("fov", 90.0),
                               camera_from_world=gs.ctm,
                               lens_radius=ps.float("lensradius", 0.0),
@@ -835,6 +841,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
             nm = p.parse_string()
             ps = p.parse_params()
             mtype = ps.string("type", "homogeneous")
+            scene_ir.media[nm] = sir.SceneEntity(
+                name=mtype, params=dict(ps.d), loc=p.loc(directive_pos))
             g = ps.float("g", 0.0)
             sig_a = ps.rgb("sigma_a", (1.0,) * 3)
             sig_s = ps.rgb("sigma_s", (1.0,) * 3)
@@ -945,6 +953,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             # BLAS; the instance is a transform-table row. Non-mesh shapes
             # (quadrics, curves) fall back to baked duplication.
             name = p.parse_string()
+            scene_ir.instances.append(sir.InstanceSceneEntity(
+                name=name, params={}, loc=p.loc(directive_pos),
+                ctm=gs.ctm.m))
             obj = objects.get(name)
             if obj is None:
                 raise ParseError(f"{p.loc()}: ObjectInstance of unknown "
@@ -993,15 +1004,26 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "Shape":
             name = p.parse_string()
             ps = p.parse_params()
+            scene_ir.shapes.append(sir.ShapeSceneEntity(
+                name=name, params=dict(ps.d), loc=p.loc(directive_pos),
+                ctm=gs.ctm.m, material=gs.material if gs.material else 0,
+                reverse_orientation=gs.reverse_orientation,
+                area_light=gs.area_light is not None,
+                inside_medium=(gs.medium_interface or (-1, -1))[0],
+                outside_medium=(gs.medium_interface or (-1, -1))[1]))
             add_shape(name, ps, gs)
         elif tok == "Material":
             name = p.parse_string()
             ps = p.parse_params()
+            scene_ir.materials.append(sir.SceneEntity(
+                name=name, params=dict(ps.d), loc=p.loc(directive_pos)))
             gs.material = make_material(name, ps)
         elif tok == "MakeNamedMaterial":
             nm = p.parse_string()
             ps = p.parse_params()
             ty = ps.string("type", "diffuse")
+            scene_ir.named_materials[nm] = sir.SceneEntity(
+                name=ty, params=dict(ps.d), loc=p.loc(directive_pos))
             named_materials[nm] = make_material(ty, ps)
         elif tok == "NamedMaterial":
             nm = p.parse_string()
@@ -1010,6 +1032,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
             nm = p.parse_string()
             ty = p.parse_string()
             cls = p.parse_string()
+            scene_ir.textures.append(sir.SceneEntity(
+                name=f"{nm}:{ty}:{cls}", params={},
+                loc=p.loc(directive_pos)))
             ps = p.parse_params()
 
             def tex_child(pname, default=(0.5, 0.5, 0.5)):
@@ -1121,6 +1146,9 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "LightSource":
             name = p.parse_string()
             ps = p.parse_params()
+            scene_ir.lights.append(sir.LightSceneEntity(
+                name=name, params=dict(ps.d), loc=p.loc(directive_pos),
+                ctm=gs.ctm.m))
             scale = ps.float("scale", 1.0)
             if name == "point":
                 s = ps.spectrum("I", cs, kind="illuminant",
@@ -1202,6 +1230,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "AreaLightSource":
             _name = p.parse_string()
             ps = p.parse_params()
+            scene_ir.area_lights.append(sir.SceneEntity(
+                name=_name, params=dict(ps.d), loc=p.loc(directive_pos)))
             s = ps.spectrum("L", cs, kind="illuminant",
                             default=spc.d65_spectrum())
             gs.area_light = (s, ps.float("scale", 1.0),
@@ -1232,4 +1262,4 @@ def parse_string(text, base_dir=".", light_sampler="power",
                               xradius=filter_params.get("xradius"),
                               yradius=filter_params.get("yradius"))
     return PbrtSceneDescription(scene, camera, sampler, filter_, integrator,
-                                film_params)
+                                film_params, ir=scene_ir)
