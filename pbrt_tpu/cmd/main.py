@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--chips", type=int, default=0,
                     help="shard pixels over this many devices "
                          "(0 = single device; parallel/mesh.py DP)")
+    ap.add_argument("--pixelstats", action="store_true",
+                    help="write per-pixel statistic images (variance, "
+                         "relative variance, samples; reference "
+                         "--pixelstats)")
     ap.add_argument("--format", action="store_true",
                     help="re-emit the scene canonically formatted and exit "
                          "(reference --format)")
@@ -144,7 +148,22 @@ def main(argv=None):
                                 progress=not args.quiet, stats=acc,
                                 checkpoint_path=args.checkpoint,
                                 checkpoint_every=args.checkpoint_every,
-                                display=display, integrator=integ)
+                                display=display, integrator=integ,
+                                return_film=args.pixelstats)
+    if args.pixelstats and "film" in stats:
+        from ..utils.stats import PixelStats
+        from .. import film as film_mod
+        fl = stats.pop("film")
+        pstats = PixelStats(cam.width, cam.height)
+        pstats.set_image("variance", film_mod.get_variance_image(fl))
+        pstats.set_image("relative_variance",
+                         film_mod.get_relative_variance_image(fl))
+        import numpy as _np
+        pstats.set_image("samples", _np.asarray(fl.n_samples))
+        base = (args.outfile or desc.film_params["filename"]).rsplit(".", 1)[0]
+        for pth in pstats.write(base):
+            log.info("wrote %s", pth)
+    stats.pop("film", None)
     out = args.outfile or desc.film_params["filename"]
     if out.endswith(".pfm"):
         pimg.write_pfm(out, img)

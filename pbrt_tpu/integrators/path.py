@@ -481,10 +481,16 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
     """
     px = pixel_idx % camera.width
     py = pixel_idx // camera.width
+    from ..options import get_options
+    _gopts = get_options()
     u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
     u_time = smp.sample_1d(sampler, px, py, sample_index, 2)
     u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)
     u_lam = smp.sample_1d(sampler, px, py, sample_index, 5)
+    if _gopts.disable_pixel_jitter:
+        u_pix = jnp.full_like(u_pix, 0.5)
+    if _gopts.disable_wavelength_jitter:
+        u_lam = jnp.full_like(u_lam, 0.5)
     if opts.sample_visible_wavelengths:
         swl = spc.sample_visible_wavelengths(u_lam)
     else:

@@ -106,7 +106,7 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            max_waves=None, progress=False, checkpoint_path=None,
            checkpoint_every=0, stats=None, display=None,
            display_name="pbrt_tpu", waves_per_dispatch=None,
-           integrator=None):
+           integrator=None, return_film=False):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
     max_waves: stop after this many sample waves (warmup/benchmark use).
@@ -206,5 +206,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     splat_scale = 1.0 / max(s, 1) if integrator in ("lightpath", "bdpt") else 1.0
     img = film_mod.get_image(film, sensor, colorspace,
                              splat_scale=splat_scale)
-    return img, dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),
+    out_stats = dict(seconds=dt, paths_per_sec=n_paths / max(dt, 1e-9),
                      spp=sampler.spp)
+    if return_film:
+        out_stats["film"] = film
+    return img, out_stats

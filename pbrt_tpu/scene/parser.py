@@ -914,8 +914,14 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok in ("Option", "ColorSpace", "MediumInterface",
                      "Attribute",
                      "TransformTimes", "StartTime", "EndTime"):
-            # consume arguments conservatively
-            if tok in ("Option", "Attribute"):
+            # Option writes the layered global options (reference
+            # scene.cpp:492-520 mirroring CLI flags); Attribute consumed
+            if tok == "Option":
+                ps_o = p.parse_params()
+                from ..options import get_options
+                for nm_o, (_ty, vals) in ps_o.d.items():
+                    get_options().apply(nm_o, vals[0])
+            elif tok == "Attribute":
                 if isinstance(p.peek(), str) and p.peek().startswith('"'):
                     p.parse_string()
                 p.parse_params()

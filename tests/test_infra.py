@@ -110,3 +110,26 @@ AttributeEnd
     assert rc == 0
     assert (tmp_path / "out.png").exists()
     assert (tmp_path / "cli_ck.npz").exists()
+
+
+def test_stats_registry_and_pixelstats(tmp_path):
+    """STAT_* registry roles (stats.h:88-170) + per-pixel stat images."""
+    from pbrt_tpu.utils.stats import StatsAccumulator, PixelStats
+    import numpy as np
+    a = StatsAccumulator()
+    a.count("Geometry/Triangles", 10)
+    a.memory("BVH/Nodes", 3 << 20)
+    a.ratio("Intersections/Hits", 25, 50)
+    b = StatsAccumulator()
+    b.count("Geometry/Triangles", 5)
+    a.merge(b)
+    rep = a.report()
+    assert "Geometry/Triangles" in rep and "15" in rep
+    assert "3.00 MiB" in rep
+    assert "(50.00%)" in rep
+    ps = PixelStats(4, 4)
+    ps.add("visits", np.asarray([0, 0, 5]), np.asarray([1.0, 2.0, 7.0]))
+    paths = ps.write(str(tmp_path / "st"))
+    from pbrt_tpu.utils import image as pimg
+    img = pimg.read_exr_channels(paths[0])["Y"]
+    assert img[0, 0] == 3.0 and img[1, 1] == 7.0
