@@ -361,6 +361,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
     objects = {}          # name -> list of deferred shape records
     current_object = None
 
+    accel_kind = None
     cam_params = dict(kind="perspective", fov=90.0,
                       camera_from_world=tfm.identity())
     film_params = dict(xres=1280, yres=720, filename="out.exr")
@@ -835,7 +836,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 integrator["function"] = ps.string("function", "step")
                 integrator["filename"] = ps.string("filename", "")
         elif tok == "Accelerator":
-            p.parse_string()
+            accel_kind = p.parse_string()
             p.parse_params()
         elif tok == "MakeNamedMedium":
             nm = p.parse_string()
@@ -1246,7 +1247,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
             raise ParseError(f"{p.loc(directive_pos)}: "
                              f"unknown directive {tok!r}")
 
-    scene = b.build(light_sampler=light_sampler, force_bvh=force_bvh)
+    scene = b.build(light_sampler=light_sampler, force_bvh=force_bvh,
+                    accelerator=accel_kind)
     if cam_params["kind"] == "realistic":
         camera = cam_mod.make_realistic_camera(
             camera_from_world=cam_params["camera_from_world"],

@@ -68,6 +68,9 @@ class Scene:
     # SMEM scalar prefetch (ops/pallas_intersect.py)
     tri_pallas: jnp.ndarray = None
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # alternative kd-tree aggregate (Accelerator "kdtree"; ops/kdtree.py)
+    use_kdtree: bool = struct.field(pytree_node=False, default=False)
+    kdtree: object = None
     # Pallas packet-BVH kernel (TPU, BVH-sized scenes): dense triangle
     # pack + flat nodes (ops/pallas_bvh.py); rays are sorted by direction
     # octant + origin Morton for block coherence
@@ -574,7 +577,8 @@ class SceneBuilder:
                     power=np.asarray([r["power"] for r in rows], np.float64),
                     is_infinite=inf)
 
-    def build(self, light_sampler="power", force_bvh=None) -> Scene:
+    def build(self, light_sampler="power", force_bvh=None,
+              accelerator=None) -> Scene:
         n_tri = len(self.v0)
         if n_tri == 0:
             # a dummy far-away triangle keeps the triangle pipeline non-empty
@@ -628,6 +632,12 @@ class SceneBuilder:
         # a few thousand triangles
         use_bvh = (n_tri > 4096) if force_bvh is None else force_bvh
         bvh = bvh_mod.build_bvh(lo, hi)
+        kdtree = None
+        use_kdtree = False
+        if accelerator == "kdtree" and not self.instances:
+            from .ops import kdtree as kd_mod
+            kdtree = kd_mod.build_kdtree(lo, hi)
+            use_kdtree = True
 
         # finalize scene_radius-dependent light powers
         rows = self.light_rows
@@ -910,6 +920,7 @@ class SceneBuilder:
             quadrics=jnp.asarray(quad), quadric_tags=quad_tags,
             n_spheres=sum(1 for t in quad_tags if t == QUADRIC_SPHERE),
             use_bvh=use_bvh, tri_pallas=tri_pallas, use_pallas=use_pallas,
+            use_kdtree=use_kdtree, kdtree=kdtree,
             use_pallas_bvh=use_pallas_bvh, tris_dense=tris_dense,
             bvh8=bvh8, use_pallas_bvh8=use_pallas_bvh8,
             bvh8c=bvh8c, use_pallas_bvh8c=use_pallas_bvh8c,
@@ -1039,6 +1050,10 @@ def _tri_dispatch(scene: Scene, o, d, t_max, time=None):
             r = tlas_mod.two_level_intersect(
                 scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
                 scene.tlas_root, o, d, t_max, time=time)
+    elif scene.use_kdtree:
+        from .ops import kdtree as kd_mod
+        r = kd_mod.kdtree_intersect_triangles(scene.kdtree, scene.tri_geo,
+                                              o, d, t_max)
     elif scene.use_pallas_bvh8:
         r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_pallas_bvh8c:
@@ -1420,6 +1435,10 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
             r = tlas_mod.two_level_intersect(
                 scene.tlas_nodes, scene.inst_rows, scene.tri_geo_tlas,
                 scene.tlas_root, o, d, t_max, any_hit=True, time=time)
+    elif scene.use_kdtree:
+        from .ops import kdtree as kd_mod
+        r = kd_mod.kdtree_intersect_triangles(scene.kdtree, scene.tri_geo,
+                                              o, d, t_max, any_hit=True)
     elif scene.use_pallas_bvh8:
         r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_pallas_bvh8c:
