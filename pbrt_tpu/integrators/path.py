@@ -272,7 +272,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"],
                                  spec_cache=spec_cache, footprint=footprint,
-                                 ns=ns)
+                                 ns=ns, prim=isect["prim"])
 
 
         # --- BSSRDF stage (reference bssrdf.h:105 + wavefront

@@ -391,7 +391,7 @@ def apply_normal_mapping(pool: MaterialPool, textures, mat_idx, isect):
 def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
                     textures=None, uv=None, p_world=None,
                     spec_cache=None, footprint=None,
-                    ns=None) -> bxdfs.BSDFParams:
+                    ns=None, prim=None) -> bxdfs.BSDFParams:
     """Evaluate material textures at the hit -> per-lane BSDFParams.
 
     mat_idx: (N,) int32; lam: (N, 4). textures: optional TexturePool;
@@ -415,10 +415,11 @@ def get_bsdf_params(pool: MaterialPool, mat_idx, lam, spectra_pool,
         if textures.has_mixers:
             tex_albedo = tex_mod.eval_texture_spectral(
                 textures, tex_idx, uv, lam, p_world, footprint=footprint,
-                ns=ns)
+                ns=ns, prim=prim)
         else:
             tc, tscale = tex_mod.eval_texture(textures, tex_idx, uv,
-                                              p_world, footprint=footprint)
+                                              p_world, footprint=footprint,
+                                              prim=prim)
             tex_albedo = pcolor.eval_rgb_sigmoid_polynomial(tc, lam) * \
                 tscale[..., None]
         albedo = jnp.where((tex_idx >= 0)[..., None], tex_albedo, albedo)

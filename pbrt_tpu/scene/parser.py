@@ -362,6 +362,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
     current_object = None
 
     accel_kind = None
+    pending_face_textures = []
     cam_params = dict(kind="perspective", fov=90.0,
                       camera_from_world=tfm.identity())
     film_params = dict(xres=1280, yres=720, filename="out.exr")
@@ -1011,6 +1012,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
         elif tok == "Shape":
             name = p.parse_string()
             ps = p.parse_params()
+            if pending_face_textures and name in ("trianglemesh", "plymesh",
+                                                  "bilinearmesh"):
+                for ti in pending_face_textures:
+                    b.textures.bind_face_texture(ti, len(b.v0))
+                pending_face_textures.clear()
             scene_ir.shapes.append(sir.ShapeSceneEntity(
                 name=name, params=dict(ps.d), loc=p.loc(directive_pos),
                 ctm=gs.ctm.m, material=gs.material if gs.material else 0,
@@ -1069,6 +1075,23 @@ def parse_string(text, base_dir=".", light_sampler="power",
                     rgb = ps.rgb("value", (1.0,) * 3)
                     named_textures[nm] = (
                         "tex", b.textures.add_constant(tuple(rgb)))
+            elif cls == "ptex":
+                # baked-Ptex route (reference textures.h:921 PtexTexture;
+                # SURVEY hard-part #4: convert offline to array form).
+                # filename: .npz with a per-face "rgb" (F, 3) array — bake
+                # with the external ptxconvert tooling. The texture binds to
+                # the NEXT declared mesh shape (ptex data is mesh-specific).
+                fn = ps.string("filename", "")
+                path = Path(base_dir) / fn
+                if not str(fn).endswith(".npz") or not path.exists():
+                    raise ParseError(
+                        f"{p.loc()}: ptex textures must be baked offline to "
+                        f"a per-face .npz (got {fn!r}); see "
+                        "pbrt_tpu/textures.py TEX_FACE")
+                face_rgb = np.load(path)["rgb"]
+                ti = b.textures.add_face_texture(face_rgb)
+                pending_face_textures.append(ti)
+                named_textures[nm] = ("tex", ti)
             elif cls == "checkerboard":
                 t1 = ps.rgb("tex1", (1.0,) * 3)
                 t2 = ps.rgb("tex2", (0.0,) * 3)

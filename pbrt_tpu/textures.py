@@ -37,6 +37,12 @@ TEX_DOTS = 8
 TEX_MIX = 9       # (1-amt)*t1 + amt*t2, amt const in col 8
 TEX_DIRMIX = 10   # absdot(n, dir)*t1 + (1-.)*t2, dir in cols 10:13
 TEX_BILERP = 11   # Bilerp(st; v00, v10, v01, v11) over 4 children
+TEX_FACE = 12     # per-face constant color (the baked-Ptex route:
+                  # reference textures.h:921 PtexTexture; SURVEY hard-part
+                  # #4 sanctions offline conversion to array form). desc:
+                  # img_offset = first atlas row, width = n_faces,
+                  # value_b[0] (col 7) = base_prim (global id of the bound
+                  # shape's first triangle)
 
 # descriptor columns
 # [0]=tag [1]=img_offset [2]=width [3]=height [4:7]=value_a(rgb)
@@ -59,6 +65,8 @@ class TexturePool:
     # scene contains mix/directionmix/bilerp rows: albedo lookups route
     # through eval_texture_spectral's child-blending path
     has_mixers: bool = struct.field(pytree_node=False, default=False)
+    # scene contains per-face (baked-Ptex) rows
+    has_face: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuilder:
@@ -274,6 +282,26 @@ class TextureBuilder:
         return self._add_row(tag=TEX_FBM, octaves=octaves, omega=omega,
                              value_a=c[0], value_b=(s[0] * scale, 0, 0))
 
+    def add_face_texture(self, face_rgb, base_prim=-1):
+        """Per-face constant colors (baked-Ptex per-face reduction).
+
+        face_rgb: (F, 3); base_prim: global index of the bound shape's
+        first triangle (set later via bind_face_texture when -1)."""
+        face_rgb = np.asarray(face_rgb, np.float32).reshape(-1, 3)
+        coeffs, scale = self._rgb_to_coeffs_scale(face_rgb)
+        off = self.atlas_size
+        t = np.concatenate([coeffs, scale[:, None]], 1).astype(np.float32)
+        self.atlas.append(t)
+        self.atlas_size += t.shape[0]
+        return self._add_row(tag=TEX_FACE, img_offset=off,
+                             width=len(face_rgb),
+                             value_b=(float(base_prim), 0, 0))
+
+    def bind_face_texture(self, tex_idx, base_prim):
+        """Late-bind the shape's first-triangle id (parser calls this when
+        the mesh using the texture is declared)."""
+        self.rows[tex_idx][7] = float(base_prim)
+
     def build(self) -> TexturePool:
         if not self.rows:
             self._add_row(tag=TEX_CONSTANT, value_a=(0.5, 0.5, 0.5))
@@ -287,6 +315,7 @@ class TextureBuilder:
                                                        TEX_WINDY,
                                                        TEX_WRINKLED}),
                            has_mips=bool((mips[:, 0] > 1).any()),
+                           has_face=TEX_FACE in tags,
                            has_mixers=bool(tags & {TEX_MIX, TEX_DIRMIX,
                                                    TEX_BILERP}))
 
@@ -475,7 +504,7 @@ def eval_texture_float(pool: TexturePool, tex_idx, uv):
 
 
 def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
-                 footprint=None):
+                 footprint=None, prim=None):
     """Evaluate texture tex_idx (N,) at uv (N, 2).
 
     Returns (coeffs (N, 3), scale (N,)): spectral albedo at the hit is
@@ -544,22 +573,36 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
     else:
         s_fbm = s_marble = s_windy = s_wrink = s_const
 
+    # per-face constant (baked Ptex): atlas row = offset + local face id
+    if pool.has_face and prim is not None:
+        base = row[..., 7]
+        nf = jnp.maximum(row[..., 2], 1.0)
+        face = jnp.clip(prim.astype(jnp.float32) - base, 0.0, nf - 1.0)
+        fidx = f32_to_i32(row[..., 1]) + face.astype(jnp.int32)
+        ftex = pool_lookup(pool.atlas,
+                           jnp.clip(fidx, 0, pool.atlas.shape[0] - 1))
+        c_face, s_face = ftex[..., 0:3], ftex[..., 3]
+    else:
+        c_face, s_face = c_const, s_const
+
     t = tag[..., None]
     coeffs = jnp.where(t == TEX_IMAGE, c_img,
              jnp.where(t == TEX_CHECKER, c_check,
-             jnp.where(t == TEX_DOTS, c_dots, c_const)))
+             jnp.where(t == TEX_FACE, c_face,
+             jnp.where(t == TEX_DOTS, c_dots, c_const))))
     scale = jnp.where(tag == TEX_IMAGE, s_img,
             jnp.where(tag == TEX_CHECKER, s_check,
+            jnp.where(tag == TEX_FACE, s_face,
             jnp.where(tag == TEX_DOTS, s_dots,
             jnp.where(tag == TEX_FBM, s_fbm,
             jnp.where(tag == TEX_MARBLE, s_marble,
             jnp.where(tag == TEX_WINDY, s_windy,
-            jnp.where(tag == TEX_WRINKLED, s_wrink, s_const)))))))
+            jnp.where(tag == TEX_WRINKLED, s_wrink, s_const))))))))
     return coeffs, scale
 
 
 def eval_texture_spectral(pool: TexturePool, tex_idx, uv, lam,
-                          p_world=None, footprint=None, ns=None):
+                          p_world=None, footprint=None, ns=None, prim=None):
     """Spectral albedo (N, 4) of texture tex_idx at uv/lam, including the
     mix family (TEX_MIX/TEX_DIRMIX/TEX_BILERP): child textures are
     evaluated and blended at the SAMPLED WAVELENGTHS — sigmoid polynomial
@@ -572,7 +615,8 @@ def eval_texture_spectral(pool: TexturePool, tex_idx, uv, lam,
     from .ops.gather import pool_lookup, f32_to_i32
 
     def alb(idx):
-        c, s = eval_texture(pool, idx, uv, p_world, footprint=footprint)
+        c, s = eval_texture(pool, idx, uv, p_world, footprint=footprint,
+                            prim=prim)
         return pcolor.eval_rgb_sigmoid_polynomial(c, lam) * s[..., None]
 
     if not pool.has_mixers:
