@@ -71,6 +71,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from ..utils import log
+    from ..utils.check import install_crash_handler, CheckCallbackScope
+    install_crash_handler()
+    _scene_ctx = CheckCallbackScope("scene", lambda: args.scene)
+    _scene_ctx.__enter__()
     log.set_log_level(args.log_level)
     if args.log_file:
         log.set_log_file(args.log_file)

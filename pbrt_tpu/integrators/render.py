@@ -169,7 +169,13 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
         waves_per_dispatch = 1 if slow_traversal else 8
     k = min(waves_per_dispatch, n_waves)
     from ..utils.progress import ProgressReporter
+    from ..utils.check import CheckCallbackScope
     prog = ProgressReporter(n_waves - s, enabled=bool(progress))
+    _wave_box = [s]
+    _ctx = CheckCallbackScope(
+        "render", lambda: (f"wave {_wave_box[0]}/{n_waves}; resume with "
+                           f"--checkpoint (reference --debugstart role)"))
+    _ctx.__enter__()
     while s < n_waves:
         kk = min(k, n_waves - s)
         for c0 in range(0, n_pix, chunk):
@@ -182,6 +188,7 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
                                    kk, integrator=integrator)
             n_paths += chunk * kk
         s += kk
+        _wave_box[0] = s
         if verbose:
             print(f"wave {s}/{n_waves}  {time.time() - t0:.2f}s")
         prog.update(kk)
@@ -199,6 +206,7 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
             jax.block_until_ready(film.rgb_sum)
             film_mod.save_checkpoint(film, checkpoint_path, s)
     jax.block_until_ready(film.rgb_sum)
+    _ctx.__exit__()
     prog.finish()
     dt = time.time() - t0
     if stats is not None:

@@ -133,3 +133,17 @@ def test_stats_registry_and_pixelstats(tmp_path):
     from pbrt_tpu.utils import image as pimg
     img = pimg.read_exr_channels(paths[0])["Y"]
     assert img[0, 0] == 3.0 and img[1, 1] == 7.0
+
+
+def test_crash_context_scope(capsys):
+    """CheckCallbackScope (reference util/check.h): registered context is
+    rendered on demand and unregistered on exit."""
+    from pbrt_tpu.utils import check
+    with check.CheckCallbackScope("outer", lambda: "scene.pbrt"):
+        with check.CheckCallbackScope("render", lambda: "wave 3/64"):
+            ctx = check.crash_context()
+            assert "[render] wave 3/64" in ctx
+            assert "[outer] scene.pbrt" in ctx
+            # newest first
+            assert ctx.index("render") < ctx.index("outer")
+    assert check.crash_context() == ""
