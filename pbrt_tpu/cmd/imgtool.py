@@ -1,5 +1,4 @@
-"""Image utility CLI (reference cmd/imgtool.cpp subcommands: diff, convert,
-info, makeequiarea, average, falsecolor).
+"""Image utility CLI (reference cmd/imgtool.cpp:57-249 subcommand set).
 
 Usage:
   python -m pbrt_tpu.cmd.imgtool diff a.exr b.exr [--metric mse|mae|mrse|flip]
@@ -10,6 +9,19 @@ Usage:
   python -m pbrt_tpu.cmd.imgtool falsecolor img.exr out.png [--max M]
   python -m pbrt_tpu.cmd.imgtool error noisy.exr --reference ref.exr
   python -m pbrt_tpu.cmd.imgtool assemble crop*.exr --outfile full.exr
+  python -m pbrt_tpu.cmd.imgtool denoise gbuffer.exr --outfile out.exr
+  python -m pbrt_tpu.cmd.imgtool bloom in.exr --outfile out.exr --level L
+  python -m pbrt_tpu.cmd.imgtool cat img.exr [--csv|--sort|--list]
+  python -m pbrt_tpu.cmd.imgtool makesky --outfile sky.exr [--elevation E]
+      [--turbidity T] [--albedo A] [--resolution N]
+  python -m pbrt_tpu.cmd.imgtool makeemitters img.exr [--downsample N]
+  python -m pbrt_tpu.cmd.imgtool splitn a.exr b.exr --outfile cmp.exr
+      [--crop x,y --cropsize N]
+  python -m pbrt_tpu.cmd.imgtool scalenormalmap n.exr --outfile out.exr
+      [--scale S]
+  python -m pbrt_tpu.cmd.imgtool whitebalance in.exr --outfile out.exr
+      (--illuminant A|D50|D65|F1..F12 | --temperature K | --primaries x,y)
+Formats: .exr (multi-channel), .png, .pfm, .qoi.
 """
 from __future__ import annotations
 
