@@ -158,7 +158,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         time = state.get("time")
         N = o.shape[0]
 
-        def nee(p, ns, ng, t1, t2, wo_local, bp, active, depth):
+        def nee(p, p_err, ns, ng, t1, t2, wo_local, bp, active, depth):
             """Next-event estimation (reference SampleLd,
             integrators.cpp:764)."""
             base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
@@ -179,7 +179,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             pdf_l = ls["pdf"] * pmf
             contrib_ok = active & ls["valid"] & (pdf_l > 0) & \
                 jnp.any(f > 0, axis=-1)
-            o_sh = sc.offset_ray_origin(p, ng, wi)
+            o_sh = sc.offset_ray_origin_exact(p, p_err, ng, wi)
             dist = vm.length(ls["p_light"] - o_sh)
             occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999,
                                       time=time)
@@ -393,7 +393,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         if scene.light_sampler.n_lights > 0:
             if opts.collect_stats:
                 dstats = dstats.at[depth, 2].set(jnp.sum(active))
-            Ld = nee(isect["p"], ns, ng, t1, t2, wo_local, bp, active, depth)
+            Ld = nee(isect["p"], isect["p_err"], ns, ng, t1, t2, wo_local,
+                     bp, active, depth)
             L = L + beta * Ld
 
         # --- BSDF sampling for the next bounce ---
@@ -433,7 +434,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         beta = jnp.where((do_rr & ~killed)[..., None],
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
-        o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        o_next = sc.offset_ray_origin_exact(isect["p"], isect["p_err"], ng,
+                                            wi_world)
         # cone spread widens on non-specular bounces (curvature/roughness
         # spread heuristic; reference carries full dual differentials,
         # surfscatter.cpp:75-105 — ray cones are the O(1)-state analog)

@@ -1212,13 +1212,19 @@ def intersect(scene: Scene, o, d, t_max, time=None):
     dpdv = jnp.where(degen[..., None], t2f, dpdv)
     out = dict(hit=r["hit"], t=r["t"], prim=prim, p=p, ng=ng, ns=ns, uv=uv,
                mat=mat, light=light, wo=-d, p0=p0, p1=p1, p2=p2,
-               dpdu=dpdu, dpdv=dpdv)
+               dpdu=dpdu, dpdv=dpdv,
+               p_err=intersection_p_error(b0, b1, b2, p0, p1, p2))
     if scene.quadric_tags:
         out = _merge_quadric_hits(scene, o, d, t_max, out)
     if scene.has_blps:
         out = _merge_blp_hits(scene, o, d, t_max, out)
     if scene.has_curves:
         out = _merge_curve_hits(scene, o, d, t_max, out)
+    # conservative floor covers bilinear-patch/curve/instanced hits whose
+    # merge paths don't compute a per-type bound
+    from .utils.math import gamma_bound
+    out["p_err"] = jnp.maximum(out["p_err"], gamma_bound(7)
+                               * jnp.abs(out["p"]))
     return out
 
 
@@ -1350,6 +1356,12 @@ def _merge_quadric_hits(scene: Scene, o, d, t_max, out):
                    mat=jnp.where(hit_q, row[15].astype(jnp.int32), out["mat"]),
                    light=jnp.where(hit_q, row[16].astype(jnp.int32),
                                    out["light"]))
+        if "p_err" in out:
+            # quadric reprojection error bound: gamma(5)|p| (shapes.h
+            # Sphere::BasicIntersect error analysis)
+            from .utils.math import gamma_bound
+            out["p_err"] = jnp.where(h, gamma_bound(5) * jnp.abs(p_q),
+                                     out["p_err"])
         # p0/p1/p2 are only used for tri-area-light pdfs; sphere lights use
         # their own pdf (pdf_li_sphere), so leave them untouched
     return out
@@ -1482,9 +1494,35 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
 
 def offset_ray_origin(p, ng, w):
     """Offset ray origin along the normal to avoid self-intersection
-    (reference interaction.h OffsetRayOrigin / util/float.h error bounds;
-    we use a scaled-epsilon heuristic pending interval-arithmetic bounds)."""
+    (reference interaction.h OffsetRayOrigin; scaled-epsilon form used
+    where no error bound is available — see offset_ray_origin_exact for
+    the float.h rounded-error version used by the main integrators)."""
     scale = jnp.maximum(jnp.max(jnp.abs(p), axis=-1), 1.0)
     eps = 1e-4 * scale
     sign = jnp.where(vm.dot(w, ng) > 0, 1.0, -1.0)
     return p + (sign * eps)[..., None] * ng
+
+
+def intersection_p_error(b0, b1, b2, p0, p1, p2):
+    """Triangle-hit position error bound: gamma(7) * sum |b_i p_i|
+    (reference triangle intersection error, shapes.cpp / float.h:195)."""
+    from .utils.math import gamma_bound
+    g7 = gamma_bound(7)
+    return g7 * (jnp.abs(b0[..., None] * p0) + jnp.abs(b1[..., None] * p1)
+                 + jnp.abs(b2[..., None] * p2))
+
+
+def offset_ray_origin_exact(p, p_err, ng, w):
+    """Error-bound offset-ray origin (reference Interaction::OffsetRayOrigin,
+    interaction.h + float.h:164-195): push the origin just past the hit
+    point's conservative error box along the geometric normal, then round
+    each component AWAY from p so float rounding cannot re-enter the
+    surface's error interval."""
+    from .utils.math import next_float_up, next_float_down
+    d = jnp.sum(jnp.abs(ng) * p_err, axis=-1)
+    offset = d[..., None] * ng
+    offset = jnp.where((vm.dot(w, ng) < 0)[..., None], -offset, offset)
+    po = p + offset
+    po = jnp.where(offset > 0, next_float_up(po),
+         jnp.where(offset < 0, next_float_down(po), po))
+    return po
