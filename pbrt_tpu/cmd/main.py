@@ -41,6 +41,13 @@ def main(argv=None):
     ap.add_argument("--mse-reference-image", default=None,
                     help="compute MSE vs this EXR after rendering "
                          "(reference --mse-reference-image)")
+    ap.add_argument("--mse-reference-out", default=None,
+                    help="record per-wave 'spp mse' lines vs the reference "
+                         "image (reference --mse-reference-out)")
+    ap.add_argument("--write-partial-images", action="store_true",
+                    help="write the in-progress EXR every "
+                         "--checkpoint-every waves (reference "
+                         "--write-partial-images)")
     ap.add_argument("--chips", type=int, default=0,
                     help="shard pixels over this many devices "
                          "(0 = single device; parallel/mesh.py DP)")
@@ -153,7 +160,16 @@ def main(argv=None):
                                 checkpoint_path=args.checkpoint,
                                 checkpoint_every=args.checkpoint_every,
                                 display=display, integrator=integ,
-                                return_film=args.pixelstats)
+                                return_film=args.pixelstats,
+                                mse_reference=(pimg.read_exr(
+                                    args.mse_reference_image)
+                                    if args.mse_reference_image
+                                    and args.mse_reference_out else None),
+                                mse_reference_out=args.mse_reference_out,
+                                partial_image_path=(
+                                    (args.outfile
+                                     or desc.film_params["filename"])
+                                    if args.write_partial_images else None))
     if args.pixelstats and "film" in stats:
         from ..utils.stats import PixelStats
         from .. import film as film_mod
@@ -187,7 +203,7 @@ def main(argv=None):
     log.info("wrote %s", out)
     if args.mse_reference_image:
         import numpy as np
-        ref = pimg.read_image(args.mse_reference_image)
+        ref = pimg.read_exr(args.mse_reference_image)
         if ref.shape == img.shape:
             mse = float(np.mean((np.asarray(img) - ref) ** 2))
             print(json.dumps({"mse": mse, "spp": stats["spp"]}))

@@ -106,7 +106,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
            max_waves=None, progress=False, checkpoint_path=None,
            checkpoint_every=0, stats=None, display=None,
            display_name="pbrt_tpu", waves_per_dispatch=None,
-           integrator=None, return_film=False):
+           integrator=None, return_film=False, mse_reference=None,
+           mse_reference_out=None, partial_image_path=None):
     """Render and return (image (H, W, 3) linear RGB, stats dict).
 
     max_waves: stop after this many sample waves (warmup/benchmark use).
@@ -117,7 +118,12 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     stats: optional utils.stats.StatsAccumulator to fill with per-wave
     counters (reference --stats report, util/stats.h).
     display: optional utils.display.DisplayServer — streams the partial
-    image to a tev viewer after every fused dispatch (display.h:23)."""
+    image to a tev viewer after every fused dispatch (display.h:23).
+    mse_reference/mse_reference_out: converged reference image (H, W, 3)
+    + output path — records "spp mse" per wave (reference
+    --mse-reference-image/--mse-reference-out, cpu/integrators.cpp:113-141).
+    partial_image_path: write the partial EXR at every checkpoint interval
+    (reference --write-partial-images, options.h:42)."""
     W, H = camera.width, camera.height
     if integrator == "sppm":
         from . import sppm as sppm_mod
@@ -201,6 +207,16 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
         if stats is not None:
             stats.count("render/camera rays", chunk * kk)
             stats.count("render/waves", kk)
+        if mse_reference is not None and mse_reference_out is not None:
+            cur = film_mod.get_image(film, sensor, colorspace)
+            mse = float(np.mean((cur - np.asarray(mse_reference)) ** 2))
+            with open(mse_reference_out, "a") as f:
+                f.write(f"{s} {mse:.8g}\n")
+        if partial_image_path and checkpoint_every and \
+                (s % checkpoint_every == 0 or s >= n_waves):
+            from ..utils import image as pimg
+            pimg.write_exr(partial_image_path,
+                           film_mod.get_image(film, sensor, colorspace))
         if checkpoint_path and checkpoint_every and \
                 (s % checkpoint_every == 0 or s >= n_waves):
             jax.block_until_ready(film.rgb_sum)
