@@ -342,3 +342,28 @@ def brute_force_intersect_triangles(tri_p0, tri_p1, tri_p2, o, d, t_max,
     hit = prim_best >= 0
     return dict(hit=hit, t=jnp.where(hit, t_best, jnp.inf), prim=prim_best,
                 b0=b_best[:, 0], b1=b_best[:, 1], b2=b_best[:, 2])
+
+
+def bvh_max_depth(nodes) -> int:
+    """Host-side max tree depth of a flattened node array (depth-first
+    layout: left child = i+1, right child = roff). Guards the Pallas
+    packet kernels' fixed 64-entry SMEM stack (a deeper tree would
+    silently wrap the stack pointer and drop subtrees)."""
+    import numpy as np
+    arr = np.asarray(nodes)
+    roff = arr[:, 6].astype(np.int64)
+    nprim = (arr[:, 7].astype(np.int64).astype(np.int64)) >> 2
+    n = len(arr)
+    depth = np.zeros(n, np.int64)
+    best = 0
+    # iterative DFS matching the flattened layout
+    stack = [(0, 1)]
+    while stack:
+        i, d = stack.pop()
+        if i < 0 or i >= n:
+            continue
+        best = max(best, d)
+        if nprim[i] == 0:  # interior
+            stack.append((i + 1, d + 1))
+            stack.append((int(round(arr[i, 6])), d + 1))
+    return best

@@ -743,7 +743,8 @@ class SceneBuilder:
         # VMEM-resident dense triangles cap the scene at ~190k triangles
         use_pallas_bvh = use_bvh and on_tpu and n_tri <= 190000 and \
             not self.instances and not use_pallas_bvh8 \
-            and not use_pallas_bvh8c
+            and not use_pallas_bvh8c \
+            and bvh_mod.bvh_max_depth(bvh.nodes) <= 60  # 64-entry SMEM stack
         from .ops import pallas_bvh as pbvh_mod
         tris_dense = pbvh_mod.pad_tris_for_bvh(np.asarray(tri_geo_bvh)) \
             if use_pallas_bvh else jnp.zeros((1, 128), jnp.float32)
@@ -825,9 +826,15 @@ class SceneBuilder:
             from .ops import pallas_bvh as pbvh_mod2
             import jax as _jax2
             any_motion = any("o2w_end" in i for i in self.instances)
+            # two-level traversal pushes ENTER/RETURN tokens: leave extra
+            # headroom under the kernel's 64-entry stack
+            _tlas_depth = max((bvh_mod.bvh_max_depth(b[0])
+                               for b in blas_list), default=0) + \
+                bvh_mod.bvh_max_depth(np.asarray(tlas_nodes)) + 2
             use_pallas_tlas = (_jax2.default_backend() == "tpu"
                                and not any_motion
-                               and tri_geo_tlas.shape[0] <= 190000)
+                               and tri_geo_tlas.shape[0] <= 190000
+                               and _tlas_depth <= 56)
             tris_tlas_dense = pbvh_mod2.pad_tris_for_bvh(
                 np.asarray(tri_geo_tlas)) if use_pallas_tlas else \
                 jnp.zeros((1, 128), jnp.float32)
