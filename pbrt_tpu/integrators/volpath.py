@@ -327,8 +327,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     N = o.shape[0]
     lam = swl.lam
 
-    def sample_ld(p, ns, ng, t1, t2, wo_local, bp, active, depth, r_p,
-                  scattered, wo_world, g_hg, seed):
+    def sample_ld(p, p_err, ns, ng, t1, t2, wo_local, bp, active, depth,
+                  r_p, scattered, wo_world, g_hg, seed):
         """NEE with ratio-tracked shadow transmittance and spectral MIS
         (reference VolPathIntegrator::SampleLd, integrators.cpp:1273)."""
         base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
@@ -349,7 +349,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         scatter_pdf = jnp.where(scattered, ph, scatter_pdf)
         p_l = ls["pdf"] * pmf
         ok = active & ls["valid"] & (p_l > 0) & jnp.any(f_hat > 0, axis=-1)
-        o_sh = sc.offset_ray_origin(p, ng, wi)
+        o_sh = sc.offset_ray_origin_exact(p, p_err, ng, wi)
         o_sh = jnp.where(scattered[..., None], p + 1e-5 * wi, o_sh)
         dist = vm.length(ls["p_light"] - o_sh)
         occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999)
@@ -474,8 +474,9 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         # --- NEE (real events only; pass-throughs don't scatter) ---
         if scene.light_sampler.n_lights > 0:
             p_shade = jnp.where(scattered[..., None], p_med, isect["p"])
-            Ld = sample_ld(p_shade, ns, ng, t1, t2, wo_local, bp, real_ev,
-                           depth, r_u, scattered, -d, fl["g"], seed_fl)
+            Ld = sample_ld(p_shade, isect["p_err"], ns, ng, t1, t2, wo_local,
+                           bp, real_ev, depth, r_u, scattered, -d, fl["g"],
+                           seed_fl)
             L = L + beta * Ld
 
         # --- direction sampling for the next bounce ---
@@ -530,7 +531,8 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         beta = jnp.where((do_rr & ~killed)[..., None],
                          beta / jnp.maximum(1.0 - q, 1e-6)[..., None], beta)
 
-        o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        o_next = sc.offset_ray_origin_exact(isect["p"], isect["p_err"], ng,
+                                            wi_world)
         o_next = jnp.where(scattered[..., None],
                            p_med + 1e-5 * wi_world, o_next)
         if has_ifaces:
