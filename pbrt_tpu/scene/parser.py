@@ -215,6 +215,17 @@ class ParamSet:
         return default
 
 
+def _with_attributes(gs, category, ps):
+    """Prepend Attribute-directive defaults for the category (own params
+    win on conflicts — ParamSet keeps the last entry per name)."""
+    pairs = gs.attributes.get(category, [])
+    if not pairs:
+        return ps
+    merged = ParamSet(list(pairs))
+    merged.d.update(ps.d)
+    return merged
+
+
 def _parse_value(tok):
     if isinstance(tok, float):
         return tok
@@ -303,6 +314,10 @@ class GraphicsState:
         # MediumInterface names (inside, outside); None = unset (reference
         # graphics-state currentInsideMedium/currentOutsideMedium)
         self.medium_interface = None
+        # Attribute-directive parameter defaults per target category
+        # (reference BasicSceneBuilder::Attribute, scene.cpp: params ride
+        # the graphics state and prepend to matching directives)
+        self.attributes = {}  # category -> list of ((type, name), values)
 
 
 def _apply_xf(gs, f):
@@ -924,9 +939,17 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 for nm_o, (_ty, vals) in ps_o.d.items():
                     get_options().apply(nm_o, vals[0])
             elif tok == "Attribute":
-                if isinstance(p.peek(), str) and p.peek().startswith('"'):
-                    p.parse_string()
-                p.parse_params()
+                target = p.parse_string() \
+                    if isinstance(p.peek(), str) and \
+                    p.peek().startswith('"') else "shape"
+                ps_a = p.parse_params()
+                # copy-on-write: AttributeBegin snapshots via copy.copy of
+                # gs.__dict__, so never mutate the shared dict/list in place
+                attrs = dict(gs.attributes)
+                attrs[target] = list(attrs.get(target, [])) + \
+                    [((ty, nm2), vals)
+                     for nm2, (ty, vals) in ps_a.d.items()]
+                gs.attributes = attrs
             elif tok == "ColorSpace":
                 p.parse_string()
             elif tok == "MediumInterface":
@@ -1011,7 +1034,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
             gs.reverse_orientation = not gs.reverse_orientation
         elif tok == "Shape":
             name = p.parse_string()
-            ps = p.parse_params()
+            ps = _with_attributes(gs, "shape", p.parse_params())
             if pending_face_textures and name in ("trianglemesh", "plymesh",
                                                   "bilinearmesh"):
                 for ti in pending_face_textures:
@@ -1027,7 +1050,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
             add_shape(name, ps, gs)
         elif tok == "Material":
             name = p.parse_string()
-            ps = p.parse_params()
+            ps = _with_attributes(gs, "material", p.parse_params())
             scene_ir.materials.append(sir.SceneEntity(
                 name=name, params=dict(ps.d), loc=p.loc(directive_pos)))
             gs.material = make_material(name, ps)
@@ -1048,7 +1071,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
             scene_ir.textures.append(sir.SceneEntity(
                 name=f"{nm}:{ty}:{cls}", params={},
                 loc=p.loc(directive_pos)))
-            ps = p.parse_params()
+            ps = _with_attributes(gs, "texture", p.parse_params())
 
             def tex_child(pname, default=(0.5, 0.5, 0.5)):
                 """Resolve a texture-or-value parameter to a texture pool
@@ -1175,7 +1198,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 named_textures[nm] = ("unsupported", cls)
         elif tok == "LightSource":
             name = p.parse_string()
-            ps = p.parse_params()
+            ps = _with_attributes(gs, "light", p.parse_params())
             scene_ir.lights.append(sir.LightSceneEntity(
                 name=name, params=dict(ps.d), loc=p.loc(directive_pos),
                 ctm=gs.ctm.m))
@@ -1259,7 +1282,7 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 raise ParseError(f"{p.loc()}: light '{name}' is not supported")
         elif tok == "AreaLightSource":
             _name = p.parse_string()
-            ps = p.parse_params()
+            ps = _with_attributes(gs, "arealight", p.parse_params())
             scene_ir.area_lights.append(sir.SceneEntity(
                 name=_name, params=dict(ps.d), loc=p.loc(directive_pos)))
             s = ps.spectrum("L", cs, kind="illuminant",

@@ -289,3 +289,40 @@ LightSource "infinite" "spectrum L" [360 1 830 1]
                             sampler=desc.sampler,
                             opts=PathOptions(max_depth=2))
     assert np.isfinite(np.asarray(img_out)).all()
+
+
+def test_attribute_directive_applies_defaults():
+    """Attribute "shape"/"material" params apply to subsequent directives
+    of that category within the attribute scope (reference
+    BasicSceneBuilder::Attribute, scene.cpp); own params win."""
+    from pbrt_tpu.scene.parser import parse_string
+    import numpy as np
+    desc = parse_string('''
+Camera "perspective"
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+AttributeBegin
+  Attribute "material" "rgb reflectance" [0.9 0.1 0.1]
+  Material "diffuse"
+  Translate 0 0 3
+  Shape "sphere" "float radius" [2]
+AttributeEnd
+Material "diffuse"
+Shape "sphere" "float radius" [1]
+''')
+    # first material got the attribute reflectance; second did not
+    ir = desc.ir
+    assert len(ir.materials) == 2
+    assert "reflectance" in ir.materials[0].params
+    assert "reflectance" not in ir.materials[1].params
+    # shape attribute: radius default with own override winning
+    desc2 = parse_string('''
+Camera "perspective"
+WorldBegin
+LightSource "infinite" "rgb L" [1 1 1]
+Attribute "shape" "float radius" [5]
+Shape "sphere"
+Shape "sphere" "float radius" [1]
+''')
+    assert desc2.ir.shapes[0].params["radius"][1][0] == 5
+    assert desc2.ir.shapes[1].params["radius"][1][0] == 1

@@ -77,7 +77,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="write rendered images to this dir")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS and hangs when the tunnel "
+                         "is down)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
     from pbrt_tpu.utils import image as pimg
     import numpy as np
     failed = False
