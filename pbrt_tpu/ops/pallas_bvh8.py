@@ -63,6 +63,25 @@ def collapse_to_bvh8(nodes_bin: np.ndarray, max_leaf: int = 8,
     relative to `prim_base` (pass the subtree's DFS prim start to get
     chunk-local indices). Returns (node_data (n, NODE_F) f32, depth).
 
+    Dispatches to the native C++ collapse (native/bvh8_collapse.cpp —
+    identical algorithm and output layout; the Python path's per-node
+    recursion dominates million-triangle host builds) with this pure-Python
+    implementation as the fallback."""
+    from .. import native as _native
+    res = _native.collapse_bvh8_native(nodes_bin, max_leaf=max_leaf,
+                                       root=root, prim_base=prim_base)
+    if res is not None:
+        node_data, depth = res
+        assert depth * (WIDTH - 1) + 1 <= STACK, \
+            f"BVH8 depth {depth} overflows the {STACK}-entry traversal stack"
+        return node_data, depth
+    return _collapse_to_bvh8_py(nodes_bin, max_leaf, root, prim_base)
+
+
+def _collapse_to_bvh8_py(nodes_bin: np.ndarray, max_leaf: int = 8,
+                         root: int = 0, prim_base: int = 0):
+    """Pure-Python reference twin of the native collapse.
+
     Binary subtrees hold CONTIGUOUS primitive ranges in the depth-first
     order, so any subtree with <= max_leaf prims becomes one leaf slot
     spanning [start, start+count)."""
@@ -241,16 +260,21 @@ def partition_chunk_roots(nodes_bin: np.ndarray, budget: int):
     meta_b = np.round(nb[:, 7]).astype(np.int64)
     nprim = meta_b >> 2
     is_leaf = nprim > 0
-    start = np.zeros(m, np.int64)
-    count = np.zeros(m, np.int64)
-    for i in range(m - 1, -1, -1):
-        if is_leaf[i]:
-            start[i] = roff[i]
-            count[i] = nprim[i]
-        else:
-            l, r = i + 1, roff[i]
-            start[i] = min(start[l], start[r])
-            count[i] = count[l] + count[r]
+    from .. import native as _native
+    ranges = _native.subtree_ranges_native(nodes_bin)
+    if ranges is not None:
+        start, count = ranges
+    else:
+        start = np.zeros(m, np.int64)
+        count = np.zeros(m, np.int64)
+        for i in range(m - 1, -1, -1):
+            if is_leaf[i]:
+                start[i] = roff[i]
+                count[i] = nprim[i]
+            else:
+                l, r = i + 1, roff[i]
+                start[i] = min(start[l], start[r])
+                count[i] = count[l] + count[r]
 
     def est(c):
         return int(c * 50 * 1.3)
@@ -277,7 +301,9 @@ def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
         else bvh_mod.build_bvh(prim_lo, prim_hi, max_leaf=4)
     order = np.asarray(b.prim_indices)
     tg = np.asarray(tri_geo, np.float32)[order]
-    nb = np.asarray(b.nodes, np.float64)
+    # f32 C-contiguous once: the native collapse + ranges calls then see a
+    # zero-copy view instead of a per-chunk full-array conversion
+    nb = np.ascontiguousarray(np.asarray(b.nodes), np.float32)
 
     # the byte estimate in partition_chunk_roots can under-predict on
     # skewed trees; the padded (NL + TL) page pair must PROVABLY fit the

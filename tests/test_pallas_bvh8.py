@@ -109,3 +109,40 @@ def test_chunked_matches_brute_force():
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(ref["hit"]),
                                   np.asarray(got_a["hit"]))
+
+
+def test_native_collapse_matches_python():
+    """The C++ collapse (native/bvh8_collapse.cpp) must emit byte-identical
+    node pages + depth to the pure-Python twin, for whole trees and for
+    chunk subtrees (root/prim_base offsets)."""
+    import pytest
+    from pbrt_tpu import native
+
+    rng = np.random.default_rng(7)
+    T = 4000
+    p0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    p1 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p2 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    b = bvh_mod.build_bvh(lo, hi, max_leaf=4)
+    nb = np.asarray(b.nodes)
+    res = native.collapse_bvh8_native(nb, 8)
+    if res is None:
+        pytest.skip("native library unavailable")
+    nd_nat, dep_nat = res
+    nd_py, dep_py = b8._collapse_to_bvh8_py(nb, 8)
+    assert dep_nat == dep_py
+    assert np.array_equal(nd_nat, nd_py)
+
+    # subtree ranges + per-chunk collapse
+    start, count = native.subtree_ranges_native(nb)
+    assert count[0] == T and start[0] == 0
+    roots, p_start, p_count, _, _ = b8.partition_chunk_roots(nb, 24 * 1024)
+    assert np.array_equal(start, p_start) or (start[roots] == p_start[roots]).all()
+    for s in roots[:4]:
+        a = native.collapse_bvh8_native(nb, 8, root=int(s),
+                                        prim_base=int(start[s]))
+        q = b8._collapse_to_bvh8_py(nb, 8, root=int(s),
+                                    prim_base=int(start[s]))
+        assert a[1] == q[1] and np.array_equal(a[0], q[0])
