@@ -88,10 +88,10 @@ def main():
     bvh = bvh_mod.build_bvh(lo, hi)
     tri_geo = np.asarray(bvh_mod.pack_tri_geo(p0, p1, p2))
     kc = b8.build_bvh8_chunked(lo, hi, tri_geo, binary_bvh=bvh)
-    r1m = b8.bvh8_chunked_intersect(kc, oj, dj, tb)
+    r1m = b8.chunked_intersect(kc, oj, dj, tb)
     jax.block_until_ready(r1m["t"])
     t0 = time.time()
-    r1m = b8.bvh8_chunked_intersect(kc, oj, dj, tb)
+    r1m = b8.chunked_intersect(kc, oj, dj, tb)
     jax.block_until_ready(r1m["t"])
     dt = time.time() - t0
     rr = bvh_mod.bvh_intersect_triangles(
