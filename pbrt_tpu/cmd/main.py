@@ -14,6 +14,15 @@ import time
 
 
 def main(argv=None):
+    """CLI entry: the crash-context scene scope wraps the real driver so
+    the registry never leaks into long-lived embedding processes."""
+    from ..utils.check import CheckCallbackScope
+    scene_name = [None]
+    with CheckCallbackScope("scene", lambda: scene_name[0] or "<args>"):
+        return _main(argv, scene_name)
+
+
+def _main(argv=None, scene_name=None):
     ap = argparse.ArgumentParser(prog="pbrt_tpu",
                                  description="TPU-native spectral path tracer")
     ap.add_argument("scene", help=".pbrt scene file")
@@ -78,10 +87,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from ..utils import log
-    from ..utils.check import install_crash_handler, CheckCallbackScope
+    from ..utils.check import install_crash_handler
     install_crash_handler()
-    _scene_ctx = CheckCallbackScope("scene", lambda: args.scene)
-    _scene_ctx.__enter__()
+    if scene_name is not None:
+        scene_name[0] = getattr(args, "scene", None)
     log.set_log_level(args.log_level)
     if args.log_file:
         log.set_log_file(args.log_file)

@@ -83,6 +83,9 @@ def _run_compacted(body, state, opts):
     N = state["o"].shape[0]
 
     def is_lane(k):
+        # per-lane arrays (leading dim N, incl. the (N, 4, S) spec_cache)
+        # sort/slice with the wavefront; the depth-stat counter table is
+        # shared and must pass through untouched
         return k != "dstats"
 
     state = dict(state, lane=jnp.arange(N, dtype=jnp.int32))

@@ -73,13 +73,21 @@ def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
     return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "k", "integrator"),
+@functools.partial(jax.jit, static_argnames=("opts", "k", "m", "integrator"),
                    donate_argnums=(5,))
 def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
-                    s0, opts, k, integrator=None):
+                    s0, opts, k, m=1, integrator=None):
     """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
-    overhead measured on the axon TPU tunnel)."""
+    overhead measured on the axon TPU tunnel).
+
+    m > 1 batches m consecutive sample indices into ONE wave: pixel_idx is
+    the image tiled m times and lane j gets sample index s0 + i*m + j//n_pix.
+    Small images (e.g. 200x200 = 40k lanes) underfill the chip by ~10x; the
+    tiled wave keeps every dispatch >= ~512k lanes (the reference fills its
+    GPU with maxQueueSize ray batches the same way, gpu/launch.h)."""
     mod = wave_module(scene, integrator)
+    lane_s = jnp.arange(pixel_idx.shape[0], dtype=jnp.int32) // \
+        (pixel_idx.shape[0] // m)
 
     if hasattr(mod, "render_wave_film"):
         # splat-style integrators (lightpath) update the film directly
@@ -90,7 +98,7 @@ def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
         return jax.lax.fori_loop(0, k, body, film)
 
     def body(i, film):
-        sample_index = jnp.full(pixel_idx.shape, s0 + i, jnp.int32)
+        sample_index = s0 + i * m + lane_s
         L, swl, f_weight = mod.render_wave(scene, camera, sampler, filt,
                                            pixel_idx, sample_index, opts)
         rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
@@ -174,6 +182,16 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
         slow_traversal = scene.has_curves or             (scene.has_instances and not scene.use_pallas_tlas)
         waves_per_dispatch = 1 if slow_traversal else 8
     k = min(waves_per_dispatch, n_waves)
+    # batch m sample indices per wave when the whole image fits in one chunk
+    # but underfills the chip (meshfield at 200x200 is 40k lanes — ~10x too
+    # small; tiling to >=512k lanes is worth ~5x end-to-end, ROUND4.md)
+    m = 1
+    mod0 = wave_module(scene, integrator)
+    if chunk == n_pix and not hasattr(mod0, "render_wave_film"):
+        cap = max(1, max_rays_per_wave // n_pix)
+        while m * 2 <= cap and (n_waves - s) % (m * 2) == 0:
+            m *= 2
+    tiled_pix = np.tile(all_pix, m) if m > 1 else None
     from ..utils.progress import ProgressReporter
     from ..utils.check import CheckCallbackScope
     prog = ProgressReporter(n_waves - s, enabled=bool(progress))
@@ -182,47 +200,61 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
         "render", lambda: (f"wave {_wave_box[0]}/{n_waves}; resume with "
                            f"--checkpoint (reference --debugstart role)"))
     _ctx.__enter__()
-    while s < n_waves:
-        kk = min(k, n_waves - s)
-        for c0 in range(0, n_pix, chunk):
-            ids = all_pix[c0:c0 + chunk]
-            if len(ids) < chunk:  # pad to static shape
-                ids = np.concatenate([ids, np.full(chunk - len(ids), ids[-1], np.int32)])
-            pixel_idx = jnp.asarray(ids)
-            film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
-                                   pixel_idx, jnp.asarray(s, jnp.int32), opts,
-                                   kk, integrator=integrator)
-            n_paths += chunk * kk
-        s += kk
-        _wave_box[0] = s
-        if verbose:
-            print(f"wave {s}/{n_waves}  {time.time() - t0:.2f}s")
-        prog.update(kk)
-        if display is not None and display.connected:
-            if s == kk:
-                display.create_image(display_name, W, H)
-            display.update_image(display_name,
-                                 film_mod.get_image(film, sensor,
-                                                    colorspace))
-        if stats is not None:
-            stats.count("render/camera rays", chunk * kk)
-            stats.count("render/waves", kk)
-        if mse_reference is not None and mse_reference_out is not None:
-            cur = film_mod.get_image(film, sensor, colorspace)
-            mse = float(np.mean((cur - np.asarray(mse_reference)) ** 2))
-            with open(mse_reference_out, "a") as f:
-                f.write(f"{s} {mse:.8g}\n")
-        if partial_image_path and checkpoint_every and \
-                (s % checkpoint_every == 0 or s >= n_waves):
-            from ..utils import image as pimg
-            pimg.write_exr(partial_image_path,
-                           film_mod.get_image(film, sensor, colorspace))
-        if checkpoint_path and checkpoint_every and \
-                (s % checkpoint_every == 0 or s >= n_waves):
-            jax.block_until_ready(film.rgb_sum)
-            film_mod.save_checkpoint(film, checkpoint_path, s)
-    jax.block_until_ready(film.rgb_sum)
-    _ctx.__exit__()
+    try:
+        while s < n_waves:
+            kk = max(1, min(k, (n_waves - s) // m))
+            if m > 1:
+                film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
+                                       jnp.asarray(tiled_pix),
+                                       jnp.asarray(s, jnp.int32), opts,
+                                       kk, m=m, integrator=integrator)
+                n_paths += n_pix * m * kk
+            else:
+                for c0 in range(0, n_pix, chunk):
+                    ids = all_pix[c0:c0 + chunk]
+                    if len(ids) < chunk:  # pad to static shape
+                        ids = np.concatenate(
+                            [ids, np.full(chunk - len(ids), ids[-1], np.int32)])
+                    pixel_idx = jnp.asarray(ids)
+                    film = _render_steps_k(scene, camera, sampler, filt, sensor,
+                                           film, pixel_idx,
+                                           jnp.asarray(s, jnp.int32), opts,
+                                           kk, integrator=integrator)
+                    n_paths += chunk * kk
+            kk = kk * m
+            s += kk
+            _wave_box[0] = s
+            if verbose:
+                print(f"wave {s}/{n_waves}  {time.time() - t0:.2f}s")
+            prog.update(kk)
+            if display is not None and display.connected:
+                if s == kk:
+                    display.create_image(display_name, W, H)
+                display.update_image(display_name,
+                                     film_mod.get_image(film, sensor,
+                                                        colorspace))
+            if stats is not None:
+                stats.count("render/camera rays", chunk * kk)
+                stats.count("render/waves", kk)
+            if mse_reference is not None and mse_reference_out is not None:
+                cur = film_mod.get_image(film, sensor, colorspace)
+                mse = float(np.mean((cur - np.asarray(mse_reference)) ** 2))
+                with open(mse_reference_out, "a") as f:
+                    f.write(f"{s} {mse:.8g}\n")
+            if partial_image_path and checkpoint_every and \
+                    (s % checkpoint_every == 0 or s >= n_waves):
+                from ..utils import image as pimg
+                pimg.write_exr(partial_image_path,
+                               film_mod.get_image(film, sensor, colorspace))
+            if checkpoint_path and checkpoint_every and \
+                    (s % checkpoint_every == 0 or s >= n_waves):
+                jax.block_until_ready(film.rgb_sum)
+                film_mod.save_checkpoint(film, checkpoint_path, s)
+        jax.block_until_ready(film.rgb_sum)
+    finally:
+        # unregister even on mid-render failure so the crash-context
+        # registry never leaks across renders
+        _ctx.__exit__()
     prog.finish()
     dt = time.time() - t0
     if stats is not None:

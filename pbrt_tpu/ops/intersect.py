@@ -71,7 +71,28 @@ def ray_triangle(o, d, t_max, p0, p1, p2):
     b0 = e0 * inv_det
     b1 = e1 * inv_det
     b2 = e2 * inv_det
-    hit = valid & (t > 0)
+    # Conservative t > 0 test: reject hits whose computed t could round to
+    # <= 0 (reference shapes.h "Ensure that computed triangle t is
+    # conservatively greater than zero", derived via the gamma-bound error
+    # analysis on the sheared edge-function evaluation). Without this, a
+    # ray spawned exactly on a surface (e.g. an axis-aligned plane whose
+    # hit-point error box is degenerate along the normal) falsely re-hits
+    # its own triangle at t ~ eps * |coords| and silently loses energy.
+    from ..utils.math import gamma_bound
+    g2, g3, g5 = gamma_bound(2), gamma_bound(3), gamma_bound(5)
+    max_zt = jnp.maximum(jnp.abs(z0s), jnp.maximum(jnp.abs(z1s),
+                                                   jnp.abs(z2s)))
+    max_xt = jnp.maximum(jnp.abs(x0), jnp.maximum(jnp.abs(x1), jnp.abs(x2)))
+    max_yt = jnp.maximum(jnp.abs(y0), jnp.maximum(jnp.abs(y1), jnp.abs(y2)))
+    delta_z = g3 * max_zt
+    delta_x = g5 * (max_xt + max_zt)
+    delta_y = g5 * (max_yt + max_zt)
+    delta_e = 2.0 * (g2 * max_xt * max_yt + delta_y * max_xt
+                     + delta_x * max_yt)
+    max_e = jnp.maximum(jnp.abs(e0), jnp.maximum(jnp.abs(e1), jnp.abs(e2)))
+    delta_t = 3.0 * (g3 * max_e * max_zt + delta_e * max_zt
+                     + delta_z * max_e) * jnp.abs(inv_det)
+    hit = valid & (t > delta_t)
     return dict(hit=hit, t=jnp.where(hit, t, jnp.inf),
                 b0=b0, b1=b1, b2=b2)
 

@@ -1091,6 +1091,34 @@ def parse_string(text, base_dir=".", light_sampler="power",
 
             uscale = ps.float("uscale", 1.0)
             vscale = ps.float("vscale", 1.0)
+            mapping = ps.string("mapping", "uv")
+            if mapping not in ("uv", "spherical", "cylindrical", "planar"):
+                raise ParseError(f"{p.loc()}: unknown texture mapping "
+                                 f"{mapping!r}")
+            if mapping != "uv":
+                # uscale/vscale are UVMapping parameters only
+                # (reference textures.h:86-201)
+                uscale = vscale = 1.0
+
+            def _apply_mapping(ti, ps=ps, mapping=mapping, gs=gs):
+                """Attach a non-UV TextureMapping2D to texture row ti:
+                spherical/cylindrical use the inverse CTM as the
+                world-to-texture transform; planar packs v1/v2 + deltas."""
+                if mapping == "uv":
+                    return ti
+                if mapping == "planar":
+                    v1 = ps.point3s("v1", np.asarray([[1.0, 0, 0]]))[0]
+                    v2 = ps.point3s("v2", np.asarray([[0, 1.0, 0]]))[0]
+                    w2t = np.zeros((3, 4), np.float32)
+                    w2t[0, :3] = np.asarray(v1, np.float32)
+                    w2t[0, 3] = ps.float("udelta", 0.0)
+                    w2t[1, :3] = np.asarray(v2, np.float32)
+                    w2t[1, 3] = ps.float("vdelta", 0.0)
+                else:
+                    w2t = np.asarray(gs.ctm.inverse().m,
+                                     np.float32)[:3, :4]
+                b.textures.set_mapping(ti, mapping, w2t)
+                return ti
             if cls == "constant":
                 if ty == "float":
                     named_textures[nm] = ("constant", ps.float("value", 1.0))
@@ -1119,8 +1147,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 t1 = ps.rgb("tex1", (1.0,) * 3)
                 t2 = ps.rgb("tex2", (0.0,) * 3)
                 named_textures[nm] = (
-                    "tex", b.textures.add_checker(tuple(t1), tuple(t2),
-                                                  su=uscale, sv=vscale))
+                    "tex", _apply_mapping(b.textures.add_checker(
+                        tuple(t1), tuple(t2), su=uscale, sv=vscale)))
             elif cls == "imagemap":
                 fn = ps.string("filename", None)
                 if fn is None:
@@ -1134,17 +1162,17 @@ def parse_string(text, base_dir=".", light_sampler="power",
                     img3 = np.repeat(img[..., :1], 3, axis=-1) \
                         if img.shape[-1] < 3 else img[..., :3]
                     named_textures[nm] = (
-                        "ftex", b.textures.add_image_raw(
+                        "ftex", _apply_mapping(b.textures.add_image_raw(
                             np.asarray(img3, np.float32),
-                            su=uscale, sv=vscale))
+                            su=uscale, sv=vscale)))
                 else:
                     if not str(fn).endswith((".exr", ".pfm")):
                         from ..utils.color import srgb_to_linear
                         img = np.asarray(srgb_to_linear(img), np.float32)
                     named_textures[nm] = (
-                        "tex", b.textures.add_image(
+                        "tex", _apply_mapping(b.textures.add_image(
                             img[..., :3], su=uscale, sv=vscale,
-                            scale=ps.float("scale", 1.0)))
+                            scale=ps.float("scale", 1.0))))
             elif cls == "scale":
                 # tex * scale expressed through the mix family:
                 # mix(black, tex, amount=s) == s * tex for s in [0, 1]
@@ -1184,8 +1212,8 @@ def parse_string(text, base_dir=".", light_sampler="power",
                 t1 = ps.rgb("inside", (1.0,) * 3)
                 t2 = ps.rgb("outside", (0.0,) * 3)
                 named_textures[nm] = (
-                    "tex", b.textures.add_dots(tuple(t1), tuple(t2),
-                                               su=uscale, sv=vscale))
+                    "tex", _apply_mapping(b.textures.add_dots(
+                        tuple(t1), tuple(t2), su=uscale, sv=vscale)))
             elif cls in ("fbm", "wrinkled"):
                 add = dict(fbm=b.textures.add_fbm,
                            wrinkled=b.textures.add_wrinkled)

@@ -63,19 +63,27 @@ def make_cornell_box(width=400, height=400, light_scale=1.0):
     return scene, cam
 
 
-def make_furnace_plane(albedo=0.5, env_radiance=1.0, width=64, height=64):
+def make_furnace_plane(albedo=0.5, env_radiance=1.0, width=64, height=64,
+                       center=(0.0, 0.0, 0.0)):
     """Infinite-plane white furnace: a large diffuse quad under a uniform
     environment light. Looking straight down at the plane, the exact answer is
-    L = albedo * L_env (one bounce; reflected rays escape to the env)."""
+    L = albedo * L_env (one bounce; reflected rays escape to the env).
+
+    center translates the whole scene (plane + camera) — hit points at
+    |p| ~ 10^3 stress the error-bound offset-ray / conservative-t machinery
+    (reference float.h:164-195 robustness at large scene coordinates)."""
     b = sc.SceneBuilder()
     m = b.materials.add_diffuse((albedo, albedo, albedo))
     s = 1000.0
-    _quad(b, [(-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s)], m)
+    cx, cy, cz = center
+    _quad(b, [(cx - s, cy, cz - s), (cx + s, cy, cz - s),
+              (cx + s, cy, cz + s), (cx - s, cy, cz + s)], m)
     b.add_uniform_infinite_light(spc.ConstantSpectrum(env_radiance))
     scene = b.build(light_sampler="uniform", force_bvh=False)
     cam = cam_mod.make_camera(
         "perspective",
-        camera_from_world=tfm.look_at((0, 10, 0), (0, 0, 0.0001), (0, 0, 1)).inverse(),
+        camera_from_world=tfm.look_at(
+            (cx, cy + 10, cz), (cx, cy, cz + 0.0001), (0, 0, 1)).inverse(),
         width=width, height=height, fov=30.0)
     return scene, cam
 

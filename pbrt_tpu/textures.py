@@ -49,6 +49,15 @@ TEX_FACE = 12     # per-face constant color (the baked-Ptex route:
 # [7:10]=value_b(rgb) [10]=su [11]=sv [12]=du [13]=dv [14]=octaves [15]=omega/roughness
 TEX_COLS = 16
 
+# 2D texture-coordinate mappings (reference textures.h:86-201
+# TextureMapping2D: UVMapping / SphericalMapping / CylindricalMapping /
+# PlanarMapping). Stored per texture as a (13,) row: [tag, world-to-texture
+# affine (3x4, row-major)]. Planar packs vs/ds in row 0 and vt/dt in row 1.
+MAP_UV = 0
+MAP_SPHERICAL = 1
+MAP_CYLINDRICAL = 2
+MAP_PLANAR = 3
+
 
 @struct.dataclass
 class TexturePool:
@@ -67,6 +76,11 @@ class TexturePool:
     has_mixers: bool = struct.field(pytree_node=False, default=False)
     # scene contains per-face (baked-Ptex) rows
     has_face: bool = struct.field(pytree_node=False, default=False)
+    # per-texture coordinate mapping rows (K, 13): [tag, w2t 3x4]; None /
+    # has_mapped=False when every texture uses plain UV (the common case —
+    # the mapping select is skipped entirely then)
+    maps: jnp.ndarray = None
+    has_mapped: bool = struct.field(pytree_node=False, default=False)
 
 
 class TextureBuilder:
@@ -75,6 +89,7 @@ class TextureBuilder:
         self.cs = colorspace or pcolor.srgb()
         self.rows = []
         self.mip_rows = []
+        self.map_rows = []
         self.atlas = [np.zeros((1, 4), np.float32)]
         self.atlas_size = 1
 
@@ -152,7 +167,22 @@ class TextureBuilder:
         mip[0] = len(offs)
         mip[1:1 + min(len(offs), 15)] = offs[:15]
         self.mip_rows.append(mip)
+        mr = np.zeros(13, np.float32)
+        mr[1:13] = np.eye(3, 4, dtype=np.float32).reshape(-1)
+        self.map_rows.append(mr)
         return len(self.rows) - 1
+
+    def set_mapping(self, tex_idx, kind, w2t=None):
+        """Attach a non-UV coordinate mapping (reference textures.h:86-201).
+
+        kind: "spherical" | "cylindrical" | "planar"; w2t: (3, 4) affine
+        world-to-texture transform (for planar, rows are [vs, ds] / [vt, dt])."""
+        tag = {"uv": MAP_UV, "spherical": MAP_SPHERICAL,
+               "cylindrical": MAP_CYLINDRICAL, "planar": MAP_PLANAR}[kind]
+        mr = self.map_rows[tex_idx]
+        mr[0] = float(tag)
+        if w2t is not None:
+            mr[1:13] = np.asarray(w2t, np.float32).reshape(-1)[:12]
 
     def add_constant(self, rgb):
         c, s = self._rgb_to_coeffs_scale(np.broadcast_to(np.asarray(rgb, np.float32), (1, 3)))
@@ -307,9 +337,13 @@ class TextureBuilder:
             self._add_row(tag=TEX_CONSTANT, value_a=(0.5, 0.5, 0.5))
         tags = {int(r[0]) for r in self.rows}
         mips = np.stack(self.mip_rows)
+        maps = np.stack(self.map_rows)
+        has_mapped = bool((maps[:, 0] != 0).any())
         return TexturePool(desc=jnp.asarray(np.stack(self.rows)),
                            atlas=jnp.asarray(np.concatenate(self.atlas)),
                            mips=jnp.asarray(mips),
+                           maps=jnp.asarray(maps) if has_mapped else None,
+                           has_mapped=has_mapped,
                            has_image=TEX_IMAGE in tags,
                            has_procedural=bool(tags & {TEX_FBM, TEX_MARBLE,
                                                        TEX_WINDY,
@@ -481,11 +515,37 @@ def _image_ewa(pool: TexturePool, row, mip_row, u, v, duv0, duv1):
     return acc / wsum
 
 
-def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv):
+def apply_mapping(pool: TexturePool, tex_idx, uv, p_world):
+    """Per-texture 2D coordinate mapping (reference textures.h:86-201):
+    uv passthrough, or spherical / cylindrical / planar st derived from the
+    world hit point through the texture's world-to-texture transform. Free
+    (returns uv unchanged) unless the scene declared a non-UV mapping."""
+    if not pool.has_mapped or p_world is None:
+        return uv
+    mrow = pool_lookup(pool.maps, jnp.maximum(tex_idx, 0))
+    tag = f32_to_i32(mrow[..., 0])
+    A = mrow[..., 1:13].reshape(mrow.shape[:-1] + (3, 4))
+    pt = jnp.einsum("...ij,...j->...i", A[..., :3], p_world) + A[..., 3]
+    x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
+    inv2pi = 0.5 / np.pi
+    r = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 1e-20))
+    theta = jnp.arccos(jnp.clip(z / r, -1.0, 1.0))
+    phi = jnp.arctan2(y, x)
+    phi_pos = jnp.where(phi < 0, phi + 2.0 * np.pi, phi)
+    sph = jnp.stack([theta / np.pi, phi_pos * inv2pi], -1)
+    cyl = jnp.stack([(np.pi + phi) * inv2pi, z], -1)
+    pla = jnp.stack([x, y], -1)
+    return jnp.where((tag == MAP_SPHERICAL)[..., None], sph,
+           jnp.where((tag == MAP_CYLINDRICAL)[..., None], cyl,
+           jnp.where((tag == MAP_PLANAR)[..., None], pla, uv)))
+
+
+def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv, p_world=None):
     """RAW-valued texture lookup: returns (N, 3) data values (normal maps /
     float maps added via add_image_raw / add_constant_float)."""
     row = pool_lookup(pool.desc, jnp.maximum(tex_idx, 0))
     tag = f32_to_i32(row[..., 0])
+    uv = apply_mapping(pool, tex_idx, uv, p_world)
     u = uv[..., 0] * row[..., 10] + row[..., 12]
     v = uv[..., 1] * row[..., 11] + row[..., 13]
     c_const = row[..., 4:7]
@@ -498,9 +558,9 @@ def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv):
     return rgb
 
 
-def eval_texture_float(pool: TexturePool, tex_idx, uv):
+def eval_texture_float(pool: TexturePool, tex_idx, uv, p_world=None):
     """Float texture lookup (first channel of the raw value)."""
-    return eval_texture_rgb_raw(pool, tex_idx, uv)[..., 0]
+    return eval_texture_rgb_raw(pool, tex_idx, uv, p_world)[..., 0]
 
 
 def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
@@ -512,6 +572,7 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
     pools) + at most one fused bilinear atlas gather."""
     row = pool_lookup(pool.desc, jnp.maximum(tex_idx, 0))
     tag = f32_to_i32(row[..., 0])
+    uv = apply_mapping(pool, tex_idx, uv, p_world)
     u = uv[..., 0] * row[..., 10] + row[..., 12]
     v = uv[..., 1] * row[..., 11] + row[..., 13]
 

@@ -25,6 +25,22 @@ def test_furnace_plane_single_bounce():
     assert abs(lum - 0.6) < 0.025, f"lum={lum}, rgb={mean}"
 
 
+def test_furnace_plane_large_coordinates():
+    """Same furnace but with hit points at |p| ~ 10^3 (scene translated to
+    (2000, -500, 1500)): guards the conservative-t / offset-ray robustness
+    at large scene coordinates, where the round-3 regression silently lost
+    ~11% of the energy to false self-intersections."""
+    scene, cam = scenes.make_furnace_plane(albedo=0.6, env_radiance=1.0,
+                                           width=48, height=48,
+                                           center=(2000.0, -500.0, 1500.0))
+    img, stats = rdr.render(scene, cam, spp=32,
+                            sampler=smp.make_sampler("independent", spp=32),
+                            opts=PathOptions(max_depth=3))
+    mean = img.mean(axis=(0, 1))
+    lum = 0.2126 * mean[0] + 0.7152 * mean[1] + 0.0722 * mean[2]
+    assert abs(lum - 0.6) < 0.025, f"lum={lum}, rgb={mean}"
+
+
 @pytest.mark.slow
 def test_white_furnace_sphere():
     """Albedo-1 sphere in uniform env: every pixel == env radiance

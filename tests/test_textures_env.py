@@ -217,3 +217,88 @@ def test_mix_family_textures():
             pool, jnp.full(4, idx), uvm, lam)))
     np.testing.assert_allclose(np.asarray(am),
                                np.mean(corners, axis=0), rtol=1e-5)
+
+
+def test_texture_mappings():
+    """Spherical/cylindrical/planar coordinate mappings (reference
+    textures.h:86-201 TextureMapping2D family)."""
+    b = tex_mod.TextureBuilder()
+    # checker with planar mapping: s = p.x, t = p.y
+    t_pla = b.add_checker((1, 1, 1), (0, 0, 0))
+    w2t = np.zeros((3, 4), np.float32)
+    w2t[0, 0] = 1.0  # v1 = +x, udelta 0
+    w2t[1, 1] = 1.0  # v2 = +y, vdelta 0
+    b.set_mapping(t_pla, "planar", w2t)
+    t_sph = b.add_checker((1, 1, 1), (0, 0, 0))
+    b.set_mapping(t_sph, "spherical", np.eye(3, 4, dtype=np.float32))
+    t_cyl = b.add_checker((1, 1, 1), (0, 0, 0))
+    b.set_mapping(t_cyl, "cylindrical", np.eye(3, 4, dtype=np.float32))
+    t_uv = b.add_checker((1, 1, 1), (0, 0, 0))
+    pool = b.build()
+    assert pool.has_mapped
+
+    uv = jnp.asarray([[0.25, 0.25]] * 4)
+    # planar: checker cell flips between p=(0.5,0.5) and p=(1.5,0.5)
+    p = jnp.asarray([[0.5, 0.5, 0.0], [1.5, 0.5, 0.0],
+                     [0.5, 1.5, 0.0], [1.5, 1.5, 0.0]])
+    st = tex_mod.apply_mapping(pool, jnp.full(4, t_pla), uv, p)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(p[:, :2]),
+                               atol=1e-6)
+
+    # spherical: north pole -> theta 0 (s=0); equator +x -> s=0.5, t=0
+    p_sph = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                         [0.0, 1.0, 0.0], [0.0, 0.0, -1.0]])
+    st = np.asarray(tex_mod.apply_mapping(pool, jnp.full(4, t_sph), uv,
+                                          p_sph))
+    np.testing.assert_allclose(st[0, 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(st[1], [0.5, 0.0], atol=1e-6)
+    np.testing.assert_allclose(st[2], [0.5, 0.25], atol=1e-6)
+    np.testing.assert_allclose(st[3, 0], 1.0, atol=1e-6)
+
+    # cylindrical: s = (pi + atan2(y, x)) / 2pi, t = z
+    p_cyl = jnp.asarray([[1.0, 0.0, 0.7], [-1.0, 0.0, -0.3],
+                         [0.0, 1.0, 2.0], [0.0, -1.0, 0.0]])
+    st = np.asarray(tex_mod.apply_mapping(pool, jnp.full(4, t_cyl), uv,
+                                          p_cyl))
+    np.testing.assert_allclose(st[:, 1], [0.7, -0.3, 2.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(st[0, 0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(st[2, 0], 0.75, atol=1e-6)
+
+    # uv rows pass uv through untouched
+    st = tex_mod.apply_mapping(pool, jnp.full(4, t_uv), uv, p)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(uv), atol=0)
+
+    # end-to-end: eval_texture on the planar checker alternates cells
+    c, s = tex_mod.eval_texture(pool, jnp.full(4, t_pla), uv, p_world=p)
+    # (0.5,0.5)->cell(0,0) white; (1.5,0.5)->cell(1,0) black; etc.
+    got = np.asarray(s * 0 + np.asarray(c)[:, 0])  # coeff sign differs; use
+    # scale channel select: white cell scale==row14, but simpler: compare
+    # pairwise difference pattern
+    assert not np.allclose(np.asarray(c[0]), np.asarray(c[1]))
+    np.testing.assert_allclose(np.asarray(c[0]), np.asarray(c[3]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c[1]), np.asarray(c[2]), atol=1e-6)
+
+
+def test_parser_texture_mapping_directive():
+    """Parser accepts "string mapping" on 2D textures (VERDICT r3 #10)."""
+    from pbrt_tpu.scene import parser as pparser
+    txt = b'''
+    Integrator "path"
+    Camera "perspective" "float fov" [45]
+    Film "rgb" "integer xresolution" [8] "integer yresolution" [8]
+    WorldBegin
+    Texture "ck" "spectrum" "checkerboard"
+        "string mapping" "planar"
+        "vector3 v1" [2 0 0] "vector3 v2" [0 2 0] "float udelta" [0.5]
+    Material "diffuse" "texture reflectance" "ck"
+    Shape "trianglemesh" "integer indices" [0 1 2]
+        "point3 P" [0 0 0  1 0 0  0 1 0]
+    LightSource "infinite" "rgb L" [1 1 1]
+    '''
+    desc = pparser.parse_string(txt)
+    pool = desc.scene.textures
+    assert pool.has_mapped
+    maps = np.asarray(pool.maps)
+    rows = maps[maps[:, 0] == tex_mod.MAP_PLANAR]
+    assert len(rows) == 1
+    np.testing.assert_allclose(rows[0][1:5], [2, 0, 0, 0.5], atol=1e-6)
