@@ -47,6 +47,12 @@ class Camera:
     lens_elements: jnp.ndarray = None     # (E, 4)
     film_diag: float = struct.field(pytree_node=False, default=0.035)
     rear_z: jnp.ndarray = None            # scalar z of rear element
+    # exit-pupil tabulation (reference cameras.cpp:742 BoundExitPupil /
+    # :861-897 SampleExitPupil): per-film-radius-zone rear-element bboxes
+    # [x0, y0, x1, y1] computed along the +x film axis; None -> sample the
+    # full rear-element disk
+    exit_pupil: jnp.ndarray = None        # (n_zones, 4)
+    film_r_max: jnp.ndarray = None        # scalar: film corner radius
 
 
 def make_camera(kind="perspective", camera_from_world: tfm.Transform = None,
@@ -238,14 +244,111 @@ def make_realistic_camera(camera_from_world=None, width=640, height=480,
     rear_z = best
     c2w = camera_from_world.inverse()
     aspect = width / height
+    # exit-pupil tabulation (reference cameras.cpp:742 BoundExitPupil):
+    # per-film-radius rear-element bboxes; at wide apertures most of the
+    # rear disk vignettes, so sampling inside the pupil bounds instead of
+    # the whole disk recovers the wasted samples
+    film_r_max = 0.5 * film_diag
+    pupils = _bound_exit_pupils(elements, rear_z, film_r_max)
     return Camera(kind=CAMERA_REALISTIC,
                   c2w_m=jnp.asarray(c2w.m, jnp.float32),
                   width=width, height=height,
                   lens_elements=jnp.asarray(elements, jnp.float32),
                   rear_z=jnp.asarray(rear_z, jnp.float32),
                   film_diag=film_diag,
+                  exit_pupil=jnp.asarray(pupils, jnp.float32),
+                  film_r_max=jnp.asarray(film_r_max, jnp.float32),
                   shutter_open=shutter_open, shutter_close=shutter_close,
                   screen_min=(-aspect, -1.0), screen_max=(aspect, 1.0))
+
+
+def _trace_from_film_host_vec(elements, rear_z, o, d):
+    """Vectorized numpy mirror of _trace_from_film_host over (N, 3) ray
+    batches — powers the exit-pupil tabulation (reference BoundExitPupil,
+    cameras.cpp:742, traces 1024^2 film->rear rays per radius zone)."""
+    o = np.array(o, np.float64)
+    d = np.array(d, np.float64)
+    ok = np.ones(o.shape[0], bool)
+    z = float(rear_z)
+    eta_prev = np.ones(o.shape[0])
+    for k in range(elements.shape[0]):
+        R, thick, eta_elem, ap = (float(v) for v in elements[k])
+        if R == 0.0:
+            dz = np.where(np.abs(d[:, 2]) < 1e-12, 1e-12, d[:, 2])
+            t = (z - o[:, 2]) / dz
+            ok &= np.abs(d[:, 2]) >= 1e-12
+            p = o + t[:, None] * d
+        else:
+            zc = z + R
+            oc = o - np.asarray([0.0, 0.0, zc])
+            b = np.sum(oc * d, 1)
+            c = np.sum(oc * oc, 1) - R * R
+            disc = b * b - c
+            ok &= disc >= 0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            use_near = (d[:, 2] > 0) == (R > 0)
+            t = np.where(use_near, -b - sq, -b + sq)
+            ok &= t > 0
+            p = o + t[:, None] * d
+        ok &= p[:, 0] ** 2 + p[:, 1] ** 2 <= ap * ap
+        if R != 0.0:
+            zc = z + R
+            n = (p - np.asarray([0.0, 0.0, zc])) / R
+            flip = np.sum(n * d, 1) > 0
+            n = np.where(flip[:, None], -n, n)
+            eta_ratio = eta_prev / max(eta_elem, 1e-6)
+            cos_i = -np.sum(n * d, 1)
+            sin2_t = eta_ratio ** 2 * (1 - cos_i ** 2)
+            ok &= sin2_t < 1
+            cos_t = np.sqrt(np.maximum(1 - sin2_t, 0.0))
+            d = eta_ratio[:, None] * d + \
+                (eta_ratio * cos_i - cos_t)[:, None] * n
+            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+            eta_prev = np.where(ok, eta_elem, eta_prev)
+        o = p
+        z += thick
+    return ok, o, d
+
+
+def _bound_exit_pupils(elements, rear_z, film_r_max, n_zones=64,
+                       n_rear=40, n_film=5):
+    """Per-film-radius-zone bbox of rear-element points whose film->scene
+    trace clears the lens (reference RealisticCamera::BoundExitPupil,
+    cameras.cpp:742-806). Zone i covers film radius
+    [i, i+1] * film_r_max / n_zones along +x; the bbox is expanded by the
+    sample spacing like the reference. Returns (n_zones, 4) float32."""
+    r_rear = float(elements[0, 3])
+    # rear-element sample grid (n_rear x n_rear over the bounding square)
+    xs = (np.arange(n_rear) + 0.5) / n_rear * 2 * r_rear * 1.5 - r_rear * 1.5
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    gx = gx.reshape(-1)
+    gy = gy.reshape(-1)
+    bounds = np.zeros((n_zones, 4), np.float32)
+    spacing = 2 * 1.5 * r_rear / n_rear
+    for i in range(n_zones):
+        r0 = i / n_zones * film_r_max
+        r1 = (i + 1) / n_zones * film_r_max
+        lo = np.asarray([np.inf, np.inf])
+        hi = np.asarray([-np.inf, -np.inf])
+        any_ok = False
+        for fr in np.linspace(r0, r1, n_film):
+            o = np.zeros((gx.shape[0], 3))
+            o[:, 0] = fr
+            pr = np.stack([gx, gy, np.full_like(gx, rear_z)], 1)
+            d = pr - o
+            d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+            ok, _, _ = _trace_from_film_host_vec(elements, rear_z, o, d)
+            if ok.any():
+                any_ok = True
+                lo = np.minimum(lo, [gx[ok].min(), gy[ok].min()])
+                hi = np.maximum(hi, [gx[ok].max(), gy[ok].max()])
+        if not any_ok:
+            # fully vignetted zone: degenerate (zero-area) bbox
+            bounds[i] = (0, 0, 0, 0)
+        else:
+            bounds[i] = (lo[0] - spacing, lo[1] - spacing,
+                         hi[0] + spacing, hi[1] + spacing)
+    return bounds
 
 
 def _trace_from_film_host(elements, rear_z, o, d):
@@ -309,21 +412,46 @@ def realistic_generate_ray(cam: Camera, p_film, u_lens):
     x = (0.5 - p_film[..., 0] / cam.width) * fw
     y = (p_film[..., 1] / cam.height - 0.5) * fh
     o = jnp.stack([x, y, jnp.zeros_like(x)], -1)
-    # sample a point on the rear element disk
+    # sample a point on the rear element: inside the tabulated exit-pupil
+    # bbox for this film radius (reference SampleExitPupil,
+    # cameras.cpp:861-897), falling back to the full rear disk when no
+    # tabulation is present
     r_rear = cam.lens_elements[0, 3]
     from .utils import sampling as sp
-    pl = sp.sample_uniform_disk_concentric(u_lens) * r_rear
+    if cam.exit_pupil is not None:
+        n_zones = cam.exit_pupil.shape[0]
+        r_film = jnp.sqrt(x * x + y * y)
+        zone = jnp.clip((r_film / cam.film_r_max
+                         * n_zones).astype(jnp.int32), 0, n_zones - 1)
+        bb = cam.exit_pupil[zone]                     # (..., 4)
+        px_p = bb[..., 0] + u_lens[..., 0] * (bb[..., 2] - bb[..., 0])
+        py_p = bb[..., 1] + u_lens[..., 1] * (bb[..., 3] - bb[..., 1])
+        area = (bb[..., 2] - bb[..., 0]) * (bb[..., 3] - bb[..., 1])
+        # rotate the +x-axis pupil frame to the film point's azimuth
+        inv_r = 1.0 / jnp.maximum(r_film, 1e-12)
+        cos_p = jnp.where(r_film > 1e-9, x * inv_r, 1.0)
+        sin_p = jnp.where(r_film > 1e-9, y * inv_r, 0.0)
+        pl = jnp.stack([cos_p * px_p - sin_p * py_p,
+                        sin_p * px_p + cos_p * py_p], -1)
+        # pdf change vs the uniform rear-disk baseline the exposure
+        # normalization assumes: scale by A_pupil / A_rear
+        area_scale = area / (np.pi * r_rear * r_rear)
+    else:
+        pl = sp.sample_uniform_disk_concentric(u_lens) * r_rear
+        area_scale = jnp.ones_like(x)
     p_rear = jnp.stack([pl[..., 0], pl[..., 1],
                         jnp.broadcast_to(cam.rear_z, x.shape)], -1)
     d = vm.normalize(p_rear - o)
     # Reference RealisticCamera::GenerateRay weights rays sampled on the
-    # rear-element disk by cos^4(theta) * A_rear / rearZ^2 (cameras.cpp
-    # exit-pupil importance weight). The A/z^2 factor is ray-independent,
-    # so we fold it into exposure normalization (our film has no physical
-    # sensor imaging-ratio chain) and keep the ray-dependent natural
-    # vignetting falloff cos^4(theta), normalized to 1 on-axis.
+    # rear-element disk by cos^4(theta) * A / rearZ^2 (cameras.cpp
+    # exit-pupil importance weight). The A_rear/z^2 factor is
+    # ray-independent, so we fold it into exposure normalization (our film
+    # has no physical sensor imaging-ratio chain) and keep the
+    # ray-dependent natural vignetting falloff cos^4(theta) plus the
+    # pupil-vs-disk area ratio that keeps the tabulated sampling unbiased
+    # against that same normalization.
     cos_theta = jnp.abs(d[..., 2])
-    ray_weight = cos_theta ** 4
+    ray_weight = cos_theta ** 4 * area_scale
     ok = jnp.ones(x.shape, bool)
     z = cam.rear_z
     eta_prev = jnp.ones(x.shape)

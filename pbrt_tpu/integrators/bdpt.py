@@ -15,10 +15,14 @@ lane's own pixel; t==1 strategies scatter-add splats (like lightpath).
 
 Scope restrictions vs the reference (documented divergences):
   * no medium vertices (use volpath for volumetric scenes)
-  * infinite/escaped-ray light vertices are not created: env-lit paths
-    contribute through the unidirectional (s=0) strategy only
   * BSDF evaluation uses radiance-convention refraction in both transport
     modes (no eta^2 importance correction)
+
+Infinite lights are fully supported (round 4): escaped camera rays create
+infinite-light vertices with unconverted solid-angle densities, the s=0/s=1
+strategies use InfiniteLightDensity / planar PDFLight weights, and
+env-started light subpaths get the reference's density corrections
+(integrators.cpp:1590 InfiniteLightDensity, :1668-1690).
 """
 from __future__ import annotations
 
@@ -60,14 +64,21 @@ def _convert_density(pdf_sa, p_from, p_to, ng_to, to_on_surface):
     return jnp.where(to_on_surface, pdf * cos, pdf)
 
 
-def _surface_pdf(v, p_prev, p_next, ng_next, next_on_surface):
+def _surface_pdf(v, p_prev, p_next, ng_next, next_on_surface,
+                 next_infinite=None):
     """Area density of sampling p_next from surface vertex v arriving from
-    p_prev (Vertex::PDF for VertexType::Surface)."""
+    p_prev (Vertex::PDF for VertexType::Surface). next_infinite: lanes
+    whose target vertex is an infinite light — ConvertDensity is the
+    identity there (solid-angle density is kept, integrators.cpp
+    Vertex::ConvertDensity IsInfiniteLight)."""
     wp = vm.normalize(p_prev - v["p"])
     wn = vm.normalize(p_next - v["p"])
     pdf_sa = bxdfs.bsdf_pdf(v["bp"], _to_local(v["ns"], v["t1"], v["t2"], wp),
                             _to_local(v["ns"], v["t1"], v["t2"], wn))
-    return _convert_density(pdf_sa, v["p"], p_next, ng_next, next_on_surface)
+    conv = _convert_density(pdf_sa, v["p"], p_next, ng_next, next_on_surface)
+    if next_infinite is None:
+        return conv
+    return jnp.where(next_infinite, pdf_sa, conv)
 
 
 def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
@@ -122,6 +133,31 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
             v["Le"] = jnp.zeros_like(lam)
             v["is_light"] = jnp.zeros((N,), bool)
             v["light_idx"] = jnp.zeros((N,), jnp.int32)
+        # escaped-ray infinite-light vertex (reference Vertex::CreateLight
+        # for escaped rays + Vertex::Le IsInfiniteLight branch,
+        # integrators.cpp:1668-1690): record the env radiance and the
+        # UNCONVERTED solid-angle pdf_fwd (ConvertDensity is identity for
+        # infinite-light vertices)
+        has_inf = record_le and (scene.env is not None or
+                                 scene.n_infinite > 0)
+        if has_inf:
+            esc = active & ~isect["hit"]
+            Le_inf = jnp.zeros_like(lam)
+            if scene.env is not None:
+                Le_inf = Le_inf + lgt.env_radiance(scene.env, d, lam)
+            if scene.n_infinite > 0:
+                Le_inf = Le_inf + lgt.infinite_light_radiance(
+                    scene.lights, lam, scene.spectra_pool, d,
+                    scene.inf_indices, spec_cache=spec_cache)
+            v["escaped"] = esc
+            v["Le_inf"] = Le_inf
+            v["d_in"] = d
+            v["pdf_fwd"] = jnp.where(
+                esc, jnp.where(prev_specular, 0.0, pdf_dir), v["pdf_fwd"])
+        else:
+            v["escaped"] = jnp.zeros((N,), bool)
+            v["Le_inf"] = jnp.zeros_like(lam)
+            v["d_in"] = d
         verts.append(v)
 
         # sample the next direction
@@ -192,6 +228,23 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                                                  1), jnp.float32)
         return pmf_table[jnp.clip(idx, 0, pmf_table.shape[0] - 1)]
 
+    def infinite_light_density(d, n, p_ref=None):
+        """InfiniteLightDensity (reference integrators.cpp:1590): pmf-
+        weighted sum of every infinite light's directional pdf. d is the
+        SURFACE->ENV direction (what sample_li would have drawn)."""
+        dens = jnp.zeros((n,), jnp.float32)
+        if scene.env is not None:
+            pmf_env = light_pmf_of(jnp.full((n,), scene.env.light_index,
+                                            jnp.int32))
+            dens = dens + lgt.env_pdf_li(scene.env, d, p_ref=p_ref) * pmf_env
+        if scene.n_infinite > 0:
+            for ii in scene.inf_indices:
+                pmf_i = light_pmf_of(jnp.full((n,), int(ii), jnp.int32))
+                dens = dens + pmf_i * (1.0 / (4.0 * np.pi))
+        return dens
+
+    has_infinite = scene.env is not None or scene.n_infinite > 0
+
     # ---------------- camera subpath --------------------------------------
     # camera ray was generated by the caller: first vertex is the camera
     u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)
@@ -256,6 +309,25 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         cos_e = jnp.abs(vm.dot(lv0["ng"], w0)) / jnp.sqrt(d20)
         lv0["pdf_rev"] = light_prev_rev[0] * jnp.where(lv0["on_surface"],
                                                        cos_e, 1.0)
+
+    # infinite-light subpath density corrections (reference
+    # GenerateLightSubpath, integrators.cpp: "Correct subpath sampling
+    # densities for infinite area lights"): the endpoint's spatial density
+    # becomes the directional InfiniteLightDensity, the first surface
+    # vertex's pdf_fwd becomes the planar positional density x |cos|, and
+    # the endpoint's pdf_rev stays a SOLID-ANGLE density (ConvertDensity is
+    # identity onto infinite vertices)
+    is_inf0 = (lrow0.tag == lgt.LIGHT_UNIFORM_INFINITE) | \
+        (lrow0.tag == lgt.LIGHT_IMAGE_INFINITE)
+    lv0["infinite"] = is_inf0
+    if has_infinite:
+        lv0["pdf_fwd"] = jnp.where(
+            is_inf0, infinite_light_density(-les["d"], N), lv0["pdf_fwd"])
+        if n_light_steps > 0:
+            corr0 = les["pdf_pos"] * jnp.abs(vm.dot(les["d"], lv[0]["ng"]))
+            lv[0]["pdf_fwd"] = jnp.where(is_inf0, corr0, lv[0]["pdf_fwd"])
+            lv0["pdf_rev"] = jnp.where(is_inf0, light_prev_rev[0] * d20,
+                                       lv0["pdf_rev"])
 
     cbase = wbase + 3 * n_light_steps
 
@@ -345,9 +417,28 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                     cos_pm = jnp.abs(vm.dot(cv[t - 3]["ng"], w_pm))
                     over[("c", t - 2)] = pdir / d2 * cos_pm
                 w = mis_weight(s, t, None, None, pt, None, over)
-                strategies.append(dict(s=s, t=t, p_raster=None,
-                                       L=jnp.where(ok[..., None],
-                                                   Lc * w[..., None], 0.0)))
+                L_s0 = jnp.where(ok[..., None], Lc * w[..., None], 0.0)
+                # escaped rays hitting infinite lights (reference
+                # integrators.cpp:1668-1690: IsInfiniteLight in the s=0
+                # strategy with PDFLightOrigin = InfiniteLightDensity and
+                # PDFLight = planar 1/(pi r^2) density)
+                if has_infinite:
+                    esc = pt["escaped"]
+                    L_esc = pt["beta"] * pt["Le_inf"]
+                    d_esc = pt["d_in"]
+                    dens = infinite_light_density(d_esc, N,
+                                                  p_ref=pt_minus_p)
+                    over_esc = {("c", t - 1): dens,
+                                ("cd", t - 1): jnp.zeros((N,), bool)}
+                    if t >= 3:
+                        r_w = jnp.maximum(scene.scene_radius, 1e-6)
+                        over_esc[("c", t - 2)] = (
+                            1.0 / (np.pi * r_w * r_w)
+                            * jnp.abs(vm.dot(cv[t - 3]["ng"], d_esc)))
+                    w_esc = mis_weight(s, t, None, None, pt, None, over_esc)
+                    L_s0 = L_s0 + jnp.where(esc[..., None],
+                                            L_esc * w_esc[..., None], 0.0)
+                strategies.append(dict(s=s, t=t, p_raster=None, L=L_s0))
                 continue
 
             if t == 1:
@@ -377,27 +468,41 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                     (ls1["pdf"] > 0) & (pmf1 > 0) & jnp.any(Lc > 0, axis=-1)
                 vis = tr_visible(pt["p"], pt["ng"], ls1["p_light"])
                 ok = ok & vis
-                # sampled light vertex for MIS
+                # sampled light vertex for MIS; infinite lights use the
+                # directional InfiniteLightDensity as their origin density
+                # (reference Vertex::PDFLightOrigin IsInfiniteLight,
+                # integrators.cpp:1668-1690)
+                inf1 = (lr1.tag == lgt.LIGHT_UNIFORM_INFINITE) | \
+                    (lr1.tag == lgt.LIGHT_IMAGE_INFINITE)
                 ppos1, _pd = lgt.pdf_le(
                     scene.lights, li1,
                     vm.normalize(pt["p"] - ls1["p_light"]), scene.tri_geo,
                     scene.scene_radius)
+                pdf_org1 = jnp.where(
+                    inf1, infinite_light_density(ls1["wi"], N,
+                                                 p_ref=pt["p"]),
+                    ppos1 * pmf1) if has_infinite else ppos1 * pmf1
                 sampled = dict(p=ls1["p_light"], ng=n_s1,
-                               pdf_fwd=ppos1 * pmf1,
+                               pdf_fwd=pdf_org1,
                                pdf_rev=jnp.zeros((N,), jnp.float32),
-                               on_surface=on_surf1,
+                               on_surface=on_surf1, infinite=inf1,
                                is_delta_light=lr1.is_delta,
                                valid=ok, delta=jnp.zeros((N,), bool))
                 over = {("lv0",): sampled}
-                # pt.pdf_rev = qs.PDFLight(pt)
+                # pt.pdf_rev = qs.PDFLight(pt): planar density (no 1/d^2)
+                # for infinite lights (reference Vertex::PDFLight)
                 w_qp = vm.normalize(pt["p"] - ls1["p_light"])
                 _pp, pdir1 = lgt.pdf_le(scene.lights, li1, w_qp,
                                         scene.tri_geo, scene.scene_radius)
                 d2qp = jnp.maximum(vm.length_squared(pt["p"]
                                                      - ls1["p_light"]),
                                    1e-20)
-                over[("c", t - 1)] = pdir1 / d2qp * \
-                    jnp.abs(vm.dot(pt["ng"], w_qp))
+                pl_pt = pdir1 / d2qp * jnp.abs(vm.dot(pt["ng"], w_qp))
+                r_w = jnp.maximum(scene.scene_radius, 1e-6)
+                pl_inf = (1.0 / (np.pi * r_w * r_w)
+                          * jnp.abs(vm.dot(pt["ng"], ls1["wi"])))
+                over[("c", t - 1)] = jnp.where(inf1, pl_inf, pl_pt) \
+                    if has_infinite else pl_pt
                 over[("cd", t - 1)] = jnp.zeros((N,), bool)
                 # ptMinus.pdf_rev = pt.PDF(qs, ptMinus)
                 if t >= 3:
@@ -407,7 +512,8 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                         jnp.ones((N,), bool))
                 # qs.pdf_rev = pt.PDF(ptMinus, qs)
                 over[("l", 0)] = _surface_pdf(pt, pt_minus_p, ls1["p_light"],
-                                              n_s1, on_surf1)
+                                              n_s1, on_surf1,
+                                              next_infinite=inf1)
                 over[("ld", 0)] = jnp.zeros((N,), bool)
                 w = mis_weight(s, t, sampled, None, pt, None, over)
                 strategies.append(dict(s=s, t=t, p_raster=None,
@@ -452,7 +558,8 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                     jnp.ones((N,), bool))
             elif s == 2:
                 over[("l", 0)] = _surface_pdf(
-                    qs, pt["p"], lv0["p"], lv0["ng"], lv0["on_surface"])
+                    qs, pt["p"], lv0["p"], lv0["ng"], lv0["on_surface"],
+                    next_infinite=lv0.get("infinite"))
             w = mis_weight(s, t, qs, None, pt, None, over)
             strategies.append(dict(s=s, t=t, p_raster=None,
                                    L=jnp.where(ok[..., None],
@@ -493,7 +600,8 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 jnp.ones((N,), bool))
         elif s == 2:
             over[("l", 0)] = _surface_pdf(
-                qs, cs["p_lens"], lv0["p"], lv0["ng"], lv0["on_surface"])
+                qs, cs["p_lens"], lv0["p"], lv0["ng"], lv0["on_surface"],
+                next_infinite=lv0.get("infinite"))
         w = mis_weight(s, 1, qs, None, None, None, over)
         strategies.append(dict(s=s, t=1, p_raster=cs["p_raster"],
                                L=jnp.where(ok[..., None],

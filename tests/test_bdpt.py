@@ -82,3 +82,21 @@ def test_bdpt_specular_scene_matches_path():
                           integrator="bdpt")
     assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.08, \
         (img_b.mean(), img_p.mean())
+
+
+def test_bdpt_envlit_matches_path():
+    """Infinite-light vertices (reference integrators.cpp:1668-1690): an
+    env-lit scene must agree between BDPT (escaped-ray light vertices with
+    InfiniteLightDensity MIS) and forward path tracing. Before round 4,
+    env contributions only flowed through s=0 at weight computed without
+    the infinite-light pdfs, biasing env-lit scenes."""
+    scene, cam = scenes.make_furnace_plane(albedo=0.6, env_radiance=1.0,
+                                           width=32, height=32)
+    opts = PathOptions(max_depth=3)
+    s = smp.make_sampler("independent", spp=32, full_resolution=(32, 32))
+    img_p, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="path")
+    img_b, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="bdpt")
+    assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.05, \
+        (img_b.mean(), img_p.mean())

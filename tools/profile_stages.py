@@ -50,32 +50,10 @@ def main():
     if args.scene == "cornell":
         scene, cam = scenes.make_cornell_box(width=400, height=400)
     elif args.scene == "mesh":
-        # procedural mesh big enough to force the BVH path
-        rng = np.random.default_rng(0)
-        from pbrt_tpu import scene_core
-        b = scene_core.SceneBuilder()
-        m = b.materials.add_diffuse((0.7, 0.7, 0.7))
-        # 50k-triangle "rock pile"
-        for _ in range(40):
-            c = rng.uniform(-3, 3, 3)
-            r = rng.uniform(0.3, 0.9)
-            th = np.linspace(0, np.pi, 26)
-            ph = np.linspace(0, 2 * np.pi, 51)
-            T, P = np.meshgrid(th, ph, indexing="ij")
-            pts = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
-                            np.cos(T)], -1) * r + c
-            V = pts.reshape(-1, 3)
-            idx = []
-            for i in range(25):
-                for j in range(50):
-                    a = i * 51 + j
-                    idx += [[a, a + 51, a + 1], [a + 1, a + 51, a + 52]]
-            b.add_mesh(V, np.asarray(idx), m)
-        b.add_point_light((0, 0, 8), spc.ConstantSpectrum(50.0))
-        scene = b.build()
-        cam = cam_mod.make_perspective(
-            width=640, height=640, fov=60.0,
-            look_from=(0, -9, 2), look_at=(0, 0, 0), up=(0, 0, 1))
+        # the SAME scene as the bench secondary metric (scenes/meshfield.pbrt)
+        from pbrt_tpu.scene import parser as pparser
+        desc = pparser.parse_file("scenes/meshfield.pbrt")
+        scene, cam = desc.scene, desc.camera
     else:
         raise SystemExit(f"unknown scene {args.scene}")
 
