@@ -34,9 +34,10 @@ def main():
     sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(width, height))
     opts = PathOptions(max_depth=5)
 
-    # warmup (compile) with the IDENTICAL static config as the timed run
-    # (8 waves = one fused dispatch, same static k as the timed loop)
-    rdr.render(scene, cam, sampler=sampler, opts=opts, max_waves=8)
+    # warmup (compile) with the IDENTICAL static config as the timed run:
+    # 32 waves picks the same (m, k) static pair as the full 64-spp loop
+    # (m divides 32 and 64 equally for every m the driver can choose)
+    rdr.render(scene, cam, sampler=sampler, opts=opts, max_waves=32)
     # timed run
     img, stats = rdr.render(scene, cam, spp=spp, sampler=sampler, opts=opts)
     value = stats["paths_per_sec"]
@@ -51,7 +52,7 @@ def main():
                                     full_resolution=(200, 200))
         mopts = PathOptions(max_depth=4)
         rdr.render(desc.scene, desc.camera, sampler=msampler, opts=mopts,
-                   max_waves=8)
+                   max_waves=32)
         _img, mstats = rdr.render(desc.scene, desc.camera, spp=32,
                                   sampler=msampler, opts=mopts)
         extras["mesh_paths_per_sec"] = mstats["paths_per_sec"]

@@ -188,7 +188,10 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     m = 1
     mod0 = wave_module(scene, integrator)
     if chunk == n_pix and not hasattr(mod0, "render_wave_film"):
-        cap = max(1, max_rays_per_wave // n_pix)
+        # measured on the v5e: waves above ~256k lanes stop helping and
+        # start costing (VMEM pressure); meshfield 40k-lane sweep peaked
+        # at m=4 (160k lanes), cornell 160k-lane waves peaked at m=1
+        cap = max(1, min(max_rays_per_wave, 1 << 18) // n_pix)
         while m * 2 <= cap and (n_waves - s) % (m * 2) == 0:
             m *= 2
     tiled_pix = np.tile(all_pix, m) if m > 1 else None

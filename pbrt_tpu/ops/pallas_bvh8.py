@@ -46,14 +46,84 @@ EMPTY = -1.0              # count slot for empty child
 BIG = np.float32(3e38)
 
 
+# Quantized node layout (round 4; CWBVH-style u8 child boxes): each node
+# stores a f32 frame [origin3, scale3, axis, pad] in `nodes_f` (stride
+# NF_F, after an 8-float header holding the root union box) and 8 children
+# x 3 i32 words in `nodes_q`:
+#   w0 = qlo.x | qlo.y<<8 | qlo.z<<16 | cnt<<24   (cnt: 0 interior,
+#        1..MAX leaf prim count, 255 EMPTY slot)
+#   w1 = qhi.x | qhi.y<<8 | qhi.z<<16
+#   w2 = first (tri start for leaves / child node index for interiors)
+# Dequantized child boxes are CONSERVATIVE (floor/ceil + f32 round-out),
+# so the slab test only ever over-includes; the triangle test decides.
+# This shrinks a node from 288 B to 128 B, which together with 9-float
+# triangles fits ~25k triangles in one SMEM page (was ~13k).
+NF_F = 8                  # f32 frame floats per node
+NQ_I = WIDTH * 3          # i32 words per node
+CNT_EMPTY = 255
+
+
 @struct.dataclass
 class BVH8:
-    nodes: jnp.ndarray         # (n_nodes * NODE_F,) f32 flat
-    tris: jnp.ndarray          # (T * 10,) f32 flat [p0, e1, e2, orig_id]
+    nodes_f: jnp.ndarray       # (8 + n_nodes * NF_F,) f32: root box + frames
+    nodes_q: jnp.ndarray       # (n_nodes * NQ_I,) i32 quantized children
+    tris: jnp.ndarray          # (T * 9,) f32 flat [p0, e1, e2]
     prim_indices: jnp.ndarray  # (T,) int32 permutation into original prims
     n_nodes: int = struct.field(pytree_node=False)
     n_tris: int = struct.field(pytree_node=False)
     depth: int = struct.field(pytree_node=False)
+
+
+def quantize_nodes(node_data: np.ndarray):
+    """(n, NODE_F) f32 collapse output -> (nodes_f, nodes_q) quantized
+    pair (see layout comment above). Boxes are rounded OUT so the
+    dequantized f32 box always contains the exact child box."""
+    nd = np.asarray(node_data, np.float64)
+    n = nd.shape[0]
+    ch = nd[:, :WIDTH * 8].reshape(n, WIDTH, 8)
+    lo = ch[:, :, 0:3]
+    hi = ch[:, :, 3:6]
+    first = np.round(ch[:, :, 6]).astype(np.int64)
+    cnt = np.round(ch[:, :, 7]).astype(np.int64)
+    empty = cnt < 0
+    valid = ~empty
+    vlo = np.where(valid[:, :, None], lo, np.inf)
+    vhi = np.where(valid[:, :, None], hi, -np.inf)
+    origin = vlo.min(axis=1)                       # (n, 3)
+    extent = vhi.max(axis=1) - origin
+    scale = np.maximum(extent, 1e-20) / 254.0      # headroom for round-out
+    rel_lo = (lo - origin[:, None, :]) / scale[:, None, :]
+    rel_hi = (hi - origin[:, None, :]) / scale[:, None, :]
+    qlo = np.clip(np.floor(rel_lo), 0, 255).astype(np.int64)
+    qhi = np.clip(np.ceil(rel_hi), 0, 255).astype(np.int64)
+    # f32 round-out: the kernel computes origin + q * scale in f32
+    o32 = origin.astype(np.float32)[:, None, :]
+    s32 = scale.astype(np.float32)[:, None, :]
+    for _ in range(2):
+        deq_lo = (o32 + qlo.astype(np.float32) * s32).astype(np.float32)
+        qlo = np.where(valid[:, :, None] & (deq_lo > lo), qlo - 1, qlo)
+        deq_hi = (o32 + qhi.astype(np.float32) * s32).astype(np.float32)
+        qhi = np.where(valid[:, :, None] & (deq_hi < hi), qhi + 1, qhi)
+    qlo = np.clip(qlo, 0, 255)
+    qhi = np.clip(qhi, 0, 255)
+    # empty slots: inverted box + the EMPTY count sentinel
+    qlo = np.where(empty[:, :, None], 255, qlo)
+    qhi = np.where(empty[:, :, None], 0, qhi)
+    cnt = np.where(empty, CNT_EMPTY, cnt)
+    w0 = (qlo[:, :, 0] | (qlo[:, :, 1] << 8) | (qlo[:, :, 2] << 16)
+          | (cnt << 24))
+    w1 = qhi[:, :, 0] | (qhi[:, :, 1] << 8) | (qhi[:, :, 2] << 16)
+    nodes_q = np.stack([w0, w1, first], axis=2).astype(np.int64)
+    nodes_q = nodes_q.reshape(-1).astype(np.uint32).view(np.int32)
+    nodes_f = np.zeros(8 + n * NF_F, np.float32)
+    nodes_f[0:3] = nd[0, WIDTH * 8 + 1:WIDTH * 8 + 4]   # root union lo
+    nodes_f[3:6] = nd[0, WIDTH * 8 + 4:WIDTH * 8 + 7]   # root union hi
+    frames = np.zeros((n, NF_F), np.float32)
+    frames[:, 0:3] = origin.astype(np.float32)
+    frames[:, 3:6] = scale.astype(np.float32)
+    frames[:, 6] = nd[:, WIDTH * 8].astype(np.float32)  # axis
+    nodes_f[8:] = frames.reshape(-1)
+    return nodes_f, nodes_q
 
 
 def collapse_to_bvh8(nodes_bin: np.ndarray, max_leaf: int = 8,
@@ -184,8 +254,20 @@ def _collapse_to_bvh8_py(nodes_bin: np.ndarray, max_leaf: int = 8,
 
 
 def pack_tris_flat(tri_geo_ordered) -> np.ndarray:
-    """(T, 10) [p0, p1, p2, orig_id] -> flat (T*10,) [p0, e1, e2, orig_id]
-    with precomputed Moeller-Trumbore edges."""
+    """(T, 10) [p0, p1, p2, orig_id] -> flat (T*9,) [p0, e1, e2] with
+    precomputed Moeller-Trumbore edges. The original id is NOT stored:
+    the kernel returns the BVH-sorted slot index and callers remap
+    through prim_indices (one XLA gather), saving 4 B/tri of SMEM."""
+    t = np.asarray(tri_geo_ordered, np.float32)
+    out = np.empty((t.shape[0], 9), np.float32)
+    out[:, 0:3] = t[:, 0:3]
+    out[:, 3:6] = t[:, 3:6] - t[:, 0:3]
+    out[:, 6:9] = t[:, 6:9] - t[:, 0:3]
+    return out.reshape(-1)
+
+
+def pack_tris_flat10(tri_geo_ordered) -> np.ndarray:
+    """Legacy 10-float packing [p0, e1, e2, orig_id] (forest twin only)."""
     t = np.asarray(tri_geo_ordered, np.float32)
     out = np.empty_like(t)
     out[:, 0:3] = t[:, 0:3]
@@ -206,8 +288,9 @@ def build_bvh8(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
         else bvh_mod.build_bvh(prim_lo, prim_hi, max_leaf=4)
     order = np.asarray(b.prim_indices)
     node_data, depth = collapse_to_bvh8(np.asarray(b.nodes), max_leaf)
+    nodes_f, nodes_q = quantize_nodes(node_data)
     tg = np.asarray(tri_geo)[order]
-    return BVH8(nodes=jnp.asarray(node_data.reshape(-1)),
+    return BVH8(nodes_f=jnp.asarray(nodes_f), nodes_q=jnp.asarray(nodes_q),
                 tris=jnp.asarray(pack_tris_flat(tg)),
                 prim_indices=jnp.asarray(order.astype(np.int32)),
                 n_nodes=node_data.shape[0], n_tris=tg.shape[0],
@@ -215,10 +298,10 @@ def build_bvh8(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
 
 
 def smem_bytes(n_tris: int, n_nodes: int) -> int:
-    """SMEM footprint of the all-SMEM kernel (nodes + tris scalar
-    prefetch). The chip's scalar-prefetch budget is ~1 MB total
-    (measured: 1008 KB ok, 1024 KB rejected)."""
-    return n_nodes * NODE_F * 4 + n_tris * 10 * 4
+    """SMEM footprint of the all-SMEM kernel (quantized nodes + 9-float
+    tris scalar prefetch). The chip's scalar-prefetch budget is ~1 MB
+    total (measured: 1008 KB ok, 1024 KB rejected)."""
+    return (8 + n_nodes * NF_F + n_tris * 9) * 4 + n_nodes * NQ_I * 4
 
 
 SMEM_BUDGET = 960 * 1024
@@ -241,8 +324,10 @@ SMEM_BUDGET = 960 * 1024
 
 @struct.dataclass
 class BVH8Chunked:
-    nodes: jnp.ndarray         # (K, NL) f32 per-chunk flat node pages
+    nodes_f: jnp.ndarray       # (K, NFL) f32 per-chunk frame pages
+    nodes_q: jnp.ndarray       # (K, NQL) i32 per-chunk quantized children
     tris: jnp.ndarray          # (K, TL) f32 per-chunk flat tri pages
+    page_start: jnp.ndarray    # (K,) i32: chunk's tri start in sorted order
     prim_indices: jnp.ndarray  # (T,) int32 permutation into original prims
     n_chunks: int = struct.field(pytree_node=False)
     n_tris: int = struct.field(pytree_node=False)
@@ -312,16 +397,20 @@ def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
     for _ in range(8):
         chunk_roots, start, count, _, _ = partition_chunk_roots(
             nb, part_budget)
-        node_pages, tri_pages = [], []
+        nf_pages, nq_pages, tri_pages, starts = [], [], [], []
         max_depth = 0
         for s in chunk_roots:
             nd, dep = collapse_to_bvh8(nb, max_leaf, root=s,
                                        prim_base=int(start[s]))
             max_depth = max(max_depth, dep)
-            node_pages.append(nd.reshape(-1))
+            nf, nq = quantize_nodes(nd)
+            nf_pages.append(nf)
+            nq_pages.append(nq)
             tri_pages.append(
                 pack_tris_flat(tg[start[s]:start[s] + count[s]]))
-        worst = max(n.shape[0] for n in node_pages) + \
+            starts.append(int(start[s]))
+        worst = max(n.shape[0] for n in nf_pages) + \
+            max(n.shape[0] for n in nq_pages) + \
             max(t.shape[0] for t in tri_pages)
         if worst * 4 <= budget:
             break
@@ -330,15 +419,21 @@ def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
         raise RuntimeError(
             f"chunk pages ({worst * 4}B) exceed SMEM budget {budget}B "
             "after 8 re-partitions")
-    K = len(node_pages)
-    NL = max(p.shape[0] for p in node_pages)
+    K = len(nf_pages)
+    NFL = max(p.shape[0] for p in nf_pages)
+    NQL = max(p.shape[0] for p in nq_pages)
     TL = max(p.shape[0] for p in tri_pages)
-    nodes = np.zeros((K, NL), np.float32)
+    nodes_f = np.zeros((K, NFL), np.float32)
+    nodes_q = np.zeros((K, NQL), np.int32)
     tris = np.zeros((K, TL), np.float32)
     for k in range(K):
-        nodes[k, :node_pages[k].shape[0]] = node_pages[k]
+        nodes_f[k, :nf_pages[k].shape[0]] = nf_pages[k]
+        nodes_q[k, :nq_pages[k].shape[0]] = nq_pages[k]
         tris[k, :tri_pages[k].shape[0]] = tri_pages[k]
-    return BVH8Chunked(nodes=jnp.asarray(nodes), tris=jnp.asarray(tris),
+    return BVH8Chunked(nodes_f=jnp.asarray(nodes_f),
+                       nodes_q=jnp.asarray(nodes_q),
+                       tris=jnp.asarray(tris),
+                       page_start=jnp.asarray(starts, jnp.int32),
                        prim_indices=jnp.asarray(order.astype(np.int32)),
                        n_chunks=K, n_tris=tg.shape[0], depth=max_depth)
 
@@ -363,25 +458,31 @@ def chunked_intersect(c: BVH8Chunked, o, d, t_max, any_hit=False,
 
     def step(carry, pages):
         t_c, k_c, b1_c, b2_c = carry
-        nodes_k, tris_k = pages
+        nf_k, nq_k, tris_k, start_k = pages
         tmax_in = jnp.where(k_c >= 0.0, -1.0, t_c) if any_hit else t_c
-        t_n, k_n, b1_n, b2_n = _run8(nodes_k, tris_k, ox, oy, oz,
+        t_n, k_n, b1_n, b2_n = _run8(nf_k, nq_k, tris_k, ox, oy, oz,
                                      dx, dy, dz, tmax_in, any_hit,
                                      interpret=interpret)
         better = k_n >= 0.0
-        return (jnp.where(better, t_n, t_c), jnp.where(better, k_n, k_c),
+        # kernel returns page-LOCAL sorted slot -> global sorted slot
+        k_g = k_n + start_k.astype(jnp.float32)
+        return (jnp.where(better, t_n, t_c), jnp.where(better, k_g, k_c),
                 jnp.where(better, b1_n, b1_c),
                 jnp.where(better, b2_n, b2_c)), None
 
     init = (tm, jnp.full_like(tm, -1.0), jnp.zeros_like(tm),
             jnp.zeros_like(tm))
-    (t, kf, b1, b2), _ = jax.lax.scan(step, init, (c.nodes, c.tris))
+    (t, kf, b1, b2), _ = jax.lax.scan(
+        step, init, (c.nodes_f, c.nodes_q, c.tris, c.page_start))
     t = t.reshape(-1)[:N]
     kf = kf.reshape(-1)[:N]
     b1 = b1.reshape(-1)[:N]
     b2 = b2.reshape(-1)[:N]
-    prim = jnp.round(kf).astype(jnp.int32)
-    hit = prim >= 0
+    slot = jnp.round(kf).astype(jnp.int32)
+    hit = slot >= 0
+    prim = jnp.where(
+        hit, c.prim_indices[jnp.clip(slot, 0, c.prim_indices.shape[0] - 1)],
+        -1)
     return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
                 b0=1.0 - b1 - b2, b1=b1, b2=b2)
 
@@ -459,7 +560,7 @@ def build_bvh8_forest(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
         nd, dep = collapse_to_bvh8(nb, max_leaf, root=s,
                                    prim_base=int(start[s]))
         max_depth = max(max_depth, dep)
-        tri_flat = pack_tris_flat(tg[start[s]:start[s] + count[s]])
+        tri_flat = pack_tris_flat10(tg[start[s]:start[s] + count[s]])
         node_flat = nd.reshape(-1)
         page = np.concatenate([node_flat, tri_flat])
         assert page.nbytes <= page_budget, \
@@ -484,8 +585,9 @@ def build_bvh8_forest(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
 # Kernel
 
 
-def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-                 t_out, k_out, b1_out, b2_out, stack_ref, *, any_hit):
+def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+                 tmax_ref, t_out, k_out, b1_out, b2_out, stack_ref, *,
+                 any_hit):
     o_x, o_y, o_z = ox[...], oy[...], oz[...]
     d_x, d_y, d_z = dx[...], dy[...], dz[...]
     inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
@@ -500,13 +602,13 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
 
     def tri_body(k, carry):
         t_best, prim, b1, b2, first = carry
-        base = (first + k) * 10
+        base = (first + k) * 9
         p0x, p0y, p0z = tris_ref[base], tris_ref[base + 1], tris_ref[base + 2]
         e1x, e1y, e1z = tris_ref[base + 3], tris_ref[base + 4], \
             tris_ref[base + 5]
         e2x, e2y, e2z = tris_ref[base + 6], tris_ref[base + 7], \
             tris_ref[base + 8]
-        tid = tris_ref[base + 9]
+        tid = (first + k).astype(jnp.float32)   # page-local sorted slot
         pvx = d_y * e2z - d_z * e2y
         pvy = d_z * e2x - d_x * e2z
         pvz = d_x * e2y - d_y * e2x
@@ -537,23 +639,38 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
     def body(sp):
         sp = sp - 1
         cur = stack_ref[sp]
-        base = cur * NODE_F
-        axis = jnp.round(nodes_ref[base + WIDTH * 8]).astype(jnp.int32)
+        base_f = 8 + cur * NF_F
+        onx = nodes_f_ref[base_f]
+        ony = nodes_f_ref[base_f + 1]
+        onz = nodes_f_ref[base_f + 2]
+        sx = nodes_f_ref[base_f + 3]
+        sy = nodes_f_ref[base_f + 4]
+        sz = nodes_f_ref[base_f + 5]
+        axis = jnp.round(nodes_f_ref[base_f + 6]).astype(jnp.int32)
         neg = jnp.where(axis == 0, sgn[0],
                         jnp.where(axis == 1, sgn[1], sgn[2]))
         t_best = t_out[...]
         if any_hit:
             live = k_out[...] < 0.0
         # test all 8 child slabs; reductions are independent -> pipelined
+        base_q = cur * NQ_I
         infos = []
         for c in range(WIDTH):
-            cb = base + c * 8
-            lox, loy, loz = nodes_ref[cb], nodes_ref[cb + 1], \
-                nodes_ref[cb + 2]
-            hix, hiy, hiz = nodes_ref[cb + 3], nodes_ref[cb + 4], \
-                nodes_ref[cb + 5]
-            first = jnp.round(nodes_ref[cb + 6]).astype(jnp.int32)
-            cnt = jnp.round(nodes_ref[cb + 7]).astype(jnp.int32)
+            qb = base_q + c * 3
+            w0 = nodes_q_ref[qb]
+            w1 = nodes_q_ref[qb + 1]
+            first = nodes_q_ref[qb + 2]
+            cnt = jnp.bitwise_and(jnp.right_shift(w0, 24), 255)
+            lox = onx + jnp.bitwise_and(w0, 255).astype(jnp.float32) * sx
+            loy = ony + jnp.bitwise_and(jnp.right_shift(w0, 8),
+                                        255).astype(jnp.float32) * sy
+            loz = onz + jnp.bitwise_and(jnp.right_shift(w0, 16),
+                                        255).astype(jnp.float32) * sz
+            hix = onx + jnp.bitwise_and(w1, 255).astype(jnp.float32) * sx
+            hiy = ony + jnp.bitwise_and(jnp.right_shift(w1, 8),
+                                        255).astype(jnp.float32) * sy
+            hiz = onz + jnp.bitwise_and(jnp.right_shift(w1, 16),
+                                        255).astype(jnp.float32) * sz
             tx0 = (lox - o_x) * inv_dx
             tx1 = (hix - o_x) * inv_dx
             ty0 = (loy - o_y) * inv_dy
@@ -575,7 +692,7 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
         for c in range(WIDTH):
             first, cnt, any_c = infos[c]
 
-            @pl.when(any_c & (cnt > 0))
+            @pl.when(any_c & (cnt > 0) & (cnt < CNT_EMPTY))
             def _(first=first, cnt=cnt):
                 carry = (t_out[...], k_out[...], b1_out[...], b2_out[...],
                          first)
@@ -614,13 +731,12 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
     # whole-block root pre-test: in the chunked multi-launch scan most
     # (chunk, block) pairs are dead — one slab test against the root's
     # union box (stored in node 0's pad floats) skips the traversal
-    rb = WIDTH * 8
-    rtx0 = (nodes_ref[rb + 1] - o_x) * inv_dx
-    rtx1 = (nodes_ref[rb + 4] - o_x) * inv_dx
-    rty0 = (nodes_ref[rb + 2] - o_y) * inv_dy
-    rty1 = (nodes_ref[rb + 5] - o_y) * inv_dy
-    rtz0 = (nodes_ref[rb + 3] - o_z) * inv_dz
-    rtz1 = (nodes_ref[rb + 6] - o_z) * inv_dz
+    rtx0 = (nodes_f_ref[0] - o_x) * inv_dx
+    rtx1 = (nodes_f_ref[3] - o_x) * inv_dx
+    rty0 = (nodes_f_ref[1] - o_y) * inv_dy
+    rty1 = (nodes_f_ref[4] - o_y) * inv_dy
+    rtz0 = (nodes_f_ref[2] - o_z) * inv_dz
+    rtz1 = (nodes_f_ref[5] - o_z) * inv_dz
     rmin = jnp.maximum(jnp.maximum(jnp.minimum(rtx0, rtx1),
                                    jnp.minimum(rty0, rty1)),
                        jnp.maximum(jnp.minimum(rtz0, rtz1), 0.0))
@@ -636,12 +752,13 @@ def _bvh8_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _run8(nodes_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax,
-          any_hit, interpret=False):
+def _run8(nodes_f_flat, nodes_q_flat, tris_flat, ox, oy, oz, dx, dy, dz,
+          tmax, any_hit, interpret=False):
     nb = ox.shape[0] // BLOCK_ROWS
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, nf, tf: (i, 0))
+    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES),
+                            lambda i, nf, nq, tf: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=[ray_spec] * 7,
         out_specs=[ray_spec] * 4,
@@ -653,7 +770,7 @@ def _run8(nodes_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4,
         interpret=interpret,
-    )(nodes_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax)
+    )(nodes_f_flat, nodes_q_flat, tris_flat, ox, oy, oz, dx, dy, dz, tmax)
 
 
 def _forest_kernel(meta_ref, pages_hbm, ox, oy, oz, dx, dy, dz, tmax_ref,
@@ -874,13 +991,18 @@ def bvh8_intersect(b8: BVH8, o, d, t_max, any_hit=False, interpret=False):
     dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
     tm = prep(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,)), -1.0)
 
-    t, kf, b1, b2 = _run8(b8.nodes, b8.tris, ox, oy, oz, dx, dy, dz, tm,
-                          bool(any_hit), interpret=bool(interpret))
+    t, kf, b1, b2 = _run8(b8.nodes_f, b8.nodes_q, b8.tris, ox, oy, oz,
+                          dx, dy, dz, tm, bool(any_hit),
+                          interpret=bool(interpret))
     t = t.reshape(-1)[:N]
     kf = kf.reshape(-1)[:N]
     b1 = b1.reshape(-1)[:N]
     b2 = b2.reshape(-1)[:N]
-    prim = jnp.round(kf).astype(jnp.int32)
-    hit = prim >= 0
+    slot = jnp.round(kf).astype(jnp.int32)
+    hit = slot >= 0
+    prim = jnp.where(
+        hit,
+        b8.prim_indices[jnp.clip(slot, 0, b8.prim_indices.shape[0] - 1)],
+        -1)
     return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
                 b0=1.0 - b1 - b2, b1=b1, b2=b2)

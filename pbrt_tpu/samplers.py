@@ -26,6 +26,7 @@ SAMPLER_PADDED_SOBOL = 4
 SAMPLER_HALTON = 5
 SAMPLER_PMJ02BN = 6
 SAMPLER_TABLE = 7   # per-lane primary-sample-space table (MLT chains)
+SAMPLER_ZSOBOL_EXACT = 8  # bit-exact reference ZSobol (64-bit hashes)
 
 _U32 = jnp.uint32
 
@@ -86,7 +87,8 @@ _KIND_NAMES = {"independent": SAMPLER_INDEPENDENT,
                "stratified": SAMPLER_STRATIFIED,
                "zsobol": SAMPLER_ZSOBOL, "sobol": SAMPLER_SOBOL,
                "paddedsobol": SAMPLER_PADDED_SOBOL, "halton": SAMPLER_HALTON,
-               "pmj02bn": SAMPLER_PMJ02BN}
+               "pmj02bn": SAMPLER_PMJ02BN,
+               "zsobol-exact": SAMPLER_ZSOBOL_EXACT}
 
 
 def kind_name(params: "SamplerParams") -> str:
@@ -97,8 +99,8 @@ def make_sampler(kind="zsobol", spp=16, seed=0, full_resolution=(1024, 1024),
                  jitter=True) -> SamplerParams:
     kinds = _KIND_NAMES
     k = kinds[kind]
-    if k in (SAMPLER_ZSOBOL, SAMPLER_SOBOL, SAMPLER_PADDED_SOBOL,
-             SAMPLER_PMJ02BN):
+    if k in (SAMPLER_ZSOBOL, SAMPLER_ZSOBOL_EXACT, SAMPLER_SOBOL,
+             SAMPLER_PADDED_SOBOL, SAMPLER_PMJ02BN):
         # round spp to power of 2 (reference warns and rounds, samplers.h:243)
         log2_spp = max(0, int(np.ceil(np.log2(max(spp, 1)))))
         spp = 1 << log2_spp
@@ -106,6 +108,7 @@ def make_sampler(kind="zsobol", spp=16, seed=0, full_resolution=(1024, 1024),
         log2_spp = 0
     res = max(full_resolution[0], full_resolution[1])
     log4_spp = (log2_spp + 1) // 2
+    # Log2Int(RoundUpPow2(res)) like the reference (samplers.h:236)
     n_base4 = int(np.ceil(np.log2(max(res, 2)))) + log4_spp
     xs = int(np.sqrt(spp))
     while xs > 1 and spp % xs:
@@ -196,6 +199,54 @@ def _zsobol_sample_index(params: SamplerParams, px, py, sample_index, dim_pair):
     return sample_idx
 
 
+def _zsobol_sample_index_exact(params: SamplerParams, px, py,
+                               sample_index, dim):
+    """BIT-EXACT reference ZSobolSampler::GetSampleIndex (samplers.h:302):
+    base-4 digit permutations picked by the 64-bit MixBits hash of the
+    higher digits xor 0x55555555 * dimension. dim is the PRE-CALL
+    dimension value (the reference reads `dimension` before advancing
+    it). 64-bit hashes run on emulated (hi, lo) u32 pairs."""
+    from .ops.gather import onehot_lookup
+    packed_perms = jnp.asarray(_PERMS_PACKED)
+    morton = prng.encode_morton_2(px.astype(_U32), py.astype(_U32))
+    morton_index = (morton << np.uint32(params.log2_spp)) | \
+        sample_index.astype(_U32)
+    dim_u = jnp.asarray(dim, _U32)
+    mix_in = _U32(np.uint32(0x55555555)) * dim_u
+    n_digits = params.n_base4_digits
+    pow2_spp = (params.log2_spp & 1) == 1
+    last_digit = 1 if pow2_spp else 0
+    sample_idx = jnp.zeros_like(morton_index)
+    zero = jnp.zeros_like(morton_index)
+    for i in range(n_digits - 1, last_digit - 1, -1):
+        digit_shift = np.uint32(2 * i - (1 if pow2_spp else 0))
+        digit = (morton_index >> digit_shift) & np.uint32(3)
+        higher = (morton_index >> (digit_shift + np.uint32(2)))
+        mh, ml = prng.mixbits64(zero, higher ^ mix_in)
+        # ((hi:lo) >> 24) % 24 with 2^32 % 24 == 16
+        a = mh >> np.uint32(24)
+        b = (mh << np.uint32(8)) | (ml >> np.uint32(24))
+        p = ((a % np.uint32(24)) * np.uint32(16)
+             + b % np.uint32(24)) % np.uint32(24)
+        packed = onehot_lookup(packed_perms,
+                               p.astype(jnp.int32)).astype(jnp.uint32)
+        digit = (packed >> (np.uint32(2) * digit)) & np.uint32(3)
+        sample_idx = sample_idx | (digit << digit_shift)
+    if pow2_spp:
+        digit = morton_index & np.uint32(1)
+        mh, ml = prng.mixbits64(zero,
+                                (morton_index >> np.uint32(1)) ^ mix_in)
+        sample_idx = sample_idx | (digit ^ (ml & np.uint32(1)))
+    return sample_idx
+
+
+def _zsobol_exact_hash(dim_plus, seed):
+    """(hi, lo) of reference Hash(dimension, seed) — MurmurHash64A over
+    the 8-byte (int32 dimension, int32 seed) buffer (util/hash.h:100)."""
+    kh = jnp.full_like(dim_plus, np.uint32(np.uint32(seed)))
+    return prng.murmur64_u64(kh, dim_plus)
+
+
 def _halton_1d(params: SamplerParams, px, py, sample_index, dim):
     """Halton sample: radical inverse in the dim-th prime base with a
     per-(pixel, dimension) Cranley-Patterson rotation.
@@ -257,6 +308,13 @@ def sample_1d(params: SamplerParams, px, py, sample_index, dim):
         m = jnp.asarray(ld.sobol_matrices())
         v = ld.sobol_sample_u32(idx, 0, m)
         return ld.u32_to_sample(ld.fast_owen_scramble(v, h))
+    if params.kind == SAMPLER_ZSOBOL_EXACT:
+        idx = _zsobol_sample_index_exact(params, px, py, sample_index, dim)
+        # reference Get1D: ++dimension BEFORE Hash(dimension, seed)
+        _hh, hl = _zsobol_exact_hash((dim + 1).astype(_U32), params.seed)
+        m = jnp.asarray(ld.sobol_matrices())
+        v = ld.sobol_sample_u32(idx, 0, m)
+        return ld.u32_to_sample(ld.fast_owen_scramble(v, hl))
     if params.kind == SAMPLER_HALTON:
         return _halton_1d(params, px, py, sample_index, dim)
     if params.kind == SAMPLER_PMJ02BN:
@@ -315,6 +373,13 @@ def sample_2d(params: SamplerParams, px, py, sample_index, dim):
         ha = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed))
         hb = prng.hash_u32(dim.astype(_U32), np.uint32(params.seed), np.uint32(0x4df5))
         ua, ub = _sobol_01(idx, ha, hb)
+        return jnp.stack([ua, ub], axis=-1)
+    if params.kind == SAMPLER_ZSOBOL_EXACT:
+        idx = _zsobol_sample_index_exact(params, px, py, sample_index, dim)
+        # reference Get2D: dimension += 2, then the 64-bit Hash provides
+        # both component scramble seeds (lo -> x, hi -> y)
+        hh, hl = _zsobol_exact_hash((dim + 2).astype(_U32), params.seed)
+        ua, ub = _sobol_01(idx, hl, hh)
         return jnp.stack([ua, ub], axis=-1)
     if params.kind == SAMPLER_HALTON:
         return jnp.stack([_halton_1d(params, px, py, sample_index, dim),

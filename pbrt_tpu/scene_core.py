@@ -726,7 +726,7 @@ class SceneBuilder:
         bvh8c = None
         use_pallas_bvh8c = False
         if use_bvh and on_tpu and not self.instances \
-                and n_tri * 40 <= b8_mod.SMEM_BUDGET:
+                and n_tri * 36 <= b8_mod.SMEM_BUDGET:
             cand = b8_mod.build_bvh8(lo, hi, np.asarray(tri_geo),
                                      binary_bvh=bvh)
             if b8_mod.smem_bytes(cand.n_tris, cand.n_nodes) \

@@ -150,3 +150,81 @@ class PCG32:
             r = self.uniform_u32()
             if r >= threshold:
                 return np.uint32(r % np.uint32(b))
+
+
+# ---------------------------------------------------------------------------
+# 64-bit hash emulation on (hi, lo) uint32 pairs — used by the bit-exact
+# ZSobol sampler path (reference util/hash.h MixBits + MurmurHash64A).
+# JAX runs without x64, so uint64 is emulated with u32 pairs; TPU int ops
+# run at f32 VPU rate, so a 64-bit multiply costs ~5 vector ops.
+
+def _u32c(x):
+    return jnp.asarray(x, jnp.uint32)
+
+
+def _mulhi_u32(a, b):
+    """High 32 bits of the 32x32 product (u32 arrays)."""
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> jnp.uint32(16)
+    b0 = b & jnp.uint32(0xFFFF)
+    b1 = b >> jnp.uint32(16)
+    x0 = a0 * b0
+    x1 = a1 * b0
+    x2 = a0 * b1
+    x3 = a1 * b1
+    t = (x0 >> jnp.uint32(16)) + (x1 & jnp.uint32(0xFFFF)) + \
+        (x2 & jnp.uint32(0xFFFF))
+    return x3 + (x1 >> jnp.uint32(16)) + (x2 >> jnp.uint32(16)) + \
+        (t >> jnp.uint32(16))
+
+
+def mul64(ah, al, bh, bl):
+    """(ah:al) * (bh:bl) mod 2^64 -> (hi, lo)."""
+    lo = al * bl
+    hi = _mulhi_u32(al, bl) + al * bh + ah * bl
+    return hi, lo
+
+
+def shr64(h, l, s: int):
+    s = int(s)
+    if s == 0:
+        return h, l
+    if s < 32:
+        return h >> jnp.uint32(s), (l >> jnp.uint32(s)) | \
+            (h << jnp.uint32(32 - s))
+    return jnp.zeros_like(h), h >> jnp.uint32(s - 32)
+
+
+def mixbits64(h, l):
+    """Reference MixBits (util/hash.h:70), on a (hi, lo) u32 pair."""
+    sh, sl = shr64(h, l, 31)
+    h, l = h ^ sh, l ^ sl
+    h, l = mul64(h, l, _u32c(0x7FB5D329), _u32c(0x728EA185))
+    sh, sl = shr64(h, l, 27)
+    h, l = h ^ sh, l ^ sl
+    h, l = mul64(h, l, _u32c(0x81DADEF4), _u32c(0xBC2DD44D))
+    sh, sl = shr64(h, l, 33)
+    return h ^ sh, l ^ sl
+
+
+_MURMUR_M = (0xC6A4A793, 0x5BD1E995)   # 0xc6a4a7935bd1e995
+_MURMUR_R = 47
+
+
+def murmur64_u64(kh, kl):
+    """Reference MurmurHash64A over ONE 8-byte block, seed 0 (the form
+    Hash(int, int) takes, util/hash.h:100): returns (hi, lo)."""
+    mh, ml = _u32c(_MURMUR_M[0]), _u32c(_MURMUR_M[1])
+    # h = 0 ^ (len * m) with len = 8
+    hh, hl = mul64(jnp.zeros_like(kh), jnp.full_like(kl, 8), mh, ml)
+    kh, kl = mul64(kh, kl, mh, ml)
+    sh, sl = shr64(kh, kl, _MURMUR_R)
+    kh, kl = kh ^ sh, kl ^ sl
+    kh, kl = mul64(kh, kl, mh, ml)
+    hh, hl = hh ^ kh, hl ^ kl
+    hh, hl = mul64(hh, hl, mh, ml)
+    sh, sl = shr64(hh, hl, _MURMUR_R)
+    hh, hl = hh ^ sh, hl ^ sl
+    hh, hl = mul64(hh, hl, mh, ml)
+    sh, sl = shr64(hh, hl, _MURMUR_R)
+    return hh ^ sh, hl ^ sl

@@ -31,20 +31,59 @@ def _rays(n=512, seed=1):
 
 
 def test_collapse_covers_all_primitives():
-    """Every original primitive appears in exactly one leaf range."""
+    """Every original primitive appears in exactly one leaf range, read
+    back through the QUANTIZED node encoding (w0 cnt byte + w2 first)."""
     _, bv8 = _scene(T=777)
-    nodes = np.asarray(bv8.nodes).reshape(bv8.n_nodes, b8.NODE_F)
+    nq = np.asarray(bv8.nodes_q).view(np.uint32).reshape(
+        bv8.n_nodes, b8.WIDTH, 3)
     covered = np.zeros(bv8.n_tris, bool)
-    for row in nodes:
+    for node in nq:
         for c in range(b8.WIDTH):
-            first = int(round(row[c * 8 + 6]))
-            cnt = int(round(row[c * 8 + 7]))
-            if cnt > 0:
+            cnt = int(node[c, 0] >> 24)
+            first = int(node[c, 2].view(np.int32) if hasattr(node[c, 2],
+                        'view') else node[c, 2])
+            if 0 < cnt < b8.CNT_EMPTY:
                 assert not covered[first:first + cnt].any(), "overlap"
                 covered[first:first + cnt] = True
     assert covered.all()
     # permutation validity
     assert sorted(np.asarray(bv8.prim_indices)) == list(range(bv8.n_tris))
+
+
+def test_quantized_boxes_are_conservative():
+    """Dequantized child boxes must CONTAIN the exact collapse boxes
+    (round-out invariant the slab test relies on)."""
+    rng = np.random.default_rng(11)
+    T = 500
+    p0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    p1 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    p2 = (p0 + rng.uniform(-0.5, 0.5, (T, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    tri_geo = np.concatenate(
+        [p0, p1, p2, np.arange(T, dtype=np.float32)[:, None]], axis=1)
+    bb = bvh_mod.build_bvh(lo, hi, max_leaf=4)
+    nd, _dep = b8.collapse_to_bvh8(np.asarray(bb.nodes), 8)
+    nf, nq = b8.quantize_nodes(nd)
+    n = nd.shape[0]
+    frames = nf[8:].reshape(n, b8.NF_F)
+    q = nq.view(np.uint32).reshape(n, b8.WIDTH, 3)
+    ch = nd[:, :b8.WIDTH * 8].reshape(n, b8.WIDTH, 8)
+    for i in range(n):
+        o = frames[i, 0:3]
+        s = frames[i, 3:6]
+        for c in range(b8.WIDTH):
+            cnt = int(q[i, c, 0] >> 24)
+            if cnt == b8.CNT_EMPTY:
+                continue
+            qlo = np.array([q[i, c, 0] & 255, (q[i, c, 0] >> 8) & 255,
+                            (q[i, c, 0] >> 16) & 255], np.float32)
+            qhi = np.array([q[i, c, 1] & 255, (q[i, c, 1] >> 8) & 255,
+                            (q[i, c, 1] >> 16) & 255], np.float32)
+            dlo = (o + qlo * s).astype(np.float32)
+            dhi = (o + qhi * s).astype(np.float32)
+            assert (dlo <= ch[i, c, 0:3] + 1e-30).all(), (i, c)
+            assert (dhi >= ch[i, c, 3:6] - 1e-30).all(), (i, c)
 
 
 def test_bvh8_matches_brute_force():
