@@ -60,6 +60,50 @@ def main():
     except Exception as e:  # never let the secondary break the bench line
         extras["mesh_error"] = str(e)[:200]
 
+    # --- 1080p time-to-64spp (BASELINE.json config 5 scale point) ---------
+    try:
+        import time as _t
+        w1, h1 = 1920, 1080
+        scene1, cam1 = scenes.make_cornell_box(width=w1, height=h1)
+        s1 = smp.make_sampler("zsobol", spp=64, full_resolution=(w1, h1))
+        rdr.render(scene1, cam1, sampler=s1, opts=opts, max_waves=32)
+        _img, st1 = rdr.render(scene1, cam1, spp=64, sampler=s1, opts=opts)
+        extras["time_to_64spp_1080p_s"] = round(st1["seconds"], 3)
+        extras["paths_per_sec_1080p"] = st1["paths_per_sec"]
+    except Exception as e:
+        extras["bench1080_error"] = str(e)[:200]
+
+    # --- Mrays/s (closest + shadow) on the meshfield BVH ------------------
+    try:
+        import jax, numpy as _np, time as _t
+        import jax.numpy as jnp
+        from pbrt_tpu import scene_core as sc
+        sc_m = desc.scene
+        N = 1 << 20
+        rng = _np.random.default_rng(0)
+        lo = _np.asarray(sc_m.world_lo)
+        hi = _np.asarray(sc_m.world_hi)
+        o = jnp.asarray(rng.uniform(lo - 1, hi + 1, (N, 3)).astype(_np.float32))
+        d = jnp.asarray(rng.normal(size=(N, 3)).astype(_np.float32))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        tm = jnp.full((N,), 1e30, jnp.float32)
+
+        def pair(o, d, tm):
+            r = sc.intersect(sc_m, o, d, tm)
+            occ = sc.intersect_p(sc_m, o, d, jnp.full((N,), 30.0))
+            return r["t"], occ
+        f = jax.jit(pair)
+        jax.block_until_ready(f(o, d, tm))
+        t0 = _t.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = f(o, d, tm)
+        jax.block_until_ready(out)
+        dt = (_t.perf_counter() - t0) / reps
+        extras["mrays_per_sec"] = round(2 * N / dt / 1e6, 2)
+    except Exception as e:
+        extras["mrays_error"] = str(e)[:200]
+
     print(json.dumps({"metric": "wavefront_paths_per_sec", "value": value,
                       "unit": "paths/s", "vs_baseline": value / baseline,
                       **extras}))

@@ -47,8 +47,10 @@ class PathOptions:
     # bucket (N, N/2, N/4, N/8) picked DEVICE-side by lax.switch — dead
     # lanes past the bucket cost nothing, no host sync. Incompatible with
     # collect_stats.
-    compaction: bool = struct.field(pytree_node=False, default=False)
-    compaction_start: int = struct.field(pytree_node=False, default=2)
+    # False | True | "auto" (auto: ON when the scene traces through the
+    # Pallas BVH8 kernels — they want the driver's shared morton sort)
+    compaction: object = struct.field(pytree_node=False, default="auto")
+    compaction_start: int = struct.field(pytree_node=False, default=1)
 
 
 def _to_local(ns, t1, t2, w):
@@ -72,14 +74,20 @@ def _shading_frame(ns, dpdu):
     return t1, t2
 
 
-def _run_compacted(body, state, opts):
+def _run_compacted(body, state, opts, scene=None):
     """Compacted wavefront driver (reference workqueue.h:41-137 role):
-    the depth loop is unrolled; from opts.compaction_start on, live lanes
-    are stable-sorted to the front and the bounce dispatches on the
-    smallest power-of-two bucket (N, N/2, N/4, N/8) that holds them. The
-    bucket index is computed on device and selected with lax.switch — no
-    host round-trip. Dead lanes past the bucket are untouched (their L is
-    final). Lane order is restored before returning."""
+    the depth loop is unrolled; from opts.compaction_start on, lanes are
+    sorted by (dead-flag, ray octant|origin-morton) — dead lanes to the
+    back, live lanes in SPATIAL order — and the bounce dispatches on the
+    smallest power-of-two bucket (N, N/2, N/4, N/8) that holds the live
+    set. The bucket index is computed on device and selected with
+    lax.switch — no host round-trip. Dead lanes past the bucket are
+    untouched (their L is final). Lane order is restored at the end.
+
+    The morton component means the Pallas BVH8 queries inside the body
+    run on presorted rays (body is called with presorted=True), so each
+    depth pays ONE argsort instead of one per closest/shadow query —
+    in-wave that sort was ~half the query cost (ROUND4.md)."""
     N = state["o"].shape[0]
 
     def is_lane(k):
@@ -92,8 +100,14 @@ def _run_compacted(body, state, opts):
     buckets = [N, max(1, N // 2), max(1, N // 4), max(1, N // 8)]
     for depth in range(opts.max_depth):
         if depth >= opts.compaction_start:
-            order = jnp.argsort(jnp.where(state["active"], 0, 1)
-                                .astype(jnp.int32), stable=True)
+            if scene is not None:
+                keys = sc._ray_sort_keys(scene, state["o"], state["d"]) \
+                    >> jnp.uint32(1)
+            else:
+                keys = jnp.zeros((N,), jnp.uint32)
+            keys = keys | jnp.where(state["active"], jnp.uint32(0),
+                                    jnp.uint32(1) << jnp.uint32(31))
+            order = jnp.argsort(keys)
             state = {k: (v[order] if is_lane(k) else v)
                      for k, v in state.items()}
             live = jnp.sum(state["active"])
@@ -103,7 +117,7 @@ def _run_compacted(body, state, opts):
                     sub = {k: (v[:nb] if is_lane(k) else v)
                            for k, v in st.items()}
                     lane_ids = sub.pop("lane")
-                    out = body(depth, sub)
+                    out = body(depth, sub, presorted=scene is not None)
                     out["lane"] = lane_ids
                     return {k: (st[k].at[:nb].set(out[k]) if is_lane(k)
                                 else out[k]) for k in st}
@@ -145,9 +159,11 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     if scene.spectra_pool.shape[0] <= lgt.SPEC_CACHE_MAX:
         spec_cache = lgt.eval_all_spectra(scene.spectra_pool, lam)
 
-    def body(depth, state):
+    def body(depth, state, presorted=False):
         # every per-lane array rides in the state dict so the compaction
-        # driver can stable-sort + slice the whole wavefront at once
+        # driver can stable-sort + slice the whole wavefront at once;
+        # presorted: the driver already has lanes in ray-morton order, so
+        # BVH8 queries skip their internal sort
         o, d = state["o"], state["d"]
         beta, L = state["beta"], state["L"]
         active, spec_bounce = state["active"], state["spec"]
@@ -185,7 +201,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
             o_sh = sc.offset_ray_origin_exact(p, p_err, ng, wi)
             dist = vm.length(ls["p_light"] - o_sh)
             occluded = sc.intersect_p(scene, o_sh, wi, dist * 0.999,
-                                      time=time)
+                                      time=time, presorted=presorted)
             contrib_ok = contrib_ok & ~occluded
             w_mis = jnp.where(ls["is_delta"], 1.0,
                               power_heuristic(1.0, pdf_l, 1.0, pdf_b))
@@ -195,7 +211,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         if opts.collect_stats:
             dstats = dstats.at[depth, 0].set(jnp.sum(active))
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32),
-                             time=time)
+                             time=time, presorted=presorted)
         if opts.collect_stats:
             dstats = dstats.at[depth, 1].set(
                 jnp.sum(active & isect["hit"]))
@@ -467,8 +483,15 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         state["spec_cache"] = spec_cache
     if time is not None:
         state["time"] = time
-    if opts.compaction and not opts.collect_stats:
-        state = _run_compacted(body, state, opts)
+    # compaction "auto": ON for the Pallas BVH8 scenes, where the shared
+    # per-depth morton sort + live-lane buckets measured 1.3-2x end-to-end
+    # (ROUND4.md); OFF for cheap brute-force scenes where the sort would
+    # cost more than it saves
+    use_comp = opts.compaction
+    if use_comp == "auto":
+        use_comp = bool(scene.use_pallas_bvh8 or scene.use_pallas_bvh8c)
+    if use_comp and not opts.collect_stats:
+        state = _run_compacted(body, state, opts, scene=scene)
     else:
         state = jax.lax.fori_loop(0, opts.max_depth, body, state)
     if opts.collect_stats:

@@ -848,6 +848,11 @@ def parse_string(text, base_dir=".", light_sampler="power",
             name = p.parse_string()
             ps = p.parse_params()
             integrator = dict(name=name, max_depth=ps.int("maxdepth", 5))
+            # "string lightsampler" (reference path/volpath integrators
+            # default "bvh", cpu/integrators.cpp CreatePathIntegrator)
+            ls_over = ps.string("lightsampler", None)
+            if ls_over is not None:
+                light_sampler = ls_over.strip('"')
             if name == "function":
                 integrator["function"] = ps.string("function", "step")
                 integrator["filename"] = ps.string("filename", "")

@@ -977,22 +977,37 @@ def _pallas_bvh_query(scene: Scene, o, d, t_max, any_hit):
     return {k: v[inv] for k, v in r.items()}
 
 
-def _pallas_bvh8_query(scene: Scene, o, d, t_max, any_hit):
+def _pallas_bvh8_query(scene: Scene, o, d, t_max, any_hit,
+                       presorted=False):
+    # Octant+morton ray sort: ESSENTIAL for the block-union traversal on
+    # bounce/shadow rays that start ON geometry — measured in-wave on the
+    # meshfield (40k lanes): sorted ~3.6 ms/query vs unsorted ~12.3 (the
+    # standalone random-ray benchmark hides this because box-origin rays
+    # mostly miss via the root test). presorted=True skips it: the
+    # compacting wavefront driver keeps lanes in morton order itself, so
+    # each depth pays ONE sort instead of one per query.
     from .ops import pallas_bvh8 as b8_mod
-    order = jnp.argsort(_ray_sort_keys(scene, o, d))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                (o.shape[0],))
+    if presorted:
+        return b8_mod.bvh8_intersect(scene.bvh8, o, d, t_max_b,
+                                     any_hit=any_hit)
+    order = jnp.argsort(_ray_sort_keys(scene, o, d))
     r = b8_mod.bvh8_intersect(scene.bvh8, o[order], d[order],
                               t_max_b[order], any_hit=any_hit)
     inv = jnp.argsort(order)
     return {k: v[inv] for k, v in r.items()}
 
 
-def _pallas_bvh8c_query(scene: Scene, o, d, t_max, any_hit):
+def _pallas_bvh8c_query(scene: Scene, o, d, t_max, any_hit,
+                        presorted=False):
     from .ops import pallas_bvh8 as b8_mod
-    order = jnp.argsort(_ray_sort_keys(scene, o, d))
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                (o.shape[0],))
+    if presorted:
+        return b8_mod.chunked_intersect(scene.bvh8c, o, d, t_max_b,
+                                        any_hit=any_hit)
+    order = jnp.argsort(_ray_sort_keys(scene, o, d))
     r = b8_mod.chunked_intersect(scene.bvh8c, o[order], d[order],
                                  t_max_b[order], any_hit=any_hit)
     inv = jnp.argsort(order)
@@ -1038,7 +1053,7 @@ def intersect_interfaces(scene: Scene, o, d, t_max):
                 med_out=jnp.round(med[:, 1]).astype(jnp.int32))
 
 
-def _tri_dispatch(scene: Scene, o, d, t_max, time=None):
+def _tri_dispatch(scene: Scene, o, d, t_max, time=None, presorted=False):
     """Triangle-pool closest hit through whichever traversal backend the
     scene selected. Returns the raw traversal result dict."""
     if scene.has_instances:
@@ -1062,9 +1077,11 @@ def _tri_dispatch(scene: Scene, o, d, t_max, time=None):
         r = kd_mod.kdtree_intersect_triangles(scene.kdtree, scene.tri_geo,
                                               o, d, t_max)
     elif scene.use_pallas_bvh8:
-        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=False)
+        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=False,
+                               presorted=presorted)
     elif scene.use_pallas_bvh8c:
-        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=False)
+        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=False,
+                                presorted=presorted)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=False)
     elif scene.use_bvh:
@@ -1094,7 +1111,10 @@ def _alpha_uv_and_tex(scene: Scene, r):
     return atex, uv
 
 
-_ALPHA_ROUNDS = 3
+_ALPHA_ROUNDS = 6   # re-trace budget; the reference's anyhit loops until
+                    # clear (gpu/optix/optix.cu:231-246) — 6 unrolled
+                    # rounds keep dense alpha stacks (foliage) unbiased
+                    # to ~a(1-a)^6 < 1% leakage at any alpha
 
 
 def _alpha_retrace(scene: Scene, o, d, t_max, r, time=None, seed=0x7a1fa):
@@ -1141,12 +1161,12 @@ def _alpha_retrace(scene: Scene, o, d, t_max, r, time=None, seed=0x7a1fa):
     return dict(r, hit=r["hit"] & ~still_cut)
 
 
-def intersect(scene: Scene, o, d, t_max, time=None):
+def intersect(scene: Scene, o, d, t_max, time=None, presorted=False):
     """Closest hit. Returns dict(hit, t, prim, p, ng, ns, uv, mat, light, wo).
 
     time: optional (N,) shutter times for animated instances.
     Gather budget after traversal: 2 packed rows (geo + shade)."""
-    r = _tri_dispatch(scene, o, d, t_max, time=time)
+    r = _tri_dispatch(scene, o, d, t_max, time=time, presorted=presorted)
     if scene.has_alpha:
         r = _alpha_retrace(scene, o, d, t_max, r, time=time)
     prim = jnp.maximum(r["prim"], 0)
@@ -1414,7 +1434,7 @@ def _merge_curve_hits(scene: Scene, o, d, t_max, out):
                 light=jnp.where(hit_c, -1, out["light"]))
 
 
-def intersect_p(scene: Scene, o, d, t_max, time=None):
+def intersect_p(scene: Scene, o, d, t_max, time=None, presorted=False):
     """Any-hit (shadow) query. Returns bool occluded (N,)."""
     if scene.has_alpha:
         # alpha cutouts must not occlude: run the alpha-aware closest hit
@@ -1459,9 +1479,11 @@ def intersect_p(scene: Scene, o, d, t_max, time=None):
         r = kd_mod.kdtree_intersect_triangles(scene.kdtree, scene.tri_geo,
                                               o, d, t_max, any_hit=True)
     elif scene.use_pallas_bvh8:
-        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=True)
+        r = _pallas_bvh8_query(scene, o, d, t_max, any_hit=True,
+                               presorted=presorted)
     elif scene.use_pallas_bvh8c:
-        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=True)
+        r = _pallas_bvh8c_query(scene, o, d, t_max, any_hit=True,
+                                presorted=presorted)
     elif scene.use_pallas_bvh:
         r = _pallas_bvh_query(scene, o, d, t_max, any_hit=True)
     elif scene.use_bvh:

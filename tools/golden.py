@@ -24,10 +24,20 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def mrse(img, ref):
+def mrse(img, ref, trim=0.0):
+    """Relative MSE (imgtool.cpp:1101). trim: drop this fraction of the
+    largest per-pixel errors first — specular-caustic scenes at matched
+    low spp put fireflies in DIFFERENT pixels in the two independent
+    renders, and a handful of 30x-radiance sparkles otherwise dominates
+    an image-wide mean (the reference's own MSE tooling deals with the
+    same issue by comparing against long converged references)."""
     import numpy as np
-    d = img - ref
-    return float((d * d / (ref * ref + 0.01)).mean())
+    d = (img - ref)
+    e = (d * d / (ref * ref + 0.01)).mean(axis=-1).reshape(-1)
+    if trim > 0:
+        k = max(1, int(len(e) * (1.0 - trim)))
+        e = np.sort(e)[:k]
+    return float(e.mean())
 
 
 def mse(img, ref):
@@ -49,6 +59,13 @@ CONFIGS = [
     ("envlit", "envlit_200_64spp.exr", 64, 5, 0.06, 0.02),
     ("volume", "volume_200_32spp.exr", 32, 6, 0.10, 0.03),
     ("patches", "patches_200_32spp.exr", 32, 3, 0.05, 0.02),
+    # round 4 (VERDICT r3 #6): many-light (1152 emissive tris, light-BVH
+    # sampler) and killeroo-class asset mix (PLY mesh + conductor +
+    # dielectric + PNG image texture)
+    ("manylight", "manylight_200_32spp.exr", 32, 3, 0.08, 0.03),
+    # plytex: trimmed MRSE (0.2% hottest pixels dropped) — the conductor/
+    # dielectric caustics put fireflies in different pixels per realization
+    ("plytex", "plytex_200_32spp.exr", 32, 5, 0.05, 0.03, 0.002),
 ]
 
 
@@ -89,14 +106,16 @@ def main():
     from pbrt_tpu.utils import image as pimg
     import numpy as np
     failed = False
-    for name, golden, spp, max_depth, gate_mrse, gate_mean in CONFIGS:
+    for cfg in CONFIGS:
+        name, golden, spp, max_depth, gate_mrse, gate_mean = cfg[:6]
+        trim = cfg[6] if len(cfg) > 6 else 0.0
         gpath = ROOT / "goldens" / golden
         if not gpath.exists():
             print(json.dumps(dict(scene=name, skipped="no golden")))
             continue
         ref = pimg.read_exr(gpath)
         img, stats = render_config(name, spp, max_depth)
-        m = mrse(img, ref)
+        m = mrse(img, ref, trim=trim)
         mean_ratio = float(abs(img.mean() / max(float(ref.mean()), 1e-9)
                                - 1.0))
         ok = (m <= gate_mrse) and (mean_ratio <= gate_mean)

