@@ -75,9 +75,20 @@ def _camera_pass(scene, camera, sensor, sampler, pixel_idx, it, swl,
                  prev_pdf=jnp.ones((N,), jnp.float32),
                  vp_p=jnp.zeros((N, 3), jnp.float32),
                  vp_ns=jnp.zeros((N, 3), jnp.float32),
+                 vp_t1=jnp.zeros((N, 3), jnp.float32),
+                 vp_t2=jnp.zeros((N, 3), jnp.float32),
+                 vp_wo=jnp.zeros((N, 3), jnp.float32),
                  vp_wo_up=jnp.zeros((N,), bool),
                  vp_beta=jnp.zeros((N, 4), jnp.float32),
+                 # full stored BSDF (reference SPPM stores the VP's BSDF
+                 # and evaluates f(wo, wi_photon) per photon,
+                 # cpu/integrators.cpp:2763+)
+                 vp_tag=jnp.full((N,), -1, jnp.int32),
                  vp_albedo=jnp.zeros((N, 4), jnp.float32),
+                 vp_ax=jnp.zeros((N,), jnp.float32),
+                 vp_ay=jnp.zeros((N,), jnp.float32),
+                 vp_eta=jnp.ones((N, 4), jnp.float32),
+                 vp_k=jnp.zeros((N, 4), jnp.float32),
                  vp_valid=jnp.zeros((N,), bool))
 
     def body(depth, st):
@@ -151,17 +162,38 @@ def _camera_pass(scene, camera, sensor, sampler, pixel_idx, it, swl,
             Ld1 = f * ls["L"] * safe_div(w_mis, pdf_l)[..., None]
             st["Ld"] = st["Ld"] + jnp.where((ok & ~occ)[..., None],
                                             beta * Ld1, 0.0)
-        # store VP at the first diffuse vertex and stop the lane
-        is_diffuse = (bp.tag == bxdfs.BXDF_DIFFUSE)
-        store = active & is_diffuse & ~st["vp_valid"]
+        # store the VP at the first diffuse vertex (stop the lane), or at
+        # a glossy vertex on the LAST camera depth (reference
+        # SPPM visible-point rule: IsDiffuse || (IsGlossy && depth == max),
+        # cpu/integrators.cpp:2763+); the full BSDF is captured so the
+        # photon pass evaluates f(wo, wi_photon) instead of albedo/pi
+        diffuse_tags = (bxdfs.BXDF_DIFFUSE, bxdfs.BXDF_COATED_DIFFUSE,
+                        bxdfs.BXDF_DIFFUSE_TRANSMISSION)
+        is_diffuse = jnp.zeros((N,), bool)
+        for t_ in diffuse_tags:
+            is_diffuse = is_diffuse | (bp.tag == t_)
+        rough = jnp.maximum(bp.alpha_x, bp.alpha_y) > 1e-3
+        is_glossy = rough & ((bp.tag == bxdfs.BXDF_CONDUCTOR) |
+                             (bp.tag == bxdfs.BXDF_DIELECTRIC) |
+                             (bp.tag == bxdfs.BXDF_COATED_CONDUCTOR))
+        storeable = is_diffuse | (is_glossy & (depth == max_depth - 1))
+        store = active & storeable & ~st["vp_valid"]
         st["vp_p"] = jnp.where(store[..., None], isect["p"], st["vp_p"])
         st["vp_ns"] = jnp.where(store[..., None], ns, st["vp_ns"])
+        st["vp_t1"] = jnp.where(store[..., None], t1, st["vp_t1"])
+        st["vp_t2"] = jnp.where(store[..., None], t2, st["vp_t2"])
+        st["vp_wo"] = jnp.where(store[..., None], isect["wo"], st["vp_wo"])
         st["vp_wo_up"] = jnp.where(store,
                                    vm.dot(isect["wo"], ns) > 0,
                                    st["vp_wo_up"])
         st["vp_beta"] = jnp.where(store[..., None], beta, st["vp_beta"])
+        st["vp_tag"] = jnp.where(store, bp.tag, st["vp_tag"])
         st["vp_albedo"] = jnp.where(store[..., None], bp.albedo,
                                     st["vp_albedo"])
+        st["vp_ax"] = jnp.where(store, bp.alpha_x, st["vp_ax"])
+        st["vp_ay"] = jnp.where(store, bp.alpha_y, st["vp_ay"])
+        st["vp_eta"] = jnp.where(store[..., None], bp.eta, st["vp_eta"])
+        st["vp_k"] = jnp.where(store[..., None], bp.k, st["vp_k"])
         st["vp_valid"] = st["vp_valid"] | store
         active = active & ~store
 
@@ -179,13 +211,16 @@ def _camera_pass(scene, camera, sensor, sampler, pixel_idx, it, swl,
                     spec=bs["specular"], prev_pdf=bs["pdf"])
 
     st = jax.lax.fori_loop(0, max_depth, body, state)
-    # vp_weight stays SPECTRAL: the deposit multiplies by the photon's
-    # spectral beta first and converts the product (like the reference's
-    # film.ToOutputRGB(vp.beta * Phi, lambda)); both passes share one lambda
+    # vp fields stay SPECTRAL: the deposit evaluates the stored BSDF
+    # against each photon direction, multiplies by the photon's spectral
+    # beta, and converts the product (reference film.ToOutputRGB(vp.beta *
+    # Phi, lambda)); both passes share one lambda
     return dict(Ld=to_rgb(st["Ld"]), vp_p=st["vp_p"], vp_ns=st["vp_ns"],
-                vp_wo_up=st["vp_wo_up"],
-                vp_weight=st["vp_beta"] * st["vp_albedo"] / np.pi,
-                vp_valid=st["vp_valid"])
+                vp_t1=st["vp_t1"], vp_t2=st["vp_t2"], vp_wo=st["vp_wo"],
+                vp_wo_up=st["vp_wo_up"], vp_beta=st["vp_beta"],
+                vp_tag=st["vp_tag"], vp_albedo=st["vp_albedo"],
+                vp_ax=st["vp_ax"], vp_ay=st["vp_ay"], vp_eta=st["vp_eta"],
+                vp_k=st["vp_k"], vp_valid=st["vp_valid"])
 
 
 def _photon_pass(scene, sensor, sampler, n_photons, it, swl, max_depth,
@@ -197,6 +232,8 @@ def _photon_pass(scene, sensor, sampler, n_photons, it, swl, max_depth,
     """
     N = n_photons
     lam = swl.lam
+    # stored-VP BSDF dispatch compiles only the scene's material tags
+    vp_tags_present = scene.materials.bxdf_tags_present
     lane = jnp.arange(N, dtype=jnp.int32)
     py0 = jnp.full((N,), 7919, jnp.int32)  # decorrelate from camera pass
     si = jnp.full((N,), it, jnp.int32)
@@ -256,7 +293,21 @@ def _photon_pass(scene, sensor, sampler, n_photons, it, swl, max_depth,
                 near = d2 <= st["r2"][vpi]
                 side = (vm.dot(-d, vp["vp_ns"][vpi]) > 0) == vp["vp_wo_up"][vpi]
                 ok = active & match_cell & near & side & vp["vp_valid"][vpi]
-                contrib = to_rgb(beta * vp["vp_weight"][vpi])
+                # FULL stored-BSDF evaluation against the photon direction
+                # (reference SPPM: Phi += beta * vp.bsdf.f(vp.wo, wi),
+                # cpu/integrators.cpp:2763+)
+                nsv = vp["vp_ns"][vpi]
+                t1v = vp["vp_t1"][vpi]
+                t2v = vp["vp_t2"][vpi]
+                wo_l = _to_local(nsv, t1v, t2v, vp["vp_wo"][vpi])
+                wi_l = _to_local(nsv, t1v, t2v, -d)
+                bp_vp = bxdfs.BSDFParams(
+                    tag=vp["vp_tag"][vpi], albedo=vp["vp_albedo"][vpi],
+                    alpha_x=vp["vp_ax"][vpi], alpha_y=vp["vp_ay"][vpi],
+                    eta=vp["vp_eta"][vpi], k=vp["vp_k"][vpi],
+                    tags_present=vp_tags_present)
+                f_vp = bxdfs.bsdf_f(bp_vp, wo_l, wi_l)
+                contrib = to_rgb(beta * vp["vp_beta"][vpi] * f_vp)
                 tgt = jnp.where(ok, vpi, HW)  # HW = scrap row
                 Phi = Phi.at[tgt].add(jnp.where(ok[..., None], contrib, 0.0))
                 M = M.at[tgt].add(ok.astype(jnp.int32))

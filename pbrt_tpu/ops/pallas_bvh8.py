@@ -37,7 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-BLOCK_ROWS = 8
+BLOCK_ROWS = 8    # Mosaic requires block dims divisible by (8, 128); a
+                  # 4-row sweep result in round 4 turned out to be a jit
+                  # cache artifact (module constants don't re-key jit)
 BLOCK = BLOCK_ROWS * LANES
 WIDTH = 8                 # children per node
 NODE_F = WIDTH * 8 + 8    # 8 floats per child + [axis, depth-pad x7]

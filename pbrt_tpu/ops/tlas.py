@@ -25,9 +25,11 @@ bits(proto_root), bits(inst_id), has_motion, pad, o2w1 3x4 (12)] — o2w
 transforms object-space tangents/normals of the hit back to world.
 Animated instances (reference AnimatedTransform transform.h:444 +
 AnimatedPrimitive cpu/primitive.h:103) carry a second end-of-shutter
-transform; rays interpolate o2w linearly by their time and invert per
-lane (the reference slerps a TRS decomposition — linear matrix blend is
-the standard fast path and exact for pure translations).
+transform. Round 4: rays interpolate via the reference's TRS
+decomposition — translation lerp, rotation quaternion SLERP, stretch
+lerp (transform.cpp Decompose: polar iteration M -> R, S = R^-1 M) —
+so large rotations stay rigid instead of shrinking through the linear
+matrix blend. Decomposed components ride in row cols 40:66.
 """
 from __future__ import annotations
 
@@ -40,8 +42,42 @@ from .gather import f32_to_i32, pick3
 from . import bvh as bvh_mod
 from . import intersect as isect
 
-INST_COLS = 40
+INST_COLS = 66   # 40 base + [q0(4), q1(4), S0(9), S1(9)] TRS payload
 RETURN_TOKEN = -1
+
+
+def _decompose_trs(A):
+    """(3, 4) affine -> (q (4,), S (3, 3)): polar decomposition of the
+    3x3 part (reference Transform Decompose, transform.cpp — iterate
+    R <- (R + R^-T)/2), quaternion from R, stretch S = R^-1 M."""
+    M = np.asarray(A, np.float64)[:, :3]
+    R = M.copy()
+    for _ in range(100):
+        Rn = 0.5 * (R + np.linalg.inv(R.T))
+        if np.abs(Rn - R).sum() < 1e-12:
+            R = Rn
+            break
+        R = Rn
+    S = np.linalg.inv(R) @ M
+    # rotation matrix -> quaternion (w, x, y, z)
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        w = np.sqrt(1.0 + tr) / 2.0
+        s4 = 4.0 * w
+        q = np.asarray([w, (R[2, 1] - R[1, 2]) / s4,
+                        (R[0, 2] - R[2, 0]) / s4,
+                        (R[1, 0] - R[0, 1]) / s4])
+    else:
+        i = int(np.argmax([R[0, 0], R[1, 1], R[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s4 = 2.0 * np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12))
+        q = np.zeros(4)
+        q[1 + i] = s4 / 4.0
+        q[0] = (R[k, j] - R[j, k]) / s4
+        q[1 + j] = (R[j, i] + R[i, j]) / s4
+        q[1 + k] = (R[k, i] + R[i, k]) / s4
+    q = q / np.linalg.norm(q)
+    return q.astype(np.float32), S.astype(np.float32)
 
 
 def build_two_level(blas_list, instances):
@@ -90,6 +126,16 @@ def build_two_level(blas_list, instances):
         inst_rows[i, 26] = 0.0 if o2w1 is None else 1.0
         inst_rows[i, 28:40] = (o2w if o2w1 is None else
                                np.asarray(o2w1, np.float32)).reshape(-1)
+        if o2w1 is not None:
+            q0, S0 = _decompose_trs(o2w)
+            q1, S1 = _decompose_trs(np.asarray(o2w1,
+                                               np.float32).reshape(3, 4))
+            if np.dot(q0, q1) < 0:   # shortest arc
+                q1 = -q1
+            inst_rows[i, 40:44] = q0
+            inst_rows[i, 44:48] = q1
+            inst_rows[i, 48:57] = S0.reshape(-1)
+            inst_rows[i, 57:66] = S1.reshape(-1)
         # world bounds: transform the proto bbox corners
         _, _, lo, hi = blas_list[proto]
         plo, phi = lo.min(axis=0), hi.max(axis=0)
@@ -131,12 +177,41 @@ def _i2f(i):
 
 
 def lerp_inst_o2w(irow, time):
-    """Per-lane o2w(t): linear blend of the two keyframe matrices."""
+    """Per-lane o2w(t): TRS interpolation (reference AnimatedTransform::
+    Interpolate, transform.h:444) — translation lerp + rotation SLERP +
+    stretch lerp, recomposed as [R(q(t)) @ S(t) | T(t)]."""
     A0 = irow[..., 12:24].reshape(irow.shape[:-1] + (3, 4))
     A1 = irow[..., 28:40].reshape(irow.shape[:-1] + (3, 4))
     has_m = irow[..., 26:27, None] > 0.5
-    t = time[..., None, None]
-    return jnp.where(has_m, A0 * (1.0 - t) + A1 * t, A0)
+    t = time[..., None]
+    T = A0[..., 3] * (1.0 - t) + A1[..., 3] * t
+    q0 = irow[..., 40:44]
+    q1 = irow[..., 44:48]
+    # slerp with lerp fallback at small angle (q0.q1 already >= 0)
+    cos_t = jnp.clip(jnp.sum(q0 * q1, -1, keepdims=True), -1.0, 1.0)
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+    sin_t = jnp.sin(theta)
+    small = sin_t < 1e-4
+    w0 = jnp.where(small, 1.0 - t, jnp.sin((1.0 - t) * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    w1 = jnp.where(small, t, jnp.sin(t * theta)
+                   / jnp.where(small, 1.0, sin_t))
+    q = q0 * w0 + q1 * w1
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], -1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], -1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], -1)], -2)
+    S0 = irow[..., 48:57].reshape(irow.shape[:-1] + (3, 3))
+    S1 = irow[..., 57:66].reshape(irow.shape[:-1] + (3, 3))
+    S = S0 * (1.0 - t[..., None]) + S1 * t[..., None]
+    M = jnp.einsum("...ij,...jk->...ik", R, S)
+    A_trs = jnp.concatenate([M, T[..., None]], -1)
+    return jnp.where(has_m, A_trs, A0)
 
 
 def _invert_affine(A):

@@ -550,7 +550,9 @@ def eval_texture_rgb_raw(pool: TexturePool, tex_idx, uv, p_world=None):
     v = uv[..., 1] * row[..., 11] + row[..., 13]
     c_const = row[..., 4:7]
     if pool.has_image:
-        blend = _image_bilinear(pool, row, u, v)
+        # image textures flip the t coordinate (reference textures.cpp:367
+        # "flip t coordinate for image texture lookup")
+        blend = _image_bilinear(pool, row, u, 1.0 - v)
         rgb = jnp.where((tag == TEX_IMAGE)[..., None], blend[..., 0:3],
                         c_const)
     else:
@@ -606,15 +608,17 @@ def eval_texture(pool: TexturePool, tex_idx, uv, p_world=None,
     # image: bilinear (or trilinear MIP when a footprint is known) over
     # (coeffs, scale) texels; fused 4-tap gathers
     if pool.has_image:
+        # image textures flip the t coordinate (reference textures.cpp:367)
+        v_img = 1.0 - v
         if footprint is not None and pool.has_mips:
             # footprint: isotropic uv-space diameter from the ray cone;
             # the level is where one texel covers it
             mip_row = pool_lookup(pool.mips, jnp.maximum(tex_idx, 0))
             res = jnp.maximum(row[..., 2], row[..., 3])
             lod = jnp.log2(jnp.maximum(footprint * res, 1.0))
-            blend = _image_trilinear(pool, row, mip_row, u, v, lod)
+            blend = _image_trilinear(pool, row, mip_row, u, v_img, lod)
         else:
-            blend = _image_bilinear(pool, row, u, v)
+            blend = _image_bilinear(pool, row, u, v_img)
         c_img, s_img = blend[..., 0:3], blend[..., 3]
     else:
         c_img, s_img = c_const, s_const

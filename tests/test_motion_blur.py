@@ -115,3 +115,45 @@ AttributeEnd
                       time=jnp.ones((2,), jnp.float32))
     assert bool(r0["hit"][0]) and not bool(r0["hit"][1])
     assert not bool(r1["hit"][0]) and bool(r1["hit"][1])
+
+
+def test_animated_rotation_stays_rigid():
+    """TRS slerp (reference AnimatedTransform transform.h:444): a 90-degree
+    rotation interpolated at t=0.5 must remain a RIGID rotation — the
+    linear matrix blend this replaced shrinks vectors to ~0.707 of their
+    length at the halfway point."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pbrt_tpu.ops import tlas as tlas_mod
+
+    c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+    o2w0 = np.asarray([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
+                      np.float32)
+    o2w1 = np.asarray([[c, 0, s, 0], [0, 1, 0, 0], [-s, 0, c, 0]],
+                      np.float32)
+    rows = np.zeros((1, tlas_mod.INST_COLS), np.float32)
+    rows[0, 12:24] = o2w0.reshape(-1)
+    rows[0, 26] = 1.0
+    rows[0, 28:40] = o2w1.reshape(-1)
+    q0, S0 = tlas_mod._decompose_trs(o2w0)
+    q1, S1 = tlas_mod._decompose_trs(o2w1)
+    if np.dot(q0, q1) < 0:
+        q1 = -q1
+    rows[0, 40:44] = q0
+    rows[0, 44:48] = q1
+    rows[0, 48:57] = S0.reshape(-1)
+    rows[0, 57:66] = S1.reshape(-1)
+    irow = jnp.asarray(rows)
+    A = np.asarray(tlas_mod.lerp_inst_o2w(irow, jnp.asarray([0.5])))[0]
+    p = np.asarray([1.0, 0.0, 0.0])
+    v = A[:, :3] @ p
+    # rigid: |v| == 1 (matrix lerp gives 0.7071); halfway = 45 degrees
+    # along the keyframe arc x -> (0, 0, -1)
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-4)
+    np.testing.assert_allclose(v, [np.sqrt(0.5), 0.0, -np.sqrt(0.5)],
+                               atol=1e-4)
+    # endpoints reproduce the keyframes exactly
+    A0 = np.asarray(tlas_mod.lerp_inst_o2w(irow, jnp.asarray([0.0])))[0]
+    A1 = np.asarray(tlas_mod.lerp_inst_o2w(irow, jnp.asarray([1.0])))[0]
+    np.testing.assert_allclose(A0, o2w0, atol=1e-5)
+    np.testing.assert_allclose(A1, o2w1, atol=1e-5)

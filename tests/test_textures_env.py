@@ -45,8 +45,9 @@ def test_image_texture_bilinear():
     t = tb.add_image(img)
     pool = tb.build()
     lam = jnp.full((2, 4), 550.0)
-    # uv (0.25, 0.25) = center of texel (0,0); (0.75, 0.75) = texel (1,1)
-    uv = jnp.asarray([[0.25, 0.25], [0.75, 0.75]])
+    # image textures flip t (reference textures.cpp:367): uv (0.25, 0.75)
+    # lands on array texel (0,0) = the bright one; (0.75, 0.25) on (1,1)
+    uv = jnp.asarray([[0.25, 0.75], [0.75, 0.25]])
     a = _albedo_of(pool, jnp.full(2, t, jnp.int32), uv, lam)
     assert a[0].mean() > 0.8
     assert a[1].mean() < 0.1
