@@ -196,3 +196,36 @@ def render_mlt(scene: sc.Scene, camera, max_depth=5, n_chains=16384,
     dt = time.time() - t0
     return img, dict(b=b, seconds=dt, acceptance=n_accepted / max(total, 1),
                      mutations=total)
+
+
+def replay(scene, camera, pss_values, max_depth=5, depth=None,
+           sensor=None, colorspace=None, ls_power=None):
+    """Deterministic MLT path replay (the reference's DebugMLTSampler role,
+    base/sampler.h:36 + --debugstart): re-evaluate the BDPT contribution a
+    specific primary-sample-space vector describes, without running any
+    chains. Feed it the PSS vector of a misbehaving chain state (e.g.
+    dumped from a bootstrap or an acceptance trace) and inspect the
+    resulting (luminance, rgb, raster position) directly.
+
+    pss_values: sequence of floats in [0, 1); shorter vectors are padded
+    with 0.5. depth: path depth the vector was drawn for (defaults to
+    max_depth). Returns dict(y, rgb (3,), p_raster (2,), table_width).
+    """
+    import numpy as _np
+    from .. import film as _film
+    from .lightpath import _positionless_sampler
+    if sensor is None:
+        sensor = _film.make_pixel_sensor(colorspace)
+    if ls_power is None:
+        ls_power = _positionless_sampler(scene)
+    wfull = _table_width(max_depth)
+    vec = _np.full((1, wfull), 0.5, _np.float32)
+    vals = _np.asarray(list(pss_values), _np.float32).reshape(-1)
+    vec[0, :min(len(vals), wfull)] = vals[:wfull]
+    table = jnp.asarray(vec)
+    depth_lane = jnp.asarray([max_depth if depth is None else depth],
+                             jnp.int32)
+    y, rgb, p_raster = _eval_chains(scene, camera, sensor, table,
+                                    depth_lane, max_depth, ls_power)
+    return dict(y=float(y[0]), rgb=np.asarray(rgb[0]),
+                p_raster=np.asarray(p_raster[0]), table_width=wfull)
