@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from .tlas import INST_COLS as INST_STRIDE
+
 
 LANES = 128
 BLOCK_ROWS = 8
@@ -524,7 +526,7 @@ def _bvh2_kernel(nodes_ref, insts_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         return tuple(nodes_ref[base + k] for k in range(8))
 
     def read_inst(i):
-        base = jnp.clip(i, 0, n_insts - 1) * 40
+        base = jnp.clip(i, 0, n_insts - 1) * INST_STRIDE
         vals = tuple(insts_ref[base + k] for k in range(12))  # w2o
         return vals + (insts_ref[base + 24], insts_ref[base + 25])
 
@@ -648,7 +650,8 @@ def two_level_reference(nodes_all, inst_rows, tris16_dense, tlas_root,
         return tuple(nodes[base + k] for k in range(8))
 
     def read_inst(i):
-        base = jnp.clip(i, 0, insts.shape[0] // 40 - 1) * 40
+        base = jnp.clip(i, 0, insts.shape[0] // INST_STRIDE - 1) \
+            * INST_STRIDE
         vals = tuple(insts[base + k] for k in range(12))
         return vals + (insts[base + 24], insts[base + 25])
 

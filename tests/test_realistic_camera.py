@@ -42,7 +42,7 @@ def test_exit_pupil_mean_preserved_variance_reduced():
     # stopped-down aperture: the exit pupil is far smaller than the rear
     # element, so rear-disk sampling wastes most rays (VERDICT r3 #9)
     cam = cam_mod.make_realistic_camera(width=24, height=24,
-                                        aperture_diameter=0.004)
+                                        aperture_diameter=0.008)
     cam_disk = cam.replace(exit_pupil=None)
     n = 4096
     rng = np.random.default_rng(7)

@@ -124,7 +124,7 @@ def main():
     desc = pparser.parse_file(str(ROOT / "scenes/meshfield.pbrt"))
     ms = smp.make_sampler("zsobol", spp=32, full_resolution=(200, 200))
     mo = PathOptions(max_depth=4)
-    rdr.render(desc.scene, desc.camera, sampler=ms, opts=mo, max_waves=8)
+    rdr.render(desc.scene, desc.camera, sampler=ms, opts=mo, max_waves=32)
     _img, st = rdr.render(desc.scene, desc.camera, spp=32, sampler=ms,
                           opts=mo)
     print(json.dumps(dict(check="meshfield",
