@@ -13,8 +13,17 @@ vertex records (dicts of (N, ...) arrays — an SoA "Vertex" pool); the
 + one shadow ray across all lanes.  t>=2 strategies accumulate into the
 lane's own pixel; t==1 strategies scatter-add splats (like lightpath).
 
+Medium vertices (round 4, reference Vertex::CreateMedium,
+integrators.cpp:1595 + RandomWalk's mi.phase branch): homogeneous
+point-in-box media get closed-form distance sampling along every walk
+segment — a scatter event creates a per-lane MEDIUM vertex (HG phase
+sampling for the next direction, phase pdfs in the MIS weights, no cosine
+in ConvertDensity/G) and connections multiply the segment transmittance.
 Scope restrictions vs the reference (documented divergences):
-  * no medium vertices (use volpath for volumetric scenes)
+  * medium vertices cover HOMOGENEOUS media located by the point-in-box
+    lookup; heterogeneous (grid) media and MediumInterface-attached media
+    are volpath-only (no null-scattering vertices in BDPT)
+  * no emissive-medium vertices
   * BSDF evaluation uses radiance-convention refraction in both transport
     modes (no eta^2 importance correction)
 
@@ -41,12 +50,15 @@ from .. import film as film_mod
 from ..utils import spectrum as spc
 from ..utils import vecmath as vm
 from ..utils.math import safe_div
+from .. import media as med_mod
+from ..utils import sampling as usamp
 from .path import PathOptions, _to_local, _to_world, _shading_frame
 from .lightpath import _positionless_sampler, _splat
 
 # sampler dim layout: 0-5 camera ray + lambda (render_wave);
-# camera walk: base 6, 3 dims/step; light start: 6+3*D .. +5;
-# light walk: +5, 3/step; connections: after both walks, 3 dims per (s,t)
+# camera walk: base 6, 3 dims/step (+1 medium-distance dim when the scene
+# has BDPT media); light start after the camera walk (..+5); light walk
+# same stride; connections: after both walks, 3 dims per (s,t)
 _CAM_WALK = 6
 
 
@@ -66,29 +78,119 @@ def _convert_density(pdf_sa, p_from, p_to, ng_to, to_on_surface):
 
 def _surface_pdf(v, p_prev, p_next, ng_next, next_on_surface,
                  next_infinite=None):
-    """Area density of sampling p_next from surface vertex v arriving from
-    p_prev (Vertex::PDF for VertexType::Surface). next_infinite: lanes
-    whose target vertex is an infinite light — ConvertDensity is the
-    identity there (solid-angle density is kept, integrators.cpp
-    Vertex::ConvertDensity IsInfiniteLight)."""
+    """Area density of sampling p_next from vertex v arriving from
+    p_prev (Vertex::PDF for VertexType::Surface/Medium). Medium lanes
+    (v["in_medium"]) use the HG phase pdf instead of the BSDF pdf.
+    next_infinite: lanes whose target vertex is an infinite light —
+    ConvertDensity is the identity there (solid-angle density is kept,
+    integrators.cpp Vertex::ConvertDensity IsInfiniteLight)."""
     wp = vm.normalize(p_prev - v["p"])
     wn = vm.normalize(p_next - v["p"])
     pdf_sa = bxdfs.bsdf_pdf(v["bp"], _to_local(v["ns"], v["t1"], v["t2"], wp),
                             _to_local(v["ns"], v["t1"], v["t2"], wn))
+    im = v.get("in_medium")
+    if im is not None:
+        ph = usamp.henyey_greenstein(vm.dot(wp, wn), v["g_hg"])
+        pdf_sa = jnp.where(im, ph, pdf_sa)
     conv = _convert_density(pdf_sa, v["p"], p_next, ng_next, next_on_surface)
     if next_infinite is None:
         return conv
     return jnp.where(next_infinite, pdf_sa, conv)
 
 
+def _on_surface(v, n):
+    """Per-lane 'vertex sits on a surface' mask (cos factor applies in
+    ConvertDensity / G)."""
+    im = v.get("in_medium")
+    return jnp.ones((n,), bool) if im is None else ~im
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous point-in-box media (Vertex::CreateMedium scope — see module
+# docstring). Closed-form segment clipping against every homogeneous
+# medium's world box; static unroll over the (small) medium pool.
+
+_MED_BIG = 1e30
+
+
+def _homog_clip(row, o, d, t_end):
+    """Clip the segment [0, t_end] along o + t*d to a medium row's box.
+    Non-homogeneous / empty rows return an inverted interval."""
+    lo, hi = row[15:18], row[18:21]
+    is_hom = jnp.round(row[0]).astype(jnp.int32) == med_mod.MEDIUM_HOMOGENEOUS
+    nonempty = jnp.all(hi > lo)
+    inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    ta = (lo - o) * inv
+    tb = (hi - o) * inv
+    t0 = jnp.maximum(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0)
+    t1 = jnp.minimum(jnp.min(jnp.maximum(ta, tb), axis=-1), t_end)
+    ok = is_hom & nonempty
+    return jnp.where(ok, t0, _MED_BIG), jnp.where(ok, t1, -_MED_BIG)
+
+
+def _segment_medium(pool, o, d, t_end, lam):
+    """First homogeneous medium box overlapped by the segment. Returns
+    dict(valid, t0, t1, sigma_a, sigma_s, g); t1 is already clipped to
+    t_end. Overlapping boxes: the first-entered box wins (documented
+    single-box-per-segment scope)."""
+    N = o.shape[0]
+    t0b = jnp.full((N,), _MED_BIG, jnp.float32)
+    t1b = jnp.full((N,), -_MED_BIG, jnp.float32)
+    idxb = jnp.full((N,), -1, jnp.int32)
+    for m in range(pool.desc.shape[0]):
+        t0, t1 = _homog_clip(pool.desc[m], o, d, t_end)
+        better = (t1 > t0) & (t0 < t0b)
+        t0b = jnp.where(better, t0, t0b)
+        t1b = jnp.where(better, t1, t1b)
+        idxb = jnp.where(better, m, idxb)
+    rows = med_mod.medium_row(pool, idxb)
+    sa, ss = med_mod.sigma_at(pool, rows, o, lam)  # homogeneous: p-invariant
+    valid = idxb >= 0
+    return dict(valid=valid, t0=t0b, t1=t1b,
+                sigma_a=jnp.where(valid[..., None], sa, 0.0),
+                sigma_s=jnp.where(valid[..., None], ss, 0.0),
+                g=med_mod.hg_g(rows))
+
+
+def _segment_tau(pool, pa, pb, lam):
+    """Optical thickness (N, 4) of the segment pa -> pb summed over ALL
+    homogeneous medium boxes it crosses (connection transmittance)."""
+    dv = pb - pa
+    dist = vm.length(dv)
+    dn = dv / jnp.maximum(dist, 1e-20)[..., None]
+    tau = jnp.zeros(pa.shape[:-1] + (4,), jnp.float32)
+    for m in range(pool.desc.shape[0]):
+        row = pool.desc[m]
+        t0, t1 = _homog_clip(row, pa, dn, dist)
+        seg = jnp.maximum(t1 - t0, 0.0)
+        rows = jnp.broadcast_to(row, pa.shape[:-1] + row.shape)
+        sa, ss = med_mod.sigma_at(pool, rows, pa, lam)
+        tau = tau + (sa + ss) * seg[..., None]
+    return tau
+
+
+def _bdpt_media(scene):
+    """Static flag: BDPT creates medium vertices for this scene (see
+    module docstring scope)."""
+    return bool(scene.has_media) and not scene.has_medium_interfaces
+
+
+def _walk_stride(scene):
+    """Sampler dims consumed per walk step (+1 for the medium distance)."""
+    return 4 if _bdpt_media(scene) else 3
+
+
 def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
           pdf_dir0, n_steps, dim_base, record_le):
-    """Random walk creating up to n_steps surface vertices
-    (reference RandomWalk, integrators.cpp:1964). Returns list of vertex
-    records; sets each vertex's pdf_fwd and its predecessor's pdf_rev
-    (prev_pdf_rev list, aligned: prev_rev[i] = pdf_rev of vertex i-1,
-    with prev_rev[0] = pdf_rev onto the path endpoint)."""
+    """Random walk creating up to n_steps surface/medium vertices
+    (reference RandomWalk, integrators.cpp:1964 incl. the mi.phase medium
+    branch). Returns list of vertex records; sets each vertex's pdf_fwd
+    and its predecessor's pdf_rev (prev_pdf_rev list, aligned:
+    prev_rev[i] = pdf_rev of vertex i-1, with prev_rev[0] = pdf_rev onto
+    the path endpoint)."""
     N = o0.shape[0]
+    use_media = _bdpt_media(scene)
+    stride = _walk_stride(scene)
     verts = []
     prev_rev = []        # pdf_rev assigned to the PREVIOUS vertex/endpoint
     o, d = o0, d0
@@ -99,7 +201,42 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
     prev_specular = jnp.zeros((N,), bool)
     for i in range(n_steps):
         isect = sc.intersect(scene, o, d, jnp.full((N,), 1e30, jnp.float32))
-        valid = active & isect["hit"]
+        hit_surf = isect["hit"]
+        scatter = jnp.zeros((N,), bool)
+        g_hg = jnp.zeros((N,), jnp.float32)
+        p_med = isect["p"]
+        pdf_phase = jnp.ones((N,), jnp.float32)
+        wi_med = d
+        if use_media:
+            # homogeneous closed-form flight (HomogeneousMedium::Sample
+            # role): distance drawn from the hero wavelength's sigma_t,
+            # pdfs channel-averaged (one-sample MIS over the 4 lambdas)
+            t_surf = jnp.where(hit_surf, isect["t"], 1e30)
+            seg = _segment_medium(scene.media, o, d, t_surf, lam)
+            sig_t = seg["sigma_a"] + seg["sigma_s"]
+            u_dist = smp.sample_1d(sampler, px, py, si,
+                                   dim_base + stride * i + 3)
+            hero = sig_t[..., 0]
+            dt = -jnp.log1p(-jnp.clip(u_dist, 0.0, 1.0 - 1e-7)) / \
+                jnp.maximum(hero, 1e-20)
+            t_m = seg["t0"] + dt
+            in_seg = seg["valid"] & (hero > 0) & active
+            scatter = in_seg & (t_m < seg["t1"])
+            pdf_t = jnp.mean(sig_t * jnp.exp(-sig_t * dt[..., None]),
+                             axis=-1)
+            clip_len = jnp.maximum(seg["t1"] - seg["t0"], 0.0)
+            pdf_pass = jnp.mean(jnp.exp(-sig_t * clip_len[..., None]),
+                                axis=-1)
+            w_scatter = seg["sigma_s"] * jnp.exp(-sig_t * dt[..., None]) * \
+                safe_div(1.0, pdf_t)[..., None]
+            w_pass = jnp.exp(-sig_t * clip_len[..., None]) * \
+                safe_div(1.0, pdf_pass)[..., None]
+            att = seg["valid"] & active
+            beta = jnp.where(scatter[..., None], beta * w_scatter,
+                             jnp.where(att[..., None], beta * w_pass, beta))
+            p_med = o + t_m[..., None] * d
+            g_hg = seg["g"]
+        valid = active & (hit_surf | scatter)
         mat_res = mtl.resolve_mix(scene.materials, isect["mat"], isect["p"])
         ns = mtl.apply_normal_mapping(scene.materials, scene.textures,
                                       mat_res, isect)
@@ -109,15 +246,20 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
                                  scene.spectra_pool, textures=scene.textures,
                                  uv=isect["uv"], p_world=isect["p"],
                                  spec_cache=spec_cache, ns=ns)
+        p_v = jnp.where(scatter[..., None], p_med, isect["p"]) \
+            if use_media else isect["p"]
+        ng_v = jnp.where(scatter[..., None], 0.0, ng) if use_media else ng
         pdf_fwd = jnp.where(
             prev_specular, 0.0,
-            _convert_density(pdf_dir, p_prev, isect["p"], ng,
-                             jnp.ones((N,), bool)))
-        v = dict(p=isect["p"], ng=ng, ns=ns, t1=t1, t2=t2, bp=bp,
+            _convert_density(pdf_dir, p_prev, p_v, ng_v, ~scatter))
+        v = dict(p=p_v, ng=ng_v, ns=ns, t1=t1, t2=t2, bp=bp,
                  beta=beta, pdf_fwd=pdf_fwd,
                  pdf_rev=jnp.zeros((N,), jnp.float32),
                  delta=jnp.zeros((N,), bool), valid=valid,
                  wo=isect["wo"])
+        if use_media:
+            v["in_medium"] = scatter
+            v["g_hg"] = g_hg
         if record_le and scene.has_area_lights:
             from ..ops.gather import pool_lookup
             li = isect["light"]
@@ -127,7 +269,7 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
                                          scene.spectra_pool,
                                          spec_cache=spec_cache)
             v["Le"] = jnp.where((li >= 0)[..., None], Le, 0.0)
-            v["is_light"] = valid & (li >= 0)
+            v["is_light"] = valid & (li >= 0) & ~scatter
             v["light_idx"] = jnp.maximum(li, 0)
         else:
             v["Le"] = jnp.zeros_like(lam)
@@ -141,7 +283,7 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
         has_inf = record_le and (scene.env is not None or
                                  scene.n_infinite > 0)
         if has_inf:
-            esc = active & ~isect["hit"]
+            esc = active & ~isect["hit"] & ~scatter
             Le_inf = jnp.zeros_like(lam)
             if scene.env is not None:
                 Le_inf = Le_inf + lgt.env_radiance(scene.env, d, lam)
@@ -161,27 +303,42 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
         verts.append(v)
 
         # sample the next direction
-        base = dim_base + 3 * i
+        base = dim_base + stride * i
         uc = smp.sample_1d(sampler, px, py, si, base)
         u2 = smp.sample_2d(sampler, px, py, si, base + 1)
         wo_local = _to_local(ns, t1, t2, isect["wo"])
         bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2)
         wi_world = _to_world(ns, t1, t2, bs["wi"])
         spec = bs["specular"]
-        v["delta"] = spec & valid
         pdf_rev_sa = bxdfs.bsdf_pdf(bp, bs["wi"], wo_local)
-        prev_rev.append(jnp.where(
-            spec, 0.0,
-            _convert_density(pdf_rev_sa, isect["p"], p_prev,
-                             jnp.zeros_like(p_prev), jnp.zeros((N,), bool))))
+        bs_pdf = bs["pdf"]
+        bs_valid = bs["valid"]
         beta_new = beta * bs["f"] * safe_div(jnp.abs(bs["wi"][..., 2]),
                                              bs["pdf"])[..., None]
-        active = valid & bs["valid"] & jnp.any(beta_new > 0, axis=-1)
+        if use_media:
+            # medium lanes: HG phase sampling (weight f/pdf == 1; the
+            # reverse phase pdf equals the forward value — both arguments
+            # point away from the vertex and HG depends only on their dot)
+            wi_med, pdf_phase = usamp.sample_henyey_greenstein(u2, g_hg, -d)
+            wi_world = jnp.where(scatter[..., None], wi_med, wi_world)
+            spec = spec & ~scatter
+            pdf_rev_sa = jnp.where(scatter, pdf_phase, pdf_rev_sa)
+            bs_pdf = jnp.where(scatter, pdf_phase, bs_pdf)
+            bs_valid = jnp.where(scatter, pdf_phase > 0, bs_valid)
+            beta_new = jnp.where(scatter[..., None], beta, beta_new)
+        v["delta"] = spec & valid
+        prev_rev.append(jnp.where(
+            spec, 0.0,
+            _convert_density(pdf_rev_sa, p_v, p_prev,
+                             jnp.zeros_like(p_prev), jnp.zeros((N,), bool))))
+        active = valid & bs_valid & jnp.any(beta_new > 0, axis=-1)
         beta = jnp.where(active[..., None], beta_new, beta)
-        pdf_dir = jnp.where(spec, 0.0, bs["pdf"])
+        pdf_dir = jnp.where(spec, 0.0, bs_pdf)
         prev_specular = spec
-        p_prev = isect["p"]
-        o = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        p_prev = p_v
+        o_next = sc.offset_ray_origin(isect["p"], ng, wi_world)
+        o = jnp.where(scatter[..., None], p_med, o_next) if use_media \
+            else o_next
         d = wi_world
     return verts, prev_rev
 
@@ -198,6 +355,9 @@ def _fix_prev_rev(verts, prev_rev, endpoints_on_surface):
         w = v_to["p"] - v_from["p"]
         d2 = jnp.maximum(vm.length_squared(w), 1e-20)
         cos = jnp.abs(vm.dot(v_to["ng"], w)) / jnp.sqrt(d2)
+        im = v_to.get("in_medium")
+        if im is not None:
+            cos = jnp.where(im, 1.0, cos)   # no cos onto medium vertices
         verts[i - 1]["pdf_rev"] = prev_rev[i] * cos
 
 
@@ -267,7 +427,8 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
     _fix_prev_rev(cv, cam_prev_rev, True)
 
     # ---------------- light subpath ---------------------------------------
-    lbase = _CAM_WALK + 3 * n_cam_steps
+    stride = _walk_stride(scene)
+    lbase = _CAM_WALK + stride * n_cam_steps
     u_pick = smp.sample_1d(sampler, px, py, sample_index, lbase)
     u0 = smp.sample_2d(sampler, px, py, sample_index, lbase + 1)
     u1 = smp.sample_2d(sampler, px, py, sample_index, lbase + 3)
@@ -329,14 +490,21 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             lv0["pdf_rev"] = jnp.where(is_inf0, light_prev_rev[0] * d20,
                                        lv0["pdf_rev"])
 
-    cbase = wbase + 3 * n_light_steps
+    cbase = wbase + stride * n_light_steps
+
+    use_media = _bdpt_media(scene)
 
     # ---------------- connections -----------------------------------------
     def tr_visible(pa, nga, pb):
+        """(visible mask, transmittance (N,4) or 1.0). Medium vertices
+        have ng == 0, so the offset is the identity there."""
         o_sh = sc.offset_ray_origin(pa, nga, vm.normalize(pb - pa))
         dist = vm.length(pb - o_sh)
-        return ~sc.intersect_p(scene, o_sh, vm.normalize(pb - o_sh),
-                               dist * 0.999)
+        vis = ~sc.intersect_p(scene, o_sh, vm.normalize(pb - o_sh),
+                              dist * 0.999)
+        tr = jnp.exp(-_segment_tau(scene.media, o_sh, pb, lam)) \
+            if use_media else 1.0
+        return vis, tr
 
     def mis_weight(s, t, qs, qs_minus, pt, pt_minus, overrides):
         """MISWeight (integrators.cpp:2129): balance over all strategies
@@ -383,11 +551,17 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
     strategies = []
 
     def vert_f(v, p_toward):
-        """f at surface vertex v toward point p_toward (Vertex::f)."""
+        """f at vertex v toward point p_toward (Vertex::f). Medium lanes
+        return the HG phase value (wavelength-flat, no cosine)."""
         wi = vm.normalize(p_toward - v["p"])
         wo_l = _to_local(v["ns"], v["t1"], v["t2"], v["wo"])
         wi_l = _to_local(v["ns"], v["t1"], v["t2"], wi)
-        return bxdfs.bsdf_f(v["bp"], wo_l, wi_l)
+        f_s = bxdfs.bsdf_f(v["bp"], wo_l, wi_l)
+        im = v.get("in_medium")
+        if im is None:
+            return f_s
+        ph = usamp.henyey_greenstein(vm.dot(v["wo"], wi), v["g_hg"])
+        return jnp.where(im[..., None], ph[..., None], f_s)
 
     con_i = 0
     for t in range(2, max_depth + 3):
@@ -414,7 +588,9 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 if t >= 3:
                     d2 = jnp.maximum(vm.length_squared(
                         pt_minus_p - pt["p"]), 1e-20)
-                    cos_pm = jnp.abs(vm.dot(cv[t - 3]["ng"], w_pm))
+                    cos_pm = jnp.where(_on_surface(cv[t - 3], N),
+                                       jnp.abs(vm.dot(cv[t - 3]["ng"],
+                                                      w_pm)), 1.0)
                     over[("c", t - 2)] = pdir / d2 * cos_pm
                 w = mis_weight(s, t, None, None, pt, None, over)
                 L_s0 = jnp.where(ok[..., None], Lc * w[..., None], 0.0)
@@ -432,9 +608,11 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                                 ("cd", t - 1): jnp.zeros((N,), bool)}
                     if t >= 3:
                         r_w = jnp.maximum(scene.scene_radius, 1e-6)
+                        cos_esc = jnp.where(
+                            _on_surface(cv[t - 3], N),
+                            jnp.abs(vm.dot(cv[t - 3]["ng"], d_esc)), 1.0)
                         over_esc[("c", t - 2)] = (
-                            1.0 / (np.pi * r_w * r_w)
-                            * jnp.abs(vm.dot(cv[t - 3]["ng"], d_esc)))
+                            1.0 / (np.pi * r_w * r_w) * cos_esc)
                     w_esc = mis_weight(s, t, None, None, pt, None, over_esc)
                     L_s0 = L_s0 + jnp.where(esc[..., None],
                                             L_esc * w_esc[..., None], 0.0)
@@ -462,11 +640,13 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 s_beta = ls1["L"] * safe_div(1.0, ls1["pdf"]
                                              * pmf1)[..., None]
                 f_pt = vert_f(pt, ls1["p_light"])
-                cos_pt = jnp.abs(vm.dot(ls1["wi"], pt["ns"]))
+                cos_pt = jnp.where(_on_surface(pt, N),
+                                   jnp.abs(vm.dot(ls1["wi"], pt["ns"])), 1.0)
                 Lc = pt["beta"] * f_pt * s_beta * cos_pt[..., None]
                 ok = pt["valid"] & ~pt["delta"] & ls1["valid"] & \
                     (ls1["pdf"] > 0) & (pmf1 > 0) & jnp.any(Lc > 0, axis=-1)
-                vis = tr_visible(pt["p"], pt["ng"], ls1["p_light"])
+                vis, tr1 = tr_visible(pt["p"], pt["ng"], ls1["p_light"])
+                Lc = Lc * tr1
                 ok = ok & vis
                 # sampled light vertex for MIS; infinite lights use the
                 # directional InfiniteLightDensity as their origin density
@@ -497,10 +677,14 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 d2qp = jnp.maximum(vm.length_squared(pt["p"]
                                                      - ls1["p_light"]),
                                    1e-20)
-                pl_pt = pdir1 / d2qp * jnp.abs(vm.dot(pt["ng"], w_qp))
+                pt_surf = _on_surface(pt, N)
+                pl_pt = pdir1 / d2qp * jnp.where(
+                    pt_surf, jnp.abs(vm.dot(pt["ng"], w_qp)), 1.0)
                 r_w = jnp.maximum(scene.scene_radius, 1e-6)
                 pl_inf = (1.0 / (np.pi * r_w * r_w)
-                          * jnp.abs(vm.dot(pt["ng"], ls1["wi"])))
+                          * jnp.where(pt_surf,
+                                      jnp.abs(vm.dot(pt["ng"], ls1["wi"])),
+                                      1.0))
                 over[("c", t - 1)] = jnp.where(inf1, pl_inf, pl_pt) \
                     if has_infinite else pl_pt
                 over[("cd", t - 1)] = jnp.zeros((N,), bool)
@@ -509,7 +693,7 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                     over[("c", t - 2)] = _surface_pdf(
                         dict(pt, wo=vm.normalize(ls1["p_light"] - pt["p"])),
                         ls1["p_light"], cv[t - 3]["p"], cv[t - 3]["ng"],
-                        jnp.ones((N,), bool))
+                        _on_surface(cv[t - 3], N))
                 # qs.pdf_rev = pt.PDF(ptMinus, qs)
                 over[("l", 0)] = _surface_pdf(pt, pt_minus_p, ls1["p_light"],
                                               n_s1, on_surf1,
@@ -529,33 +713,39 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             wd = qs["p"] - pt["p"]
             d2 = jnp.maximum(vm.length_squared(wd), 1e-20)
             wn = wd / jnp.sqrt(d2)[..., None]
-            g = jnp.abs(vm.dot(qs["ns"], wn)) * \
-                jnp.abs(vm.dot(pt["ns"], wn)) / d2
+            # G(): cos only at surface endpoints (reference
+            # integrators.cpp:2118 — IsOnSurface gates each cos)
+            cos_q = jnp.where(_on_surface(qs, N),
+                              jnp.abs(vm.dot(qs["ns"], wn)), 1.0)
+            cos_p = jnp.where(_on_surface(pt, N),
+                              jnp.abs(vm.dot(pt["ns"], wn)), 1.0)
+            g = cos_q * cos_p / d2
             Lc = qs["beta"] * f_qs * f_pt * pt["beta"] * g[..., None]
             ok = qs["valid"] & pt["valid"] & ~qs["delta"] & ~pt["delta"] & \
                 jnp.any(Lc > 0, axis=-1)
-            vis = tr_visible(pt["p"], pt["ng"], qs["p"])
+            vis, tr_c = tr_visible(pt["p"], pt["ng"], qs["p"])
+            Lc = Lc * tr_c
             ok = ok & vis
             over = {
                 ("cd", t - 1): jnp.zeros((N,), bool),
                 ("ld", s - 1): jnp.zeros((N,), bool),
                 # pt.pdf_rev = qs.PDF(qsMinus, pt)
                 ("c", t - 1): _surface_pdf(qs, qs_minus_p, pt["p"],
-                                           pt["ng"], jnp.ones((N,), bool)),
+                                           pt["ng"], _on_surface(pt, N)),
                 # qs.pdf_rev = pt.PDF(ptMinus, qs)
                 ("l", s - 1): _surface_pdf(pt, pt_minus_p, qs["p"],
-                                           qs["ng"], jnp.ones((N,), bool)),
+                                           qs["ng"], _on_surface(qs, N)),
             }
             # ptMinus.pdf_rev = pt.PDF(qs, ptMinus)
             if t >= 3:
                 over[("c", t - 2)] = _surface_pdf(
                     pt, qs["p"], cv[t - 3]["p"], cv[t - 3]["ng"],
-                    jnp.ones((N,), bool))
+                    _on_surface(cv[t - 3], N))
             # qsMinus.pdf_rev = qs.PDF(pt, qsMinus)
             if s >= 3:
                 over[("l", s - 2)] = _surface_pdf(
                     qs, pt["p"], lv[s - 3]["p"], lv[s - 3]["ng"],
-                    jnp.ones((N,), bool))
+                    _on_surface(lv[s - 3], N))
             elif s == 2:
                 over[("l", 0)] = _surface_pdf(
                     qs, pt["p"], lv0["p"], lv0["ng"], lv0["on_surface"],
@@ -579,12 +769,14 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         u_c1 = smp.sample_2d(sampler, px, py, sample_index, dims)
         cs = cam_mod.camera_sample_wi(camera, qs["p"], u_c1)
         f_qs = vert_f(qs, cs["p_lens"])
-        cos_qs = jnp.abs(vm.dot(cs["wi"], qs["ns"]))
+        cos_qs = jnp.where(_on_surface(qs, N),
+                           jnp.abs(vm.dot(cs["wi"], qs["ns"])), 1.0)
         cam_beta = cs["we"] * safe_div(1.0, cs["pdf"])
         Lc = qs["beta"] * f_qs * (cos_qs * cam_beta)[..., None]
         ok = qs["valid"] & ~qs["delta"] & cs["valid"] & (cs["pdf"] > 0) & \
             jnp.any(Lc > 0, axis=-1)
-        vis = tr_visible(qs["p"], qs["ng"], cs["p_lens"])
+        vis, tr_t1 = tr_visible(qs["p"], qs["ng"], cs["p_lens"])
+        Lc = Lc * tr_t1
         ok = ok & vis
         over = {
             ("ld", s - 1): jnp.zeros((N,), bool),
@@ -593,11 +785,11 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         _pp, cpdir = cam_mod.camera_pdf_we(camera, cs["p_lens"], -cs["wi"])
         over[("l", s - 1)] = _convert_density(cpdir, cs["p_lens"], qs["p"],
                                               qs["ng"],
-                                              jnp.ones((N,), bool))
+                                              _on_surface(qs, N))
         if s >= 3:
             over[("l", s - 2)] = _surface_pdf(
                 qs, cs["p_lens"], lv[s - 3]["p"], lv[s - 3]["ng"],
-                jnp.ones((N,), bool))
+                _on_surface(lv[s - 3], N))
         elif s == 2:
             over[("l", 0)] = _surface_pdf(
                 qs, cs["p_lens"], lv0["p"], lv0["ng"], lv0["on_surface"],

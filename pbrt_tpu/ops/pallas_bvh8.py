@@ -595,6 +595,12 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
     inv_dy = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
     inv_dz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
+    # NOTE: the slab tests below deliberately use (plane - o) * inv_d,
+    # NOT the FMA-friendly plane*inv_d - o*inv_d: distributing the
+    # multiply loses sign correctness near t=0 (o*inv_d reaches ~1e10
+    # for grazing rays, so the cancellation error is absolute ~ulp(1e10)
+    # ~= 1e3 — larger than real traversal t values), silently culling
+    # boxes that surface-origin rays start inside.
     sgn = [jnp.sum(d_x) < 0, jnp.sum(d_y) < 0, jnp.sum(d_z) < 0]
 
     t_out[...] = tmax_ref[...]

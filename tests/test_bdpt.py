@@ -100,3 +100,60 @@ def test_bdpt_envlit_matches_path():
                           integrator="bdpt")
     assert abs(img_b.mean() / img_p.mean() - 1.0) < 0.05, \
         (img_b.mean(), img_p.mean())
+
+
+def _fog_wall_scene(sigma_a, sigma_s, g=0.0, floor=False):
+    """Emissive wall at z=5 seen through a homogeneous fog box
+    (reference Vertex::CreateMedium scenes, integrators.cpp:1595)."""
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.0, 0.0, 0.0))
+    b.add_mesh([[-20, -20, 5.0], [20, -20, 5.0], [20, 20, 5.0],
+                [-20, 20, 5.0]],
+               [[0, 2, 1], [0, 3, 2]], m,
+               emission=spc.ConstantSpectrum(1.0))
+    if floor:
+        mf = b.materials.add_diffuse((0.6, 0.6, 0.6))
+        b.add_mesh([[-20, -1.5, -9], [20, -1.5, -9], [20, -1.5, 5],
+                    [-20, -1.5, 5]],
+                   [[0, 1, 2], [0, 2, 3]], mf)
+    b.media.add_homogeneous(sigma_a=sigma_a, sigma_s=sigma_s, g=g,
+                            bounds_lo=(-10, -10, -1), bounds_hi=(10, 10, 2))
+    scene = b.build(light_sampler="uniform", force_bvh=False)
+    cam = cm.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 0, -10), (0, 0, 0),
+                                      (0, 1, 0)).inverse(),
+        width=8, height=8, fov=10.0)
+    return scene, cam
+
+
+@pytest.mark.slow
+def test_bdpt_fog_absorption_analytic():
+    """Pure-absorption fog: BDPT's pass-through weights and connection
+    transmittance must reproduce exp(-sigma_a * 3) exactly (the box spans
+    z in [-1, 2] along the view ray)."""
+    s_a = 0.4
+    scene, cam = _fog_wall_scene((s_a,) * 3, (0.0,) * 3)
+    s = smp.make_sampler("independent", spp=256, full_resolution=(8, 8))
+    img_b, _ = rdr.render(scene, cam, sampler=s,
+                          opts=PathOptions(max_depth=2), integrator="bdpt")
+    expect = np.exp(-s_a * 3.0)
+    np.testing.assert_allclose(img_b.mean(), expect, rtol=0.06)
+
+
+@pytest.mark.slow
+def test_bdpt_fog_scattering_matches_volpath():
+    """Scattering fog (medium vertices): BDPT with HG medium vertices,
+    phase MIS pdfs and transmittance-weighted connections must agree with
+    the volpath oracle (reference RandomWalk mi.phase branch,
+    integrators.cpp:1964)."""
+    scene, cam = _fog_wall_scene((0.05,) * 3, (0.35,) * 3, g=0.3,
+                                 floor=True)
+    s = smp.make_sampler("independent", spp=512, full_resolution=(8, 8))
+    opts = PathOptions(max_depth=3)
+    img_v, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="volpath")
+    img_b, _ = rdr.render(scene, cam, sampler=s, opts=opts,
+                          integrator="bdpt")
+    assert abs(img_b.mean() / img_v.mean() - 1.0) < 0.08, \
+        (img_b.mean(), img_v.mean())
