@@ -38,9 +38,13 @@ class LightPool:
     arrays exist for host-side inspection and pool construction.
 
     packed columns: [bits(tag), p(3), dir(3), bits(spec_idx), scale,
-                     bits(tri), two_sided, cfs, cfe, is_delta, pmf] = 15
+                     bits(tri), two_sided, cfs, cfe, is_delta, pmf,
+                     tri_verts(9)] = 24
+    (tri_verts inlines the area light's triangle so per-depth NEE needs NO
+    second pool lookup into tri_geo — on the cornell wave that lookup was
+    a (N, 32) one-hot dot per depth, hlo_bytes fusion.657)
     """
-    packed: jnp.ndarray     # (L, 15) f32
+    packed: jnp.ndarray     # (L, 24) f32
     tag: jnp.ndarray        # (L,) int32
     power: jnp.ndarray      # (L,) scalar photometric-ish power for samplers
     scale: jnp.ndarray      # (L,)
@@ -58,8 +62,12 @@ class LightPool:
 
 
 def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
-                    is_delta, pmf, power, img_atlas=None) -> LightPool:
+                    is_delta, pmf, power, img_atlas=None,
+                    tri_verts=None) -> LightPool:
     tag = np.asarray(tag, np.int32)
+    tv = (np.asarray(tri_verts, np.float32).reshape(-1, 9)
+          if tri_verts is not None else np.zeros((tag.shape[0], 9),
+                                                 np.float32))
     packed = np.concatenate([
         tag[:, None].astype(np.float32),                  # value-encoded ints
         np.asarray(p, np.float32).reshape(-1, 3),
@@ -71,7 +79,8 @@ def pack_light_pool(tag, p, dir_, spec_idx, scale, tri, two_sided, cfs, cfe,
         np.asarray(cfs, np.float32)[:, None],
         np.asarray(cfe, np.float32)[:, None],
         np.asarray(is_delta, np.float32)[:, None],
-        np.asarray(pmf, np.float32)[:, None]], axis=1)
+        np.asarray(pmf, np.float32)[:, None],
+        tv], axis=1)
     return LightPool(packed=jnp.asarray(packed), tag=jnp.asarray(tag),
                      power=jnp.asarray(np.asarray(power, np.float32)),
                      scale=jnp.asarray(np.asarray(scale, np.float32)),
@@ -88,7 +97,7 @@ def _val_i32(f):
 
 
 class LightRow:
-    """View over gathered packed light rows (N, 15)."""
+    """View over gathered packed light rows (N, 24)."""
 
     def __init__(self, rows):
         self.tag = _val_i32(rows[..., 0])
@@ -103,6 +112,10 @@ class LightRow:
         self.cfe = rows[..., 12]
         self.is_delta = rows[..., 13] > 0.5
         self.pmf = rows[..., 14]
+        # inlined area-light triangle (zeros for non-tri lights)
+        self.va = rows[..., 15:18]
+        self.vb = rows[..., 18:21]
+        self.vc = rows[..., 21:24]
 
 
 def eval_light_spectrum(spectra_pool, spec_idx, scale, lam):
@@ -307,11 +320,8 @@ def sample_li(lights: LightPool, light_idx, p_ref, n_ref, u2, lam,
 
     if LIGHT_AREA_TRI in present:
         # --- area triangle: uniform-area sample -> solid angle ---
-        ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-        geo = pool_lookup(tri_geo, ti)
-        a = geo[..., 0:3]
-        b = geo[..., 3:6]
-        c = geo[..., 6:9]
+        # (verts ride in the light row itself — no tri_geo lookup)
+        a, b, c = row.va, row.vb, row.vc
         bary = sp.sample_uniform_triangle(u2)
         p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
         ng = vm.cross(b - a, c - a)
@@ -911,10 +921,7 @@ def sample_le(lights: LightPool, light_idx, u0, u1, lam, spectra_pool,
                 tg, vals, (o, d, L, pdf_pos, pdf_dir, n_l, has_area))
 
     if LIGHT_AREA_TRI in present:
-        from .ops.gather import pool_lookup as pl
-        ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-        geo = pl(tri_geo, ti)
-        a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+        a, b, c = row.va, row.vb, row.vc
         bary = sp.sample_uniform_triangle(u0)
         p_tri = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
         ngv = vm.cross(b - a, c - a)
@@ -984,9 +991,7 @@ def pdf_le(lights: LightPool, light_idx, w, tri_geo, scene_radius):
                         1.0 / (np.pi * scene_radius ** 2), pdf_pos)
     pdf_dir = jnp.where(tag == LIGHT_DISTANT, 0.0, pdf_dir)
     # area triangle: uniform area + cosine hemisphere
-    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-    geo = pool_lookup(tri_geo, ti)
-    a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+    a, b, c = row.va, row.vb, row.vc
     ngv = vm.cross(b - a, c - a)
     area = jnp.maximum(0.5 * vm.length(ngv), 1e-12)
     ngv = vm.normalize(ngv)
@@ -1013,9 +1018,7 @@ def light_point_normal(lights: LightPool, light_idx, p_on_light, tri_geo):
     sphere: radial). Zero vector for point-like lights."""
     from .ops.gather import pool_lookup
     row = LightRow(pool_lookup(lights.packed, light_idx))
-    ti = jnp.clip(row.tri, 0, tri_geo.shape[0] - 1)
-    geo = pool_lookup(tri_geo, ti)
-    a, b, c = geo[..., 0:3], geo[..., 3:6], geo[..., 6:9]
+    a, b, c = row.va, row.vb, row.vc
     n_tri = vm.normalize(vm.cross(b - a, c - a))
     n_sph = vm.normalize(p_on_light - row.p)
     n = jnp.zeros_like(p_on_light)

@@ -18,6 +18,16 @@ import numpy as np
 
 ONEHOT_MAX_ROWS = 512  # below this, one-hot matmul beats a gather decisively
 
+# Trace-time switches (tools/ablate_wave.py A/B harness): the jit wrappers
+# that consume these are created fresh per measurement, so a plain module
+# global is re-read at each trace.
+_ONEHOT_IMPL = "arith"   # "arith" (f32 clamp ramp) | "cmp" (int compare);
+#                          arith measured +3.5% on the cornell wave (the
+#                          int compare materializes an s32 broadcast + a
+#                          packed-pred buffer per distinct one-hot) and is
+#                          bit-exact vs cmp
+_FORCE_GATHER = False    # route every pool_lookup through a real gather
+
 
 def pool_lookup(table, idx):
     """Row lookup from an entity pool: one-hot matmul for small pools
@@ -27,7 +37,7 @@ def pool_lookup(table, idx):
     never bitcast (0 * NaN-pattern would poison the one-hot sum).
     idx: (...,) int32, already clipped to [0, K).
     """
-    if table.shape[0] <= ONEHOT_MAX_ROWS:
+    if not _FORCE_GATHER and table.shape[0] <= ONEHOT_MAX_ROWS:
         return onehot_lookup(table, idx)
     return table[idx]
 
@@ -57,7 +67,17 @@ def onehot_lookup(table, idx, axis_size=None):
             row = table[k]
             acc = jnp.where(mask[..., None] if expand else mask, row, acc)
         return acc
-    oh = (idx[..., None] == jnp.arange(K, dtype=jnp.int32)).astype(jnp.float32)
+    if _ONEHOT_IMPL == "arith":
+        # pure-f32 ramp (exact for int-valued idx): |idx - k| >= 1 -> 0,
+        # == 0 -> 1. Fuses into the dot-operand fusion without the s32
+        # broadcast + packed-pred materializations the int compare lowers
+        # to (hlo_bytes: 2x20.5MB buffers per distinct one-hot on cornell)
+        oh = jnp.maximum(0.0, 1.0 - jnp.abs(
+            idx.astype(jnp.float32)[..., None]
+            - jnp.arange(K, dtype=jnp.float32)))
+    else:
+        oh = (idx[..., None] == jnp.arange(K, dtype=jnp.int32)) \
+            .astype(jnp.float32)
     # HIGHEST precision: TPU f32 matmuls default to one-pass bf16, which
     # would corrupt value-encoded int columns > 256
     if table.ndim == 1:

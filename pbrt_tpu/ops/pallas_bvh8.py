@@ -608,15 +608,16 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     b1_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
     b2_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
 
-    def tri_body(k, carry):
-        t_best, prim, b1, b2, first = carry
-        base = (first + k) * 9
+    def tri_test(idx):
+        """One MT test at page-local slot idx. Returns (t, tid, b1, b2,
+        valid) — valid excludes the t_best comparison (done at merge)."""
+        base = idx * 9
         p0x, p0y, p0z = tris_ref[base], tris_ref[base + 1], tris_ref[base + 2]
         e1x, e1y, e1z = tris_ref[base + 3], tris_ref[base + 4], \
             tris_ref[base + 5]
         e2x, e2y, e2z = tris_ref[base + 6], tris_ref[base + 7], \
             tris_ref[base + 8]
-        tid = (first + k).astype(jnp.float32)   # page-local sorted slot
+        tid = idx.astype(jnp.float32)            # page-local sorted slot
         pvx = d_y * e2z - d_z * e2y
         pvy = d_z * e2x - d_x * e2z
         pvz = d_x * e2y - d_y * e2x
@@ -635,14 +636,35 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
             (u_n + v_n <= det_a + tol)
         inv_det = 1.0 / jnp.where(det_a == 0.0, 1.0, det_a)
         t = t_n * inv_det
-        better = valid & (t > 1e-5) & (t < t_best)
-        if any_hit:
-            better = better & (prim < 0.0)
-        t_best = jnp.where(better, t, t_best)
-        prim = jnp.where(better, tid, prim)
-        b1 = jnp.where(better, u_n * inv_det, b1)
-        b2 = jnp.where(better, v_n * inv_det, b2)
-        return t_best, prim, b1, b2, first
+        valid = valid & (t > 1e-5)
+        return t, tid, u_n * inv_det, v_n * inv_det, valid
+
+    def make_tri_pair_body(first, cnt):
+        """fori_loop body testing TWO triangles per iteration: the two MT
+        chains are independent (ILP the serial one-tri loop cannot
+        expose), merged pairwise then against the carry. Tie-break order
+        matches the serial loop (strict <, earlier slot wins)."""
+        def body(k, carry):
+            t_best, prim, b1, b2 = carry
+            i0 = first + 2 * k
+            t0, id0, b10, b20, v0 = tri_test(i0)
+            # clamp keeps the odd-cnt tail read in bounds; the mask kills it
+            t1, id1, b11, b21, v1 = tri_test(
+                jnp.minimum(i0 + 1, first + cnt - 1))
+            v1 = v1 & (2 * k + 1 < cnt)
+            one_wins = v1 & ((t1 < t0) | ~v0)
+            t_m = jnp.where(one_wins, t1, t0)
+            id_m = jnp.where(one_wins, id1, id0)
+            b1m = jnp.where(one_wins, b11, b10)
+            b2m = jnp.where(one_wins, b21, b20)
+            better = (v0 | v1) & (t_m < t_best)
+            if any_hit:
+                better = better & (prim < 0.0)
+            return (jnp.where(better, t_m, t_best),
+                    jnp.where(better, id_m, prim),
+                    jnp.where(better, b1m, b1),
+                    jnp.where(better, b2m, b2))
+        return body
 
     def body(sp):
         sp = sp - 1
@@ -702,10 +724,10 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
 
             @pl.when(any_c & (cnt > 0) & (cnt < CNT_EMPTY))
             def _(first=first, cnt=cnt):
-                carry = (t_out[...], k_out[...], b1_out[...], b2_out[...],
-                         first)
-                t_b, pr, b1, b2, _ = jax.lax.fori_loop(0, cnt, tri_body,
-                                                       carry)
+                carry = (t_out[...], k_out[...], b1_out[...], b2_out[...])
+                t_b, pr, b1, b2 = jax.lax.fori_loop(
+                    0, (cnt + 1) // 2, make_tri_pair_body(first, cnt),
+                    carry)
                 t_out[...] = t_b
                 k_out[...] = pr
                 b1_out[...] = b1

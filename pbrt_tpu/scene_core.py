@@ -674,6 +674,16 @@ class SceneBuilder:
         else:
             pmfs = np.asarray(ls.pmf_table, np.float32)
         if rows:
+            # inline each area light's triangle into its row (sample_li/
+            # sample_le/pdf_le then need no second tri_geo lookup)
+            n_tri_host = len(p0)
+            tv = np.zeros((len(rows), 9), np.float32)
+            for ri, r in enumerate(rows):
+                if r["tag"] == lgt.LIGHT_AREA_TRI and n_tri_host > 0:
+                    ti = min(max(int(r["tri"]), 0), n_tri_host - 1)
+                    tv[ri, 0:3] = p0[ti]
+                    tv[ri, 3:6] = p1[ti]
+                    tv[ri, 6:9] = p2[ti]
             pool = lgt.pack_light_pool(
                 tag=[r["tag"] for r in rows],
                 p=np.stack([r["p"] for r in rows]),
@@ -681,6 +691,7 @@ class SceneBuilder:
                 spec_idx=[r["spec_idx"] for r in rows],
                 scale=[r["scale"] for r in rows],
                 tri=[r["tri"] for r in rows],
+                tri_verts=tv,
                 two_sided=np.asarray([r["two_sided"] for r in rows], np.float32),
                 cfs=[r["cfs"] for r in rows], cfe=[r["cfe"] for r in rows],
                 is_delta=np.asarray([r["is_delta"] for r in rows], np.float32),
