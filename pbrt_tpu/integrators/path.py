@@ -51,6 +51,10 @@ class PathOptions:
     # Pallas BVH8 kernels — they want the driver's shared morton sort)
     compaction: object = struct.field(pytree_node=False, default="auto")
     compaction_start: int = struct.field(pytree_node=False, default=1)
+    # whole-bounce Pallas megakernel (ops/megawave.py) for eligible scenes
+    # (Scene.mega is not None): False | True (force, incl. interpret mode
+    # off-TPU — tests) | "auto" (ON on TPU only)
+    megakernel: object = struct.field(pytree_node=False, default="auto")
 
 
 def _to_local(ns, t1, t2, w):
@@ -72,6 +76,19 @@ def _shading_frame(ns, dpdu):
     t1 = vm.normalize(t1)
     t2 = vm.cross(ns, t1)
     return t1, t2
+
+
+def _use_megawave(scene, sampler, opts, time=None):
+    """Static megakernel routing decision (see PathOptions.megakernel)."""
+    mk = getattr(opts, "megakernel", "auto")
+    if mk is False or time is not None:
+        return False
+    from ..ops import megawave
+    if not megawave.eligible(scene, sampler, opts):
+        return False
+    if mk == "auto" and jax.default_backend() != "tpu":
+        return False
+    return True
 
 
 def _run_compacted(body, state, opts, scene=None):
@@ -151,6 +168,14 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
     from the cone width divided by the surface's dpdu/dpdv lengths."""
     N = o.shape[0]
     lam = swl.lam
+    # --- whole-bounce Pallas megakernel fast path (ops/megawave.py):
+    # cornell-class scenes keep ALL per-lane path state in VMEM across
+    # every depth instead of materializing it to HBM between XLA fusions
+    if _use_megawave(scene, sampler, opts, time):
+        from ..ops import megawave
+        return megawave.trace(scene, sampler, px, py, sample_index, o, d,
+                              lam, max_depth=opts.max_depth,
+                              rr_start=opts.rr_start_depth)
     # wavelengths are fixed along a path: evaluate EVERY pool spectrum once
     # per wave (one row gather), then per-depth light/material spectrum
     # lookups are tiny one-hot selects (profiled: the per-depth gathers were

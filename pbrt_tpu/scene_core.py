@@ -134,6 +134,11 @@ class Scene:
     # (-1 = opaque); hits are stochastically kept/re-traced
     tri_alpha: jnp.ndarray = None      # (T,) f32 alpha texture index
     has_alpha: bool = struct.field(pytree_node=False, default=False)
+    # whole-bounce Pallas megakernel eligibility (ops/megawave.py): static
+    # host metadata for scenes whose closed world is {diffuse materials,
+    # area-tri lights, power/uniform sampler} — cornell class. None = run
+    # the general fused wave.
+    mega: object = struct.field(pytree_node=False, default=None)
 
 
 class SceneBuilder:
@@ -732,8 +737,43 @@ class SceneBuilder:
         on_tpu = _jax.default_backend() == "tpu"
         use_pallas = (not use_bvh) and on_tpu
         from .ops import pallas_intersect as pli
-        tri_pallas = pli.pad_triangles(np.asarray(tri_geo)) if use_pallas \
+        # the megakernel (ops/megawave.py) also consumes tri_pallas and must
+        # be testable in interpret mode off-TPU: pack whenever brute-force
+        tri_pallas = pli.pad_triangles(np.asarray(tri_geo)) if not use_bvh \
             else jnp.zeros((16,), jnp.float32)
+        # --- megakernel eligibility (static; see ops/megawave.py) ---------
+        from . import bxdfs
+        mega = None
+        mrows = self.materials.rows
+        if (not use_bvh and n_tri <= 64 and not self.instances
+                and not self.quadric_rows and not self.blp_list
+                and not self.curve_seg_rows and not self.iface_rows
+                and len(self.media.rows) == 0 and n_inf == 0
+                and env is None and rows
+                and all(a < 0 for a in self.t_alpha)
+                and ls.kind in (lsamp.LS_UNIFORM, lsamp.LS_POWER)
+                and all(r["bxdf_tag"] == bxdfs.BXDF_DIFFUSE
+                        and r["albedo_tex"] < 0 and r["bump_tex"] < 0
+                        and r["normal_tex"] < 0 and r["rough_tex"] < 0
+                        for r in mrows)
+                and all(r["tag"] == lgt.LIGHT_AREA_TRI for r in rows)
+                and len({r["spec_idx"] for r in rows}) == 1):
+            face_ng = np.cross(p1 - p0, p2 - p0)
+            face_ng /= np.maximum(
+                np.linalg.norm(face_ng, axis=-1, keepdims=True), 1e-20)
+            n0h = np.stack(self.n0)
+            flat_ok = (np.allclose(n0h, np.stack(self.n1))
+                       and np.allclose(n0h, np.stack(self.n2))
+                       and np.allclose(n0h, face_ng, atol=1e-5))
+            uv_ok = (np.allclose(np.stack(self.uv0), [0.0, 0.0])
+                     and np.allclose(np.stack(self.uv1), [1.0, 0.0])
+                     and np.allclose(np.stack(self.uv2), [1.0, 1.0]))
+            if flat_ok and uv_ok:
+                from .ops.megawave import MegaMeta
+                mega = MegaMeta(
+                    n_tris=n_tri, n_mats=len(mrows), n_lights=len(rows),
+                    light_spec=int(rows[0]["spec_idx"]),
+                    ls_uniform=bool(ls.kind == lsamp.LS_UNIFORM))
         # Pallas 8-wide BVH (TPU): the fast mesh path when the collapsed
         # tree + triangles fit the ~1MB SMEM scalar-prefetch budget
         from .ops import pallas_bvh8 as b8_mod
@@ -971,7 +1011,8 @@ class SceneBuilder:
             n_infinite=n_inf, inf_indices=inf_indices,
             has_area_lights=any(r["tag"] in (lgt.LIGHT_AREA_TRI,
                                              lgt.LIGHT_AREA_SPHERE)
-                                for r in rows))
+                                for r in rows),
+            mega=mega)
 
 
 # ---------------------------------------------------------------------------
