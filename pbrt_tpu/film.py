@@ -150,10 +150,14 @@ def make_film(width, height) -> Film:
                 width=width, height=height)
 
 
-def add_samples(film: Film, pixel_index, rgb, weight) -> Film:
+def add_samples(film: Film, pixel_index, rgb, weight, identity=False) -> Film:
     """Scatter-add samples (reference RGBFilm::AddSample, film.h:239).
 
     pixel_index: (N,) int32 flat pixel ids; rgb: (N, 3); weight: (N,).
+    identity: static promise that pixel_index is arange(H*W) tiled m times
+    (the full-image wave layout) — the scatter becomes a dense add
+    (profiled: the 160k-row scatter costs ~3.2 ms/wave on the v5e, the
+    dense add ~0.3).
     """
     rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)  # nan scrub like reference
     lum = 0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]
@@ -161,6 +165,11 @@ def add_samples(film: Film, pixel_index, rgb, weight) -> Film:
         rgb * weight[:, None], weight[:, None], lum[:, None],
         (lum * lum)[:, None], jnp.ones_like(lum)[:, None],
         jnp.zeros_like(lum)[:, None]], axis=1)
+    if identity:
+        hw = film.accum.shape[0]
+        m = row.shape[0] // hw
+        add = row if m == 1 else row.reshape(m, hw, 8).sum(axis=0)
+        return film.replace(accum=film.accum + add)
     return film.replace(accum=film.accum.at[pixel_index].add(row))
 
 

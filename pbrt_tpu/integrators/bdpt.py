@@ -485,7 +485,15 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         lv0["pdf_fwd"] = jnp.where(
             is_inf0, infinite_light_density(-les["d"], N), lv0["pdf_fwd"])
         if n_light_steps > 0:
-            corr0 = les["pdf_pos"] * jnp.abs(vm.dot(les["d"], lv[0]["ng"]))
+            # the planar-density cosine applies only to SURFACE vertices
+            # (reference gates the AbsDot on IsOnSurface,
+            # integrators.cpp:1688): a medium first-vertex has ng == 0 and
+            # the unconditional form zeroed pdf_fwd, which _remap0 then
+            # turned into 1 inside MIS ratios — biased weights in
+            # infinite-light + fog scenes (ADVICE r4 #1)
+            cos0 = jnp.where(_on_surface(lv[0], N),
+                             jnp.abs(vm.dot(les["d"], lv[0]["ng"])), 1.0)
+            corr0 = les["pdf_pos"] * cos0
             lv[0]["pdf_fwd"] = jnp.where(is_inf0, corr0, lv[0]["pdf_fwd"])
             lv0["pdf_rev"] = jnp.where(is_inf0, light_prev_rev[0] * d20,
                                        lv0["pdf_rev"])
@@ -642,12 +650,11 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
                 f_pt = vert_f(pt, ls1["p_light"])
                 cos_pt = jnp.where(_on_surface(pt, N),
                                    jnp.abs(vm.dot(ls1["wi"], pt["ns"])), 1.0)
-                Lc = pt["beta"] * f_pt * s_beta * cos_pt[..., None]
-                ok = pt["valid"] & ~pt["delta"] & ls1["valid"] & \
-                    (ls1["pdf"] > 0) & (pmf1 > 0) & jnp.any(Lc > 0, axis=-1)
                 vis, tr1 = tr_visible(pt["p"], pt["ng"], ls1["p_light"])
-                Lc = Lc * tr1
-                ok = ok & vis
+                Lc = pt["beta"] * f_pt * s_beta * cos_pt[..., None] * tr1
+                ok = pt["valid"] & ~pt["delta"] & ls1["valid"] & \
+                    (ls1["pdf"] > 0) & (pmf1 > 0) & vis & \
+                    jnp.any(Lc > 0, axis=-1)
                 # sampled light vertex for MIS; infinite lights use the
                 # directional InfiniteLightDensity as their origin density
                 # (reference Vertex::PDFLightOrigin IsInfiniteLight,
@@ -720,12 +727,10 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             cos_p = jnp.where(_on_surface(pt, N),
                               jnp.abs(vm.dot(pt["ns"], wn)), 1.0)
             g = cos_q * cos_p / d2
-            Lc = qs["beta"] * f_qs * f_pt * pt["beta"] * g[..., None]
-            ok = qs["valid"] & pt["valid"] & ~qs["delta"] & ~pt["delta"] & \
-                jnp.any(Lc > 0, axis=-1)
             vis, tr_c = tr_visible(pt["p"], pt["ng"], qs["p"])
-            Lc = Lc * tr_c
-            ok = ok & vis
+            Lc = qs["beta"] * f_qs * f_pt * pt["beta"] * g[..., None] * tr_c
+            ok = qs["valid"] & pt["valid"] & ~qs["delta"] & ~pt["delta"] & \
+                vis & jnp.any(Lc > 0, axis=-1)
             over = {
                 ("cd", t - 1): jnp.zeros((N,), bool),
                 ("ld", s - 1): jnp.zeros((N,), bool),
@@ -772,12 +777,10 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         cos_qs = jnp.where(_on_surface(qs, N),
                            jnp.abs(vm.dot(cs["wi"], qs["ns"])), 1.0)
         cam_beta = cs["we"] * safe_div(1.0, cs["pdf"])
-        Lc = qs["beta"] * f_qs * (cos_qs * cam_beta)[..., None]
-        ok = qs["valid"] & ~qs["delta"] & cs["valid"] & (cs["pdf"] > 0) & \
-            jnp.any(Lc > 0, axis=-1)
         vis, tr_t1 = tr_visible(qs["p"], qs["ng"], cs["p_lens"])
-        Lc = Lc * tr_t1
-        ok = ok & vis
+        Lc = qs["beta"] * f_qs * (cos_qs * cam_beta)[..., None] * tr_t1
+        ok = qs["valid"] & ~qs["delta"] & cs["valid"] & (cs["pdf"] > 0) & \
+            vis & jnp.any(Lc > 0, axis=-1)
         over = {
             ("ld", s - 1): jnp.zeros((N,), bool),
             # qs.pdf_rev = cameraVertex.PDF(None, qs)

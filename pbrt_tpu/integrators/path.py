@@ -78,6 +78,19 @@ def _shading_frame(ns, dpdu):
     return t1, t2
 
 
+def _resolve_compaction(scene, opts) -> bool:
+    """Compaction "auto" resolution: ON for the Pallas BVH8 scenes, where
+    the shared per-depth morton sort + live-lane buckets measured 1.3-2x
+    end-to-end (ROUND4.md); OFF for cheap brute-force scenes where the
+    sort costs more than it saves (cornell measured 14.7 vs 2.7 Mpaths/s
+    with compaction forced ON — a 5.4x cliff pinned by
+    tests/test_compaction_auto.py)."""
+    use_comp = opts.compaction
+    if use_comp == "auto":
+        use_comp = bool(scene.use_pallas_bvh8 or scene.use_pallas_bvh8c)
+    return bool(use_comp)
+
+
 def _use_megawave(scene, sampler, opts, time=None):
     """Static megakernel routing decision (see PathOptions.megakernel)."""
     mk = getattr(opts, "megakernel", "auto")
@@ -508,13 +521,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         state["spec_cache"] = spec_cache
     if time is not None:
         state["time"] = time
-    # compaction "auto": ON for the Pallas BVH8 scenes, where the shared
-    # per-depth morton sort + live-lane buckets measured 1.3-2x end-to-end
-    # (ROUND4.md); OFF for cheap brute-force scenes where the sort would
-    # cost more than it saves
-    use_comp = opts.compaction
-    if use_comp == "auto":
-        use_comp = bool(scene.use_pallas_bvh8 or scene.use_pallas_bvh8c)
+    use_comp = _resolve_compaction(scene, opts)
     if use_comp and not opts.collect_stats:
         state = _run_compacted(body, state, opts, scene=scene)
     else:

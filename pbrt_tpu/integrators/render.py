@@ -73,10 +73,9 @@ def _render_step(scene, camera, sampler, filt, sensor, film, pixel_idx,
     return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "k", "m", "integrator"),
-                   donate_argnums=(5,))
-def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
-                    s0, opts, k, m=1, integrator=None):
+def _render_steps_k_impl(scene, camera, sampler, filt, sensor, film,
+                         pixel_idx, s0, opts, k, m=1, integrator=None,
+                         identity_pix=False):
     """k sample waves in ONE dispatch (amortizes the ~3ms per-program launch
     overhead measured on the axon TPU tunnel).
 
@@ -84,7 +83,10 @@ def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
     the image tiled m times and lane j gets sample index s0 + i*m + j//n_pix.
     Small images (e.g. 200x200 = 40k lanes) underfill the chip by ~10x; the
     tiled wave keeps every dispatch >= ~512k lanes (the reference fills its
-    GPU with maxQueueSize ray batches the same way, gpu/launch.h)."""
+    GPU with maxQueueSize ray batches the same way, gpu/launch.h).
+
+    identity_pix: static promise that pixel_idx is arange(W*H) tiled m
+    times — lets the film use a dense add instead of the scatter."""
     mod = wave_module(scene, integrator)
     lane_s = jnp.arange(pixel_idx.shape[0], dtype=jnp.int32) // \
         (pixel_idx.shape[0] // m)
@@ -102,9 +104,15 @@ def _render_steps_k(scene, camera, sampler, filt, sensor, film, pixel_idx,
         L, swl, f_weight = mod.render_wave(scene, camera, sampler, filt,
                                            pixel_idx, sample_index, opts)
         rgb = film_mod.sensor_to_sensor_rgb(sensor, L, swl)
-        return film_mod.add_samples(film, pixel_idx, rgb, f_weight)
+        return film_mod.add_samples(film, pixel_idx, rgb, f_weight,
+                                    identity=identity_pix)
 
     return jax.lax.fori_loop(0, k, body, film)
+
+
+_render_steps_k = functools.partial(jax.jit, static_argnames=(
+    "opts", "k", "m", "integrator", "identity_pix"),
+    donate_argnums=(5,))(_render_steps_k_impl)
 
 
 def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
@@ -210,7 +218,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
                 film = _render_steps_k(scene, camera, sampler, filt, sensor, film,
                                        jnp.asarray(tiled_pix),
                                        jnp.asarray(s, jnp.int32), opts,
-                                       kk, m=m, integrator=integrator)
+                                       kk, m=m, integrator=integrator,
+                                       identity_pix=True)
                 n_paths += n_pix * m * kk
             else:
                 for c0 in range(0, n_pix, chunk):
@@ -222,7 +231,8 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
                     film = _render_steps_k(scene, camera, sampler, filt, sensor,
                                            film, pixel_idx,
                                            jnp.asarray(s, jnp.int32), opts,
-                                           kk, integrator=integrator)
+                                           kk, integrator=integrator,
+                                           identity_pix=(chunk == n_pix))
                     n_paths += chunk * kk
             kk = kk * m
             s += kk

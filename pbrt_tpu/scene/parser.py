@@ -5,15 +5,17 @@ graphics-state builder -> compiled Scene. The parse product feeds
 scene_core.SceneBuilder, which compiles to flat device arrays
 (the reference's BasicScene -> RenderCPU pipeline, SURVEY.md §2.4).
 
-Reference directive surface (parser.h:25-110): this implements the subset
-needed by the benchmark scene family — transforms (Identity/Translate/Scale/
-Rotate/LookAt/Transform/ConcatTransform/CoordinateSystem/CoordSysTransform),
+Reference directive surface (parser.h:25-110): ~45 directives — transforms
+(Identity/Translate/Scale/Rotate/LookAt/Transform/ConcatTransform/
+CoordinateSystem/CoordSysTransform/TransformTimes/ActiveTransform),
 Camera/Sampler/Film/PixelFilter/Integrator/Accelerator/Option, WorldBegin,
-Attribute(Begin/End), Object(Begin/End/Instance), Shape (trianglemesh,
-plymesh, sphere, disk, cylinder, bilinearmesh->triangles), Material /
-MakeNamedMaterial / NamedMaterial, Texture (constant/scale; image textures
-pending), LightSource (point/distant/spot/infinite uniform), AreaLightSource,
-ReverseOrientation, Include/Import.
+Attribute(Begin/End) incl. per-category defaults, Object(Begin/End/
+Instance), Shape (trianglemesh, plymesh, sphere, disk, cylinder, curve,
+bilinearmesh, loopsubdiv), Material / MakeNamedMaterial / NamedMaterial,
+Texture (constant/scale/mix/checkerboard/dots/fbm/windy/wrinkled/marble/
+imagemap/ptex with uv/spherical/cylindrical/planar mappings), LightSource
+(all types incl. image/portal infinite), AreaLightSource,
+MakeNamedMedium/MediumInterface, ReverseOrientation, Include/Import.
 """
 from __future__ import annotations
 
