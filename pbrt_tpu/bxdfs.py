@@ -290,8 +290,14 @@ def _coated_conductor_f_pdf(p: BSDFParams, wo, wi):
     return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
 
 
-def _dielectric_f_pdf(p: BSDFParams, wo, wi):
-    """Rough dielectric reflection+transmission (reference DielectricBxDF::f)."""
+def _dielectric_f_pdf(p: BSDFParams, wo, wi, adjoint=False):
+    """Rough dielectric reflection+transmission (reference DielectricBxDF::f).
+
+    adjoint: importance transport (TransportMode::Importance) — the
+    radiance-compression factor 1/etap^2 applies only when carrying
+    RADIANCE across a refraction (reference bxdfs.cpp:110 "if (mode ==
+    TransportMode::Radiance) ft /= Sqr(etap)"); light subpaths
+    (BDPT/MLT/SPPM photons/lightpath) must skip it."""
     eta_s = p.eta[..., 0]  # non-dispersive path for eval (hero wavelength)
     cos_o = vm.cos_theta(wo)
     cos_i = vm.cos_theta(wi)
@@ -312,7 +318,9 @@ def _dielectric_f_pdf(p: BSDFParams, wo, wi):
     denom = sqr(vm.dot(wi, wm) + vm.dot(wo, wm) / etap)
     f_t = safe_div(d * (1.0 - F) * g *
                    jnp.abs(vm.dot(wi, wm) * vm.dot(wo, wm)),
-                   jnp.abs(cos_i * cos_o) * denom) / sqr(etap)
+                   jnp.abs(cos_i * cos_o) * denom)
+    if not adjoint:
+        f_t = f_t / sqr(etap)
     f_scalar = jnp.where(reflectv, f_r, f_t)
     # pdf with MIS-weighted lobe choice R/(R+T)
     pdf_wm = tr_d_visible(wo, wm, p.alpha_x, p.alpha_y)
@@ -663,18 +671,25 @@ def _present(p: BSDFParams):
     return tags
 
 
-def bsdf_f(p: BSDFParams, wo, wi):
+def _call_f_pdf(t, p, wo, wi, adjoint):
+    if t == BXDF_DIELECTRIC:
+        return _dielectric_f_pdf(p, wo, wi, adjoint=adjoint)
+    return _F_PDF_FNS[t](p, wo, wi)
+
+
+def bsdf_f(p: BSDFParams, wo, wi, adjoint=False):
     """f(wo, wi) for non-specular lobes, dispatched on tag. (N, 4).
 
     Only branches for BxDF types present in the scene's material pool are
-    traced (p.tags_present, a static scene constant)."""
+    traced (p.tags_present, a static scene constant). adjoint: importance
+    transport — see _dielectric_f_pdf."""
     present = [t for t in _present(p) if t in _F_PDF_FNS]
     if len(present) == 1:
-        return _F_PDF_FNS[present[0]](p, wo, wi)[0]
+        return _call_f_pdf(present[0], p, wo, wi, adjoint)[0]
     f = jnp.zeros_like(p.albedo)
     tag = p.tag[..., None]
     for t in present:
-        ft, _ = _F_PDF_FNS[t](p, wo, wi)
+        ft, _ = _call_f_pdf(t, p, wo, wi, adjoint)
         f = jnp.where(tag == t, ft, f)
     return f
 
@@ -690,10 +705,12 @@ def bsdf_pdf(p: BSDFParams, wo, wi):
     return pdf
 
 
-def bsdf_sample(p: BSDFParams, wo, uc, u2):
+def bsdf_sample(p: BSDFParams, wo, uc, u2, adjoint=False):
     """Sample wi ~ the BSDF. Returns dict(wi, f, pdf, specular, transmission,
     eta_scale) — eta_scale is eta^2 relative IOR scaling for RR (reference
-    PathIntegrator etaScale, integrators.cpp:749).
+    PathIntegrator etaScale, integrators.cpp:749). adjoint: importance
+    transport (light subpaths) — dielectric transmission skips the
+    1/etap^2 radiance-compression factor (see _dielectric_f_pdf).
 
     Only branches for BxDF types in p.tags_present (a static scene
     constant) are traced — the TPU analog of the reference wavefront's
@@ -784,7 +801,8 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
             jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape), eta_s)
         wi_ds = jnp.where(refl_ds[..., None], wi_ds_r, wi_ds_t)
         f_ds_r = safe_div(F_ds, vm.abs_cos_theta(wi_ds_r))
-        f_ds_t = safe_div((1.0 - F_ds) / sqr(etap_s),
+        f_ds_t = safe_div((1.0 - F_ds) if adjoint
+                          else (1.0 - F_ds) / sqr(etap_s),
                           vm.abs_cos_theta(wi_ds_t))
         f_ds = jnp.where(refl_ds, f_ds_r, jnp.where(ok_t, f_ds_t, 0.0))
         pdf_ds = jnp.where(refl_ds, F_ds, jnp.where(ok_t, 1.0 - F_ds, 1.0))
@@ -801,7 +819,7 @@ def bsdf_sample(p: BSDFParams, wo, uc, u2):
         # them with the other lobe's pdf)
         same_h = vm.same_hemisphere(wo, wi_dr)
         lobe_ok = jnp.where(refl_dr, same_h, ~same_h & ok_rt)
-        f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr)
+        f_dr, pdf_dr = _dielectric_f_pdf(p, wo, wi_dr, adjoint=adjoint)
         pdf_dr = jnp.where(lobe_ok, pdf_dr, 0.0)
         f_dr = jnp.where(lobe_ok[..., None], f_dr, 0.0)
         wi_g = jnp.where(smooth[..., None], wi_ds, wi_dr)

@@ -171,8 +171,20 @@ def _segment_tau(pool, pa, pb, lam):
 
 def _bdpt_media(scene):
     """Static flag: BDPT creates medium vertices for this scene (see
-    module docstring scope)."""
-    return bool(scene.has_media) and not scene.has_medium_interfaces
+    module docstring scope: homogeneous point-in-box media only)."""
+    return bool(scene.has_media) and not scene.has_medium_interfaces \
+        and getattr(scene.media, "all_homogeneous", True)
+
+
+def bdpt_supports_media(scene) -> bool:
+    """Static: BDPT's medium-vertex scope covers this scene's media; if
+    not, the render driver must route to volpath (reference handles grid
+    media in BDPT via null-scattering RandomWalk events,
+    integrators.cpp:1480 — an unimplemented scope here, so grid-media
+    scenes fall back with a warning; tests/test_bdpt.py pins this)."""
+    if not scene.has_media:
+        return True
+    return _bdpt_media(scene)
 
 
 def _walk_stride(scene):
@@ -181,7 +193,7 @@ def _walk_stride(scene):
 
 
 def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
-          pdf_dir0, n_steps, dim_base, record_le):
+          pdf_dir0, n_steps, dim_base, record_le, adjoint=False):
     """Random walk creating up to n_steps surface/medium vertices
     (reference RandomWalk, integrators.cpp:1964 incl. the mi.phase medium
     branch). Returns list of vertex records; sets each vertex's pdf_fwd
@@ -307,7 +319,7 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
         uc = smp.sample_1d(sampler, px, py, si, base)
         u2 = smp.sample_2d(sampler, px, py, si, base + 1)
         wo_local = _to_local(ns, t1, t2, isect["wo"])
-        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2)
+        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2, adjoint=adjoint)
         wi_world = _to_world(ns, t1, t2, bs["wi"])
         spec = bs["specular"]
         pdf_rev_sa = bxdfs.bsdf_pdf(bp, bs["wi"], wo_local)
@@ -460,7 +472,7 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
     lv, light_prev_rev = _walk(scene, camera, sampler, px, py, sample_index,
                                lam, spec_cache, o_l, les["d"], lbeta0,
                                les["pdf_dir"], n_light_steps, wbase,
-                               record_le=False)
+                               record_le=False, adjoint=True)
     _fix_prev_rev(lv, light_prev_rev, True)
     # pdf_rev of the light vertex itself (onto-endpoint from first surface
     # vertex); only meaningful for area lights (on-surface endpoints)
@@ -558,13 +570,15 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
 
     strategies = []
 
-    def vert_f(v, p_toward):
-        """f at vertex v toward point p_toward (Vertex::f). Medium lanes
-        return the HG phase value (wavelength-flat, no cosine)."""
+    def vert_f(v, p_toward, adjoint=False):
+        """f at vertex v toward point p_toward (Vertex::f,
+        integrators.cpp:1583 — camera vertices carry Radiance, light
+        vertices Importance). Medium lanes return the HG phase value
+        (wavelength-flat, no cosine)."""
         wi = vm.normalize(p_toward - v["p"])
         wo_l = _to_local(v["ns"], v["t1"], v["t2"], v["wo"])
         wi_l = _to_local(v["ns"], v["t1"], v["t2"], wi)
-        f_s = bxdfs.bsdf_f(v["bp"], wo_l, wi_l)
+        f_s = bxdfs.bsdf_f(v["bp"], wo_l, wi_l, adjoint=adjoint)
         im = v.get("in_medium")
         if im is None:
             return f_s
@@ -715,7 +729,7 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
             # ----- general s >= 2, t >= 2 connection -----
             qs = lv[s - 2]                      # lightVertices[s-1]
             qs_minus_p = lv[s - 3]["p"] if s >= 3 else lv0["p"]
-            f_qs = vert_f(qs, pt["p"])
+            f_qs = vert_f(qs, pt["p"], adjoint=True)
             f_pt = vert_f(pt, qs["p"])
             wd = qs["p"] - pt["p"]
             d2 = jnp.maximum(vm.length_squared(wd), 1e-20)
@@ -773,7 +787,7 @@ def trace_bdpt(scene: sc.Scene, camera, sensor, sampler, px, py,
         con_i += 1
         u_c1 = smp.sample_2d(sampler, px, py, sample_index, dims)
         cs = cam_mod.camera_sample_wi(camera, qs["p"], u_c1)
-        f_qs = vert_f(qs, cs["p_lens"])
+        f_qs = vert_f(qs, cs["p_lens"], adjoint=True)
         cos_qs = jnp.where(_on_surface(qs, N),
                            jnp.abs(vm.dot(cs["wi"], qs["ns"])), 1.0)
         cam_beta = cs["we"] * safe_div(1.0, cs["pdf"])

@@ -147,7 +147,7 @@ def trace_light_paths(scene: sc.Scene, camera, sensor, sampler, px, py,
         u_lens = smp.sample_2d(sampler, px, py, sample_index, base)
         cs = cam_mod.camera_sample_wi(camera, isect["p"], u_lens)
         wi_local = _to_local(ns, t1, t2, cs["wi"])
-        f = bxdfs.bsdf_f(bp, wo_local, wi_local)
+        f = bxdfs.bsdf_f(bp, wo_local, wi_local, adjoint=True)
         Lsp = beta * f * (jnp.abs(wi_local[..., 2]) * cs["we"]
                           * safe_div(1.0, cs["pdf"]))[..., None]
         ok = active & cs["valid"] & (cs["pdf"] > 0) & \
@@ -161,7 +161,7 @@ def trace_light_paths(scene: sc.Scene, camera, sensor, sampler, px, py,
         # continue the walk (importance transport)
         uc = smp.sample_1d(sampler, px, py, sample_index, base + 2)
         u2 = smp.sample_2d(sampler, px, py, sample_index, base + 3)
-        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2)
+        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2, adjoint=True)
         wi_world = _to_world(ns, t1, t2, bs["wi"])
         beta_new = beta * bs["f"] * safe_div(jnp.abs(bs["wi"][..., 2]),
                                              bs["pdf"])[..., None]

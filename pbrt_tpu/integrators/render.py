@@ -37,6 +37,13 @@ def wave_module(scene, integrator=None):
         return lp_mod
     if integrator == "bdpt":
         from . import bdpt as bdpt_mod
+        if not bdpt_mod.bdpt_supports_media(scene):
+            from ..utils import log
+            log.warning(
+                "BDPT medium vertices cover homogeneous media only; this "
+                "scene has grid/heterogeneous media - rendering with "
+                "volpath instead (see PARITY.md declared divergences)")
+            return volpath_mod
         return bdpt_mod
     if integrator in ("simplepath", "randomwalk"):
         from . import simple as simple_mod

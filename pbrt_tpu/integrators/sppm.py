@@ -336,7 +336,7 @@ def _photon_pass(scene, sensor, sampler, n_photons, it, swl, max_depth,
         base = 5 + depth * 4
         uc = smp.sample_1d(sampler, lane, py0, si, base)
         u2 = smp.sample_2d(sampler, lane, py0, si, base + 1)
-        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2)
+        bs = bxdfs.bsdf_sample(bp, wo_local, uc, u2, adjoint=True)
         wi_world = _to_world(ns, t1, t2, bs["wi"])
         beta_new = beta * bs["f"] * safe_div(jnp.abs(bs["wi"][..., 2]),
                                              bs["pdf"])[..., None]

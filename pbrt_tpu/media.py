@@ -98,6 +98,9 @@ class MediumPool:
     maj_hi: jnp.ndarray = None      # (3,)
     maj_res: tuple = struct.field(pytree_node=False, default=(1, 1, 1))
     max_majorant: float = struct.field(pytree_node=False, default=0.0)
+    # static: every medium is homogeneous (BDPT medium vertices cover only
+    # this scope — see integrators/bdpt.py module docstring)
+    all_homogeneous: bool = struct.field(pytree_node=False, default=True)
 
 
 class MediumBuilder:
@@ -294,7 +297,10 @@ class MediumBuilder:
                           maj_grid=jnp.asarray(maj.reshape(-1)),
                           maj_lo=jnp.asarray(lo), maj_hi=jnp.asarray(hi),
                           maj_res=res,
-                          max_majorant=float(desc[:, 10].max()))
+                          max_majorant=float(desc[:, 10].max()),
+                          all_homogeneous=all(
+                              int(r[0]) == MEDIUM_HOMOGENEOUS
+                              for r in self.rows))
 
     def _build_majorant_supergrid(self, desc, maj_res=None):
         """Scene-level scalar majorant grid (reference MajorantGrid media.h:105

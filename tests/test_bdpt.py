@@ -157,3 +157,41 @@ def test_bdpt_fog_scattering_matches_volpath():
                           integrator="bdpt")
     assert abs(img_b.mean() / img_v.mean() - 1.0) < 0.08, \
         (img_b.mean(), img_v.mean())
+
+
+@pytest.mark.slow
+def test_bdpt_grid_media_falls_back_to_volpath():
+    """Grid (heterogeneous) media are outside BDPT's medium-vertex scope
+    (homogeneous point-in-box only, module docstring): the render driver
+    must route such scenes to volpath with a warning instead of silently
+    ignoring the medium (VERDICT r4 #9). Gate: integrator='bdpt' on a
+    grid-fog scene reproduces the analytic transmittance (which the
+    surface-only BDPT would miss entirely)."""
+    from pbrt_tpu.integrators import bdpt as bdpt_mod
+    from pbrt_tpu.integrators import render as rdr_mod
+    sigma = 0.4
+    b = sc.SceneBuilder()
+    m = b.materials.add_diffuse((0.0, 0.0, 0.0))
+    b.add_mesh([[-20, -20, 5.0], [20, -20, 5.0], [20, 20, 5.0],
+                [-20, 20, 5.0]],
+               [[0, 2, 1], [0, 3, 2]], m,
+               emission=spc.ConstantSpectrum(1.0))
+    dens = np.ones((4, 4, 4), np.float32)
+    b.media.add_grid(dens, (-10, -10, -1), (10, 10, 2),
+                     sigma_a=(sigma,) * 3, sigma_s=(0.0,) * 3)
+    scene = b.build(light_sampler="uniform", force_bvh=False)
+    assert not bdpt_mod.bdpt_supports_media(scene)
+    assert rdr_mod.wave_module(scene, "bdpt") is not bdpt_mod
+    # homogeneous scenes stay on BDPT
+    scene_h, _cam = _fog_wall_scene((sigma,) * 3, (0.0,) * 3)
+    assert bdpt_mod.bdpt_supports_media(scene_h)
+    assert rdr_mod.wave_module(scene_h, "bdpt") is bdpt_mod
+    cam = cm.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 0, -10), (0, 0, 0),
+                                      (0, 1, 0)).inverse(),
+        width=8, height=8, fov=10.0)
+    s = smp.make_sampler("independent", spp=128, full_resolution=(8, 8))
+    img, _ = rdr.render(scene, cam, sampler=s,
+                        opts=PathOptions(max_depth=2), integrator="bdpt")
+    np.testing.assert_allclose(img.mean(), np.exp(-sigma * 3.0), rtol=0.06)
