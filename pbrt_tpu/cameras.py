@@ -40,6 +40,10 @@ class Camera:
     lens_radius: jnp.ndarray = None
     focal_distance: jnp.ndarray = None
     shutter_open: float = struct.field(pytree_node=False, default=0.0)
+    # static: lens_radius > 0 at construction (DOF enabled) — the traced
+    # lens_radius scalar cannot gate compile-time decisions (megakernel
+    # eligibility needs a host-known pinhole check)
+    has_lens: bool = struct.field(pytree_node=False, default=False)
     shutter_close: float = struct.field(pytree_node=False, default=1.0)
     mapping: int = struct.field(pytree_node=False, default=SPHERE_EQUALAREA)
     # realistic camera: lens element table, rear->front order
@@ -76,6 +80,7 @@ def make_camera(kind="perspective", camera_from_world: tfm.Transform = None,
                   width=width, height=height,
                   tan_half_fov=jnp.asarray(np.tan(np.radians(fov) / 2), jnp.float32),
                   screen_min=smin, screen_max=smax,
+                  has_lens=bool(lens_radius > 0),
                   lens_radius=jnp.asarray(lens_radius, jnp.float32),
                   focal_distance=jnp.asarray(focal_distance, jnp.float32),
                   shutter_open=shutter_open, shutter_close=shutter_close,

@@ -121,14 +121,14 @@ def sample(f: Filter, u):
         # analytic truncated-gaussian inverse CDF per axis (gather-free;
         # the reference tabulates via FilterSampler — equivalent up to the
         # g(r) offset, which the f/pdf weight accounts for exactly)
-        import jax
+        from .utils.math import erf_inv
 
         def samp_axis(uu, r):
             # x ~ gaussian truncated to [-r, r]: inverse CDF via erfinv.
             import math
             s2 = f.sigma * np.sqrt(2.0)
             z = math.erf(r / s2)
-            x = s2 * jax.scipy.special.erfinv(
+            x = s2 * erf_inv(
                 jnp.clip((2.0 * uu - 1.0) * z, -0.999999, 0.999999))
             x = jnp.clip(x, -r, r)
             pdf = jnp.exp(-x * x / (2 * f.sigma ** 2)) / \

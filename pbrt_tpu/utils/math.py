@@ -162,9 +162,26 @@ def gamma_bound(n):
 
 
 def erf_inv(a):
-    """Inverse error function (reference util/math.h ErfInv, Giles 2012)."""
-    import jax
-    return jax.scipy.special.erfinv(jnp.clip(a, -0.99999, 0.99999))
+    """Inverse error function (reference util/math.h ErfInv, Giles 2012).
+
+    Explicit Giles polynomial rather than jax.scipy.special.erfinv so the
+    SAME ops run in XLA and inside Pallas kernels (Mosaic has no erf-inv
+    primitive; ops/megawave.py replicates this function in-kernel and the
+    two paths must agree bitwise)."""
+    x = jnp.clip(jnp.asarray(a, jnp.float32), -0.99999, 0.99999)
+    w = -jnp.log((1.0 - x) * (1.0 + x))
+    w1 = w - 2.5
+    p1 = jnp.float32(2.81022636e-08)
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06,
+              0.00021858087, -0.00125372503, -0.00417768164,
+              0.246640727, 1.50140941):
+        p1 = jnp.float32(c) + p1 * w1
+    w2 = jnp.sqrt(jnp.maximum(w, 1e-6)) - 3.0
+    p2 = jnp.float32(-0.000200214257)
+    for c in (0.000100950558, 0.00134934322, -0.00367342844, 0.00573950773,
+              -0.0076224613, 0.00943887047, 1.00167406, 2.83297682):
+        p2 = jnp.float32(c) + p2 * w2
+    return jnp.where(w < 5.0, p1, p2) * x
 
 
 def log2_int(v):
