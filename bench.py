@@ -60,16 +60,19 @@ def main():
     except Exception as e:  # never let the secondary break the bench line
         extras["mesh_error"] = str(e)[:200]
 
-    # --- 1080p time-to-64spp (BASELINE.json config 5 scale point) ---------
+    # --- 1080p time-to-64spp (BASELINE.json config 5 scale point):
+    # transparent-machines-class frame — layered (coated) + subsurface +
+    # smooth/rough dielectric + conductor meshes, full wavefront pipeline
     try:
-        import time as _t
         w1, h1 = 1920, 1080
-        scene1, cam1 = scenes.make_cornell_box(width=w1, height=h1)
+        scene1, cam1 = scenes.make_machines_frame(width=w1, height=h1)
         s1 = smp.make_sampler("zsobol", spp=64, full_resolution=(w1, h1))
-        rdr.render(scene1, cam1, sampler=s1, opts=opts, max_waves=32)
-        _img, st1 = rdr.render(scene1, cam1, spp=64, sampler=s1, opts=opts)
+        o1 = PathOptions(max_depth=5)
+        rdr.render(scene1, cam1, sampler=s1, opts=o1, max_waves=8)
+        _img, st1 = rdr.render(scene1, cam1, spp=64, sampler=s1, opts=o1)
         extras["time_to_64spp_1080p_s"] = round(st1["seconds"], 3)
         extras["paths_per_sec_1080p"] = st1["paths_per_sec"]
+        extras["scene_1080p"] = "machines-frame (coated+subsurface+dielectric+conductor)"
     except Exception as e:
         extras["bench1080_error"] = str(e)[:200]
 

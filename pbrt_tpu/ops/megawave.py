@@ -314,7 +314,7 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
                  l0, l1, l2, l3, e0, e1, e2, e3,
                  L0, L1, L2, L3,
                  *, n_tris, n_real, n_mats, n_lights, max_depth,
-                 rr_start, seed, B, ls_uniform, uniform_dpdu):
+                 rr_start, seed, B, ls_uniform, uniform_dpdu, ablate=()):
     """One whole path per lane, all depths in-kernel.
 
     tri_ref: (T*16,) SMEM flat triangles (pallas_intersect.pad_triangles);
@@ -329,6 +329,17 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
     lam4 = (l0[...], l1[...], l2[...], l3[...])
     Le_in = (e0[...], e1[...], e2[...], e3[...])
 
+    # compile-time ablations (tools/exp_r5d.py): quantify in-kernel stage
+    # costs without a working profiler over the axon tunnel
+    zs_1d, zs_2d = _zs_1d, _zs_2d
+    if "fake_sampler" in ablate:
+        def zs_1d(mi, dim, seed, B):
+            h = mi * _U32(0x9E3779B9) ^ _U32(_hash_u32_host(dim, seed))
+            return _u32_to_f(h * _U32(0x01000193))
+
+        def zs_2d(mi, dim, seed, B):
+            return (zs_1d(mi, dim, seed, B), zs_1d(mi, dim + 1, seed, B))
+
     shape = o[0].shape
     beta = [jnp.ones(shape, jnp.float32) for _ in range(4)]
     L = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
@@ -337,12 +348,26 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
 
     for depth in range(max_depth):
         # --- closest hit (watertight-MT tournament over the pool) ---
-        t_hit, kf, b1, b2 = _tri_block_math(
-            tri_ref, o[0], o[1], o[2], d[0], d[1], d[2],
-            jnp.full(shape, 1e30, jnp.float32), n_tris, n_real,
-            any_hit=False)
+        if "fake_closest" in ablate:
+            t_hit = jnp.full(shape, 1.0, jnp.float32)
+            kf = jnp.zeros(shape, jnp.float32)
+            b1 = jnp.full(shape, 0.25, jnp.float32)
+            b2 = jnp.full(shape, 0.25, jnp.float32)
+        else:
+            t_hit, kf, b1, b2 = _tri_block_math(
+                tri_ref, o[0], o[1], o[2], d[0], d[1], d[2],
+                jnp.full(shape, 1e30, jnp.float32), n_tris, n_real,
+                any_hit=False)
         hit = (kf >= 0.0) & active
-        p0, p1, p2, matf, lightf = _select_tri_attrs(attr_ref, kf, n_real)
+        if "cheap_attrs" in ablate:
+            z = jnp.zeros_like(kf)
+            p0 = (z, z, z)
+            p1 = (z + 1.0, z, z)
+            p2 = (z, z + 1.0, z)
+            matf, lightf = z, z - 1.0
+        else:
+            p0, p1, p2, matf, lightf = _select_tri_attrs(attr_ref, kf,
+                                                         n_real)
         b0 = 1.0 - b1 - b2
         p = tuple(b0 * p0[c] + b1 * p1[c] + b2 * p2[c] for c in range(3))
         p_err = tuple(_G7 * (jnp.abs(b0 * p0[c]) + jnp.abs(b1 * p1[c])
@@ -404,8 +429,8 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
         base = _CAM_DIMS + depth * _DIMS_PER_BOUNCE
 
         # --- NEE (path.py nee(); reference SampleLd) ---
-        u_pick = _zs_1d(mi, base, seed, B)
-        ul0, ul1 = _zs_2d(mi, base + 1, seed, B)
+        u_pick = zs_1d(mi, base, seed, B)
+        ul0, ul1 = zs_2d(mi, base + 1, seed, B)
         if ls_uniform:
             li = jnp.clip((u_pick * n_lights).astype(jnp.int32), 0,
                           n_lights - 1).astype(jnp.float32)
@@ -458,10 +483,13 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
                    p_tri[2] - o_sh[2]),
                   (p_tri[0] - o_sh[0], p_tri[1] - o_sh[1],
                    p_tri[2] - o_sh[2])), 0.0))
-        _t, k_sh, _b1, _b2 = _tri_block_math(
-            tri_ref, o_sh[0], o_sh[1], o_sh[2], wi[0], wi[1], wi[2],
-            dist_sh * 0.999, n_tris, n_real, any_hit=True)
-        occluded = k_sh >= 0.0
+        if "no_shadow" in ablate:
+            occluded = jnp.zeros(shape, jnp.bool_)
+        else:
+            _t, k_sh, _b1, _b2 = _tri_block_math(
+                tri_ref, o_sh[0], o_sh[1], o_sh[2], wi[0], wi[1], wi[2],
+                dist_sh * 0.999, n_tris, n_real, any_hit=True)
+            occluded = k_sh >= 0.0
         contrib_ok = contrib_ok & ~occluded
         w_mis = _power_heuristic(pdf_l, pdf_b)
         inv_pl = _safe_div(w_mis, pdf_l)
@@ -470,7 +498,7 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
                                     beta[c] * f[c] * Le_l[c] * inv_pl, 0.0)
 
         # --- BSDF sample (diffuse cosine lobe) ---
-        ub0, ub1 = _zs_2d(mi, base + 4, seed, B)
+        ub0, ub1 = zs_2d(mi, base + 4, seed, B)
         wx, wy, wz = _sample_cosine_hemisphere(ub0, ub1)
         wz = jnp.where(wo_local[2] < 0, -wz, wz)
         same_b = wo_local[2] * wz > 0
@@ -488,7 +516,7 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
 
         # --- Russian roulette on beta (path.py; integrators.cpp:749) ---
         if depth >= rr_start and depth + 1 < max_depth:
-            u_rr = _zs_1d(mi, base + 6, seed, B)
+            u_rr = zs_1d(mi, base + 6, seed, B)
             bmax = jnp.maximum(jnp.maximum(beta[0], beta[1]),
                                jnp.maximum(beta[2], beta[3]))
             q = jnp.maximum(0.0, 1.0 - bmax)
@@ -513,11 +541,11 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_tris", "n_real", "n_mats", "n_lights",
                               "max_depth", "rr_start", "seed", "B",
-                              "ls_uniform", "interpret"))
+                              "ls_uniform", "interpret", "ablate"))
 def _run(tri_flat, attr_flat, light_flat, mat_flat,
          ox, oy, oz, dx, dy, dz, mi, l4, e4,
          n_tris, n_real, n_mats, n_lights, max_depth, rr_start, seed, B,
-         ls_uniform, interpret=False):
+         ls_uniform, interpret=False, ablate=()):
     nb = ox.shape[0] // BLOCK_ROWS
     ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -527,7 +555,8 @@ def _run(tri_flat, attr_flat, light_flat, mat_flat,
     kern = functools.partial(
         _wave_kernel, n_tris=n_tris, n_real=n_real, n_mats=n_mats,
         n_lights=n_lights, max_depth=max_depth, rr_start=rr_start,
-        seed=seed, B=B, ls_uniform=ls_uniform, uniform_dpdu=True)
+        seed=seed, B=B, ls_uniform=ls_uniform, uniform_dpdu=True,
+        ablate=ablate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(nb,),
@@ -570,7 +599,7 @@ def scene_tables(scene):
 
 
 def trace(scene, sampler, px, py, sample_index, o, d, lam,
-          max_depth=5, rr_start=1, interpret=None):
+          max_depth=5, rr_start=1, interpret=None, ablate=()):
     """Megakernel path trace. Returns L (N, 4) spectral radiance (matching
     integrators/path.py::trace_paths for eligible scenes)."""
     from ..utils import rng as prng
@@ -612,7 +641,8 @@ def trace(scene, sampler, px, py, sample_index, o, d, lam,
                 ox, oy, oz, dx, dy, dz, mi_i, l4, e4,
                 n_pool, meta.n_tris, meta.n_mats, meta.n_lights,
                 int(max_depth), int(rr_start), int(sampler.seed), int(B),
-                bool(meta.ls_uniform), interpret=bool(interpret))
+                bool(meta.ls_uniform), interpret=bool(interpret),
+                ablate=tuple(ablate))
     L = jnp.stack([outs[c].reshape(-1)[:N] for c in range(4)], axis=-1)
     return L
 

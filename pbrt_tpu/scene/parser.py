@@ -258,8 +258,17 @@ class Parser:
         pos = self.pos - 1 if pos is None else pos
         pos = min(max(pos, 0), len(self.offsets) - 1)
         off = self.offsets[pos]
-        line = self.text.count(b"\n", 0, off) + 1
-        col = off - (self.text.rfind(b"\n", 0, off) + 1) + 1
+        # newline offsets are precomputed once: loc() runs per directive
+        # (scene-IR entity locations), and counting newlines over a
+        # multi-MB buffer per call measured 120s on an 8.5k-shape scene
+        if not hasattr(self, "_nl"):
+            import numpy as _np
+            self._nl = _np.frombuffer(self.text, _np.uint8)
+            self._nl = _np.nonzero(self._nl == 0x0A)[0]
+        import bisect
+        i = bisect.bisect_left(self._nl, off)
+        line = i + 1
+        col = off - (int(self._nl[i - 1]) + 1 if i > 0 else 0) + 1
         return f"{self.fname or '<scene>'}:{line}:{col}"
 
     def peek(self):

@@ -180,8 +180,18 @@ class SceneBuilder:
     def add_spectrum(self, s: spc.Spectrum, key=None) -> int:
         if key is not None and key in self._spec_cache:
             return self._spec_cache[key]
-        idx = len(self.spectra)
-        self.spectra.append(s.to_dense())
+        dense = s.to_dense()
+        # content dedup: scenes with thousands of palette-colored lights
+        # (e.g. the manylight goldens) would otherwise grow one pool row
+        # per DIRECTIVE — identical spectra must share a row so the
+        # per-wave spectrum cache (lights.SPEC_CACHE_MAX) stays usable
+        ckey = ("content", dense.tobytes())
+        if ckey in self._spec_cache:
+            idx = self._spec_cache[ckey]
+        else:
+            idx = len(self.spectra)
+            self.spectra.append(dense)
+            self._spec_cache[ckey] = idx
         if key is not None:
             self._spec_cache[key] = idx
         return idx

@@ -173,6 +173,59 @@ def make_material_showcase(width=400, height=300, subdiv=4, env_image=None):
     return scene, cam
 
 
+def make_machines_frame(width=1920, height=1080, subdiv=3):
+    """Transparent-machines-class frame (BASELINE.json config 5): layered
+    (coated-diffuse) + subsurface + smooth/rough dielectric + conductor
+    triangle meshes on a coated floor under an area light + gradient env —
+    the full wavefront pipeline (BSSRDF probe stage included) at 1080p.
+    Used by bench.py's time-to-64spp scale point."""
+    b = sc.SceneBuilder()
+    floor = b.materials.add_coated_diffuse((0.35, 0.36, 0.4), roughness=0.08)
+    au_eta = b.add_spectrum(spc.get_named_spectrum("metal-Au-eta"),
+                            key="au-eta")
+    au_k = b.add_spectrum(spc.get_named_spectrum("metal-Au-k"), key="au-k")
+    gold = b.materials.add_conductor(eta_spec_idx=au_eta, k_spec_idx=au_k,
+                                     roughness=0.05)
+    glass = b.materials.add_dielectric(eta=1.5, roughness=0.0)
+    frosted = b.materials.add_dielectric(eta=1.5, roughness=0.15)
+    skin = b.materials.add_subsurface(reflectance=(0.87, 0.78, 0.75),
+                                      mfp=(0.25, 0.16, 0.12))
+    shell = b.materials.add_coated_diffuse((0.55, 0.12, 0.1), roughness=0.04)
+
+    _quad(b, [(-12, 0, -12), (12, 0, -12), (12, 0, 12), (-12, 0, 12)], floor)
+    mats = [glass, skin, shell, gold, frosted]
+    for i, m in enumerate(mats):
+        cx = -4.4 + 2.2 * i
+        v, f, n = make_sphere_mesh((cx, 1.0, 0.6 * ((i % 3) - 1)), 1.0,
+                                   subdiv)
+        b.add_mesh(v, f, m, normals=n)
+    # overhead area light panel
+    emit = pcolor.RGBIlluminantSpectrum((22.0, 20.0, 17.0), b.cs)
+    white = b.materials.add_diffuse((0.8, 0.8, 0.8))
+    _quad(b, [(2.0, 6.0, 2.0), (2.0, 6.0, -2.0), (-2.0, 6.0, -2.0),
+              (-2.0, 6.0, 2.0)], white, emission=emit)
+    # smooth gradient sky (equal-area layout, same recipe as the showcase)
+    res = 64
+    u, vgrid = np.meshgrid((np.arange(res) + 0.5) / res,
+                           (np.arange(res) + 0.5) / res, indexing="xy")
+    import jax.numpy as jnp
+    from .utils import vecmath as vmx
+    d = np.asarray(vmx.equal_area_square_to_sphere(
+        jnp.asarray(np.stack([u, vgrid], -1).reshape(-1, 2), jnp.float32)))
+    z = d[:, 2].reshape(res, res)
+    sky = np.stack([0.25 + 0.2 * np.maximum(z, 0),
+                    0.3 + 0.25 * np.maximum(z, 0),
+                    0.45 + 0.45 * np.maximum(z, 0)], -1).astype(np.float32)
+    b.add_image_infinite_light(sky)
+    scene = b.build(light_sampler="power", force_bvh=True)
+    cam = cam_mod.make_camera(
+        "perspective",
+        camera_from_world=tfm.look_at((0, 2.6, -8.5), (0, 1.0, 0),
+                                      (0, 1, 0)).inverse(),
+        width=width, height=height, fov=33.0)
+    return scene, cam
+
+
 def make_furnace_sphere(albedo=1.0, env_radiance=1.0, width=64, height=64,
                         subdiv=3):
     """Classic white furnace: unit diffuse sphere, uniform env. With albedo 1

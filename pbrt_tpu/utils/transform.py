@@ -22,18 +22,42 @@ class Transform:
     def inverse(self) -> "Transform":
         return Transform(m=self.m_inv, m_inv=self.m)
 
+    def _host(self, p):
+        """True when both the matrix and the operand are host arrays —
+        the scene parser applies thousands of tiny per-shape transforms,
+        and routing those through jnp costs a device dispatch per op
+        (measured 257s of a 530s 8.5k-shape parse)."""
+        import numpy as _np
+        return isinstance(self.m, _np.ndarray) and \
+            isinstance(p, (_np.ndarray, list, tuple, float, int))
+
     def apply_point(self, p):
+        if self._host(p):
+            import numpy as _np
+            m = _np.asarray(self.m, _np.float32)
+            p = _np.asarray(p, _np.float32)
+            x = p @ m[:3, :3].T + m[:3, 3]
+            w = p @ m[3, :3] + m[3, 3]
+            return x / _np.where(w[..., None] == 0, 1.0, w[..., None])
         m = jnp.asarray(self.m, jnp.float32)
         x = p @ m[:3, :3].T + m[:3, 3]
         w = p @ m[3, :3] + m[3, 3]
         return x / jnp.where(w[..., None] == 0, 1.0, w[..., None])
 
     def apply_vector(self, v):
+        if self._host(v):
+            import numpy as _np
+            return _np.asarray(v, _np.float32) @ \
+                _np.asarray(self.m, _np.float32)[:3, :3].T
         m = jnp.asarray(self.m, jnp.float32)
         return v @ m[:3, :3].T
 
     def apply_normal(self, n):
         """Normals transform by the inverse transpose (reference transform.h)."""
+        if self._host(n):
+            import numpy as _np
+            return _np.asarray(n, _np.float32) @ \
+                _np.asarray(self.m_inv, _np.float32)[:3, :3]
         mi = jnp.asarray(self.m_inv, jnp.float32)
         return n @ mi[:3, :3]
 

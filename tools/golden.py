@@ -65,8 +65,38 @@ CONFIGS = [
     ("manylight", "manylight_200_32spp.exr", 32, 3, 0.08, 0.03),
     # plytex: trimmed MRSE (0.2% hottest pixels dropped) — the conductor/
     # dielectric caustics put fireflies in different pixels per realization
-    ("plytex", "plytex_200_32spp.exr", 32, 5, 0.05, 0.03, 0.002),
+    ("plytex", "plytex_200_64spp.exr", 64, 5, 0.05, 0.03, 0.002),
+    # round 5 (VERDICT r4 #4): BASELINE scale points — 16,928 emissive
+    # triangles through the light BVH (zero-day-class many-light regime),
+    # and a window-portal-lit interior (PortalImageInfiniteLight role)
+    # whose AOV/GBuffer pass is sanity-gated below
+    ("manylight16k", "manylight16k_200_32spp.exr", 32, 3, 0.08, 0.03),
+    ("portalbox", "portalbox_200_64spp.exr", 64, 5, 0.10, 0.04),
 ]
+
+
+def gbuffer_check(name):
+    """GBuffer AOV pass on a golden scene (reference GBufferFilm,
+    film.h:319): unit shading normals at hits, positive depth, albedo in
+    [0,1]. Returns (ok, dict of stats)."""
+    import numpy as np
+    from pbrt_tpu.scene import parser as pparser
+    from pbrt_tpu.integrators import aov
+    desc = pparser.parse_file(ROOT / "scenes" / f"{name}.pbrt")
+    out = aov.render_aovs(desc.scene, desc.camera, spp=2)
+    ns = out["Ns"].reshape(-1, 3)
+    z = out["z"].reshape(-1)
+    alb = out["albedo"].reshape(-1, 3)
+    hit = z > 0
+    nlen = np.linalg.norm(ns[hit], axis=1)
+    stats = dict(hit_frac=round(float(hit.mean()), 4),
+                 ns_len_err=round(float(np.abs(nlen - 1.0).max()), 5),
+                 albedo_min=round(float(alb.min()), 4),
+                 albedo_max=round(float(alb.max()), 4))
+    ok = (hit.mean() > 0.5 and float(np.abs(nlen - 1.0).max()) < 1e-3
+          and alb.min() >= -1e-6 and alb.max() <= 1.0 + 1e-6
+          and np.isfinite(out["P"]).all())
+    return bool(ok), stats
 
 
 def render_config(name, spp, max_depth):
@@ -129,6 +159,11 @@ def main():
             outdir = Path(args.out)
             outdir.mkdir(parents=True, exist_ok=True)
             pimg.write_exr(outdir / f"{name}_{spp}spp.exr", img)
+        if name == "portalbox":
+            gok, gstats = gbuffer_check(name)
+            failed |= not gok
+            print(json.dumps(dict(scene="portalbox_gbuffer", ok=gok,
+                                  **gstats)))
     return 1 if failed else 0
 
 

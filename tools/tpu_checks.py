@@ -111,10 +111,13 @@ def main():
     from pbrt_tpu.integrators.path import PathOptions
     scene, cam = scenes.make_cornell_box(width=400, height=400)
     s = smp.make_sampler("zsobol", spp=64, full_resolution=(400, 400))
+    cornell_img = None
     for comp in (False, True):
         opts = PathOptions(max_depth=5, compaction=comp)
         rdr.render(scene, cam, sampler=s, opts=opts, max_waves=8)
         _img, st = rdr.render(scene, cam, spp=64, sampler=s, opts=opts)
+        if cornell_img is None:
+            cornell_img = _img   # default config (compaction auto=OFF here)
         print(json.dumps(dict(check="cornell", compaction=comp,
                               mpaths_per_s=round(st["paths_per_sec"] / 1e6,
                                                  2))))
@@ -134,14 +137,37 @@ def main():
     # BVH8 path must pass the reference-oracle MRSE bound, not just the
     # kernel-vs-XLA hit agreement — a Mosaic miscompile fails HERE.
     from pbrt_tpu.utils import image as pimg
-    ref = pimg.read_exr(str(ROOT / "goldens/meshfield_200_32spp.exr"))
-    img = np.asarray(_img)
-    dd = img - ref
-    mrse = float((dd * dd / (ref * ref + 0.01)).mean())
-    ratio = float(abs(img.mean() / ref.mean() - 1.0))
-    print(json.dumps(dict(check="ondevice_golden_meshfield",
-                          mrse=round(mrse, 5), mean_ratio_err=round(ratio, 5),
-                          ok=bool(mrse <= 0.05 and ratio <= 0.02))))
+
+    def golden_gate(name, img, golden, mrse_gate, ratio_gate):
+        ref = pimg.read_exr(str(ROOT / "goldens" / golden))
+        img = np.asarray(img)
+        dd = img - ref
+        mrse = float((dd * dd / (ref * ref + 0.01)).mean())
+        ratio = float(abs(img.mean() / ref.mean() - 1.0))
+        print(json.dumps(dict(
+            check=f"ondevice_golden_{name}", mrse=round(mrse, 5),
+            mean_ratio_err=round(ratio, 5),
+            ok=bool(mrse <= mrse_gate and ratio <= ratio_gate))))
+
+    golden_gate("meshfield", _img, "meshfield_200_32spp.exr", 0.05, 0.02)
+
+    # ---- 6. on-device golden gates: cornell / volume / manylight ---------
+    # (VERDICT r4 #8: a Mosaic/XLA miscompile in the brute-force megakernel,
+    # volpath media, or light-BVH paths would otherwise pass CI, which runs
+    # these scenes on CPU only.) Gates match tools/golden.py's CPU bounds.
+    golden_gate("cornell", cornell_img, "cornell_400_64spp.exr", 0.08, 0.02)
+
+    desc_v = pparser.parse_file(str(ROOT / "scenes/volume.pbrt"))
+    v_img, _ = rdr.render(desc_v.scene, desc_v.camera, spp=32,
+                          sampler=desc_v.sampler,
+                          opts=PathOptions(max_depth=6))
+    golden_gate("volume", v_img, "volume_200_32spp.exr", 0.10, 0.03)
+
+    desc_m = pparser.parse_file(str(ROOT / "scenes/manylight.pbrt"))
+    m_img, _ = rdr.render(desc_m.scene, desc_m.camera, spp=32,
+                          sampler=desc_m.sampler,
+                          opts=PathOptions(max_depth=3))
+    golden_gate("manylight", m_img, "manylight_200_32spp.exr", 0.08, 0.03)
     return 0
 
 
