@@ -298,7 +298,7 @@ def _walk(scene, camera, sampler, px, py, si, lam, spec_cache, o0, d0, beta0,
             esc = active & ~isect["hit"] & ~scatter
             Le_inf = jnp.zeros_like(lam)
             if scene.env is not None:
-                Le_inf = Le_inf + lgt.env_radiance(scene.env, d, lam)
+                Le_inf = Le_inf + lgt.env_radiance(scene.env, d, lam, p=o)
             if scene.n_infinite > 0:
                 Le_inf = Le_inf + lgt.infinite_light_radiance(
                     scene.lights, lam, scene.spectra_pool, d,

@@ -289,7 +289,7 @@ def trace_paths(scene: sc.Scene, sampler: smp.SamplerParams, px, py,
         # --- escaped rays: image infinite light (env map) ---
         if scene.env is not None:
             escaped = active & ~isect["hit"]
-            Le_env = lgt.env_radiance(scene.env, d, lam)
+            Le_env = lgt.env_radiance(scene.env, d, lam, p=o)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
             pdf_env = lgt.env_pdf_li(scene.env, d, p_ref=o) * pmf_env
             w_env = jnp.where((depth == 0) | spec_bounce, 1.0,

@@ -70,7 +70,7 @@ def trace_simple(scene: sc.Scene, sampler, px, py, sample_index, o, d, swl,
             L = L + jnp.where((hit & (li >= 0) & take_le)[..., None],
                               beta * Le, 0.0)
         if scene.env is not None:
-            Le_env = lgt.env_radiance(scene.env, d, lam)
+            Le_env = lgt.env_radiance(scene.env, d, lam, p=o)
             L = L + jnp.where((active & ~isect["hit"] & take_le)[..., None],
                               beta * Le_env, 0.0)
         if scene.n_infinite > 0:
@@ -222,7 +222,7 @@ def trace_simplevolpath(scene: sc.Scene, sampler, px, py, sample_index,
             L = L + jnp.where((reach & isect["hit"] & (li >= 0))[..., None],
                               beta * Le, 0.0)
         if scene.env is not None:
-            Le_env = lgt.env_radiance(scene.env, d, lam)
+            Le_env = lgt.env_radiance(scene.env, d, lam, p=o)
             L = L + jnp.where((reach & ~isect["hit"])[..., None],
                               beta * Le_env, 0.0)
         if scene.n_infinite > 0:

@@ -116,7 +116,7 @@ def _camera_pass(scene, camera, sensor, sampler, pixel_idx, it, swl,
                 0.0)
         if scene.env is not None:
             esc = active & ~isect["hit"]
-            Le_env = lgt.env_radiance(scene.env, d, lam)
+            Le_env = lgt.env_radiance(scene.env, d, lam, p=o)
             pmf_env = scene.light_sampler.pmf_table[scene.env.light_index]
             pdf_env = lgt.env_pdf_li(scene.env, d, p_ref=o) * pmf_env
             w_env = jnp.where((depth == 0) | st["spec"], 1.0,

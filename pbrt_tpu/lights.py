@@ -499,13 +499,19 @@ def _env_texel_radiance(env: EnvLight, texel_idx, lam):
     return refl * rows[..., 3:4] * illum * env.scale
 
 
-def env_radiance(env, d, lam):
+def env_radiance(env, d, lam, p=None):
     """Le for escaped rays: BILINEAR over the equal-area texels (reference
     ImageInfiniteLight::ImageLe, lights.h:544 — bilinear image lookup).
-    One fused (N, 2, 2, 4) gather; octahedral seams use edge clamp."""
+    One fused (N, 2, 2, 4) gather; octahedral seams use edge clamp.
+
+    p: escaped-ray origins — required for the PORTAL variant's window
+    check (reference PortalImageInfiniteLight::Le tests
+    Inside(uv, ImageBounds(ray.o)); without p the check degrades to the
+    portal hemisphere only, which is exact for closed rooms whose only
+    opening is the portal)."""
     from .utils import color as pcolor
     if isinstance(env, PortalEnvLight):
-        return portal_env_radiance(env, d, lam)
+        return portal_env_radiance(env, d, lam, p=p)
     uv = vm.equal_area_sphere_to_square(d)
     ux = uv[..., 0] * env.width - 0.5
     uy = uv[..., 1] * env.height - 0.5
@@ -596,9 +602,13 @@ def make_portal_env_light(image_rgb, portal_corners, colorspace, scale=1.0,
     ordered rectangle (c0 -> c1 along x_hat, c0 -> c3 along y_hat)."""
     img = np.asarray(image_rgb, np.float32)
     corners = np.asarray(portal_corners, np.float32).reshape(4, 3)
-    x_hat = corners[1] - corners[0]
+    # reference frame convention (lights.cpp:1140 Frame::FromXY(p03, p01)):
+    # x along corner0->corner3, y along corner0->corner1; z = x cross y is
+    # the direction ESCAPED rays travel (one-sided — the reverse winding
+    # renders black, matching the oracle)
+    x_hat = corners[3] - corners[0]
     x_hat = x_hat / np.linalg.norm(x_hat)
-    y_hat = corners[3] - corners[0]
+    y_hat = corners[1] - corners[0]
     y_hat = y_hat / np.linalg.norm(y_hat)
     z_hat = np.cross(x_hat, y_hat)
     z_hat = z_hat / np.linalg.norm(z_hat)
@@ -684,10 +694,15 @@ def _portal_texel_radiance(env: PortalEnvLight, x, y, lam):
     return refl * rows[..., 3:4] * illum * env.scale
 
 
-def portal_env_radiance(env: PortalEnvLight, d, lam):
-    """Le for escaped rays: only directions through the portal's front
-    hemisphere carry energy (reference PortalImageInfiniteLight::Le)."""
+def portal_env_radiance(env: PortalEnvLight, d, lam, p=None):
+    """Le for escaped rays: only directions through the portal window
+    carry energy (reference PortalImageInfiniteLight::Le checks
+    Inside(uv, ImageBounds(ray.o)); the hemisphere test alone suffices
+    when p is unavailable)."""
     u, v, _, valid = _portal_uv_from_w(env, d)
+    if p is not None:
+        u0, v0, u1, v1, ok = _portal_window(env, p)
+        valid = valid & ok & (u >= u0) & (u <= u1) & (v >= v0) & (v <= v1)
     x = jnp.clip((u * env.width).astype(jnp.int32), 0, env.width - 1)
     y = jnp.clip((v * env.height).astype(jnp.int32), 0, env.height - 1)
     L = _portal_texel_radiance(env, x, y, lam)

@@ -12,7 +12,10 @@ from pbrt_tpu.utils import spectrum as spc
 def _portal_light(img=None, res=32):
     if img is None:
         img = np.full((32, 32, 3), 0.5, np.float32)
-    corners = np.asarray([[-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]],
+    # winding per the reference convention (lights.cpp:1140
+    # Frame::FromXY(p03, p01)): x = c0->c3, y = c0->c1, z = x cross y must
+    # point the way escaped rays travel (+z here, away from the origin)
+    corners = np.asarray([[-1, -1, 2], [-1, 1, 2], [1, 1, 2], [1, -1, 2]],
                          np.float32)
     return lgt.make_portal_env_light(img, corners, pcolor.srgb(), res=res), \
         corners

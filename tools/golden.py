@@ -83,8 +83,8 @@ def gbuffer_check(name):
     from pbrt_tpu.scene import parser as pparser
     from pbrt_tpu.integrators import aov
     desc = pparser.parse_file(ROOT / "scenes" / f"{name}.pbrt")
-    out = aov.render_aovs(desc.scene, desc.camera, spp=2)
-    ns = out["Ns"].reshape(-1, 3)
+    out = aov.render_aovs(desc.scene, desc.camera, spp=1)
+    ns = out["ns"].reshape(-1, 3)
     z = out["z"].reshape(-1)
     alb = out["albedo"].reshape(-1, 3)
     hit = z > 0
@@ -95,7 +95,7 @@ def gbuffer_check(name):
                  albedo_max=round(float(alb.max()), 4))
     ok = (hit.mean() > 0.5 and float(np.abs(nlen - 1.0).max()) < 1e-3
           and alb.min() >= -1e-6 and alb.max() <= 1.0 + 1e-6
-          and np.isfinite(out["P"]).all())
+          and np.isfinite(out["p"]).all())
     return bool(ok), stats
 
 
