@@ -543,6 +543,19 @@ def render_wave(scene: sc.Scene, camera: cam_mod.Camera,
     py = pixel_idx // camera.width
     from ..options import get_options
     _gopts = get_options()
+    # --- megakernel v2 fast path (ops/megawave.py trace_full): camera
+    # dims + gaussian filter + pinhole ray generation run IN-KERNEL; the
+    # XLA front-end shrinks to wavelength sampling + light-spectrum eval
+    if _use_megawave(scene, sampler, opts) and opts.sample_visible_wavelengths:
+        from ..ops import megawave
+        if megawave.eligible_full(scene, sampler, camera, filt, opts):
+            u_lam = smp.sample_1d(sampler, px, py, sample_index, 5)
+            swl = spc.sample_visible_wavelengths(u_lam)
+            L, fw = megawave.trace_full(
+                scene, sampler, camera, filt, px, py, sample_index,
+                swl.lam, max_depth=opts.max_depth,
+                rr_start=opts.rr_start_depth)
+            return L, swl, fw
     u_pix = smp.sample_pixel_2d(sampler, px, py, sample_index, 0)
     u_time = smp.sample_1d(sampler, px, py, sample_index, 2)
     u_lens = smp.sample_2d(sampler, px, py, sample_index, 3)

@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_intersect import _tri_block_math, LANES
+from ..utils import math as _math_mod
 
 BLOCK_ROWS = 8
 BLOCK = BLOCK_ROWS * LANES
@@ -309,26 +310,18 @@ def _select_light(light_ref, lif, n_lights, n_cols, cols):
     return vals
 
 
-def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
-                 ox, oy, oz, dx, dy, dz, mi_ref,
-                 l0, l1, l2, l3, e0, e1, e2, e3,
-                 L0, L1, L2, L3,
-                 *, n_tris, n_real, n_mats, n_lights, max_depth,
-                 rr_start, seed, B, ls_uniform, uniform_dpdu, ablate=()):
-    """One whole path per lane, all depths in-kernel.
+def _path_loop(tri_ref, attr_ref, light_ref, mat_ref, o, d, mi, lam4,
+               Le_in, *, n_tris, n_real, n_mats, n_lights, max_depth,
+               rr_start, seed, B, ls_uniform, uniform_dpdu, ablate=()):
+    """One whole path per lane, all depths in-kernel (the shared body of
+    _wave_kernel and _wave_kernel_full).
 
     tri_ref: (T*16,) SMEM flat triangles (pallas_intersect.pad_triangles);
     attr_ref: (T*ATTR_COLS,) SMEM per-tri attrs; light_ref:
     (L*LIGHT_COLS,) SMEM light table; mat_ref: (M*3,) SMEM sigmoid
-    coefficients. Per-lane inputs: ray o/d components, morton|spp index
-    (i32 view of u32), wavelengths l0..l3 (nm), light emission spectrum
-    e0..e3 at those wavelengths. Outputs L0..L3: spectral radiance."""
-    o = (ox[...], oy[...], oz[...])
-    d = (dx[...], dy[...], dz[...])
-    mi = jax.lax.bitcast_convert_type(mi_ref[...], jnp.uint32)
-    lam4 = (l0[...], l1[...], l2[...], l3[...])
-    Le_in = (e0[...], e1[...], e2[...], e3[...])
-
+    coefficients. o/d: ray component tuples; mi: u32 morton|spp index;
+    lam4: wavelengths (nm); Le_in: light emission spectrum at lam4.
+    Returns the 4-entry spectral radiance list."""
     # compile-time ablations (tools/exp_r5d.py): quantify in-kernel stage
     # costs without a working profiler over the axon tunnel
     zs_1d, zs_2d = _zs_1d, _zs_2d
@@ -532,24 +525,126 @@ def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
             o = _offset_origin(p, p_err, ng, wi_w)
             d = wi_w
 
+    return L
+
+
+def _wave_kernel(tri_ref, attr_ref, light_ref, mat_ref,
+                 ox, oy, oz, dx, dy, dz, mi_ref,
+                 l0, l1, l2, l3, e0, e1, e2, e3,
+                 L0, L1, L2, L3, **statics):
+    """Kernel with XLA-built camera rays (see _path_loop for the body)."""
+    o = (ox[...], oy[...], oz[...])
+    d = (dx[...], dy[...], dz[...])
+    mi = jax.lax.bitcast_convert_type(mi_ref[...], jnp.uint32)
+    lam4 = (l0[...], l1[...], l2[...], l3[...])
+    Le_in = (e0[...], e1[...], e2[...], e3[...])
+    L = _path_loop(tri_ref, attr_ref, light_ref, mat_ref, o, d, mi, lam4,
+                   Le_in, **statics)
     L0[...] = L[0]
     L1[...] = L[1]
     L2[...] = L[2]
     L3[...] = L[3]
 
 
+def _compact_bits_2(v):
+    """Inverse of utils.rng.left_shift_2: gather the even bits of v."""
+    v = v & _U32(0x55555555)
+    v = (v | (v >> np.uint32(1))) & _U32(0x33333333)
+    v = (v | (v >> np.uint32(2))) & _U32(0x0F0F0F0F)
+    v = (v | (v >> np.uint32(4))) & _U32(0x00FF00FF)
+    v = (v | (v >> np.uint32(8))) & _U32(0x0000FFFF)
+    return v
+
+
+def _wave_kernel_full(cam_ref, tri_ref, attr_ref, light_ref, mat_ref,
+                      mi_ref, l0, l1, l2, l3, e0, e1, e2, e3,
+                      L0, L1, L2, L3, FW, *, log2_spp, fparams, ablate=(),
+                      **statics):
+    """Full-pipeline kernel: pixel decode + ZSobol camera dims + gaussian
+    filter importance sample + PINHOLE perspective ray — all in-kernel
+    (megakernel v2; reference wavefront GenerateCameraRays role,
+    wavefront/camera.cpp:15). The XLA front-end shrinks to wavelength
+    sampling + light-spectrum eval; per-lane kernel input drops from
+    60 B to 36 B and the front-end fusions disappear.
+
+    cam_ref: (19,) SMEM scalars [c2w m00..m23 (12) | screen smin0 smin1
+    smax0 smax1 | tan_half_fov | W | H]. fparams: static (sigma, rx, ry) of the
+    gaussian filter. Matches the XLA path bit-for-bit: same _zs draws,
+    same Giles erf-inv polynomial (utils/math.erf_inv), same camera math
+    (cameras.py generate_ray)."""
+    import math as _math
+    mi = jax.lax.bitcast_convert_type(mi_ref[...], jnp.uint32)
+    lam4 = (l0[...], l1[...], l2[...], l3[...])
+    Le_in = (e0[...], e1[...], e2[...], e3[...])
+    seed, B = statics["seed"], statics["B"]
+
+    # pixel coords from the morton|spp lane index
+    pm = mi >> np.uint32(log2_spp)
+    pxf = _compact_bits_2(pm).astype(jnp.int32).astype(jnp.float32)
+    pyf = _compact_bits_2(pm >> np.uint32(1)).astype(jnp.int32) \
+        .astype(jnp.float32)
+
+    # gaussian filter importance sample (filters.py sample(); weight
+    # f(p)/pdf(p) with the SAME truncated-inverse-CDF construction)
+    u0, u1 = _zs_2d(mi, 0, seed, B)
+    sigma, rx, ry = fparams
+    s2 = np.float32(sigma * _math.sqrt(2.0))
+    inv_2s2 = np.float32(1.0 / (2.0 * sigma * sigma))
+    norm = np.float32(1.0 / (sigma * _math.sqrt(2.0 * _math.pi)))
+
+    def samp_axis(uu, r):
+        z = np.float32(_math.erf(r / float(s2)))
+        x = s2 * _math_mod.erf_inv(
+            jnp.clip((2.0 * uu - 1.0) * z, -0.999999, 0.999999))
+        x = jnp.clip(x, -r, r)
+        pdf = jnp.exp(-x * x * inv_2s2) * norm / z
+        return x, pdf
+
+    fx, pdf_x = samp_axis(u0, np.float32(rx))
+    fy, pdf_y = samp_axis(u1, np.float32(ry))
+    gx = jnp.maximum(0.0, jnp.exp(-fx * fx * inv_2s2)
+                     - np.float32(_math.exp(-rx * rx / (2 * sigma ** 2))))
+    gy = jnp.maximum(0.0, jnp.exp(-fy * fy * inv_2s2)
+                     - np.float32(_math.exp(-ry * ry / (2 * sigma ** 2))))
+    fw = (gx * gy) / jnp.maximum(pdf_x * pdf_y, 1e-12)
+
+    # pinhole perspective ray (cameras.py generate_ray)
+    W = cam_ref[17]
+    H = cam_ref[18]
+    sx = cam_ref[12] + ((pxf + 0.5 + fx) / W) * (cam_ref[14] - cam_ref[12])
+    sy = cam_ref[15] - ((pyf + 0.5 + fy) / H) * (cam_ref[15] - cam_ref[13])
+    thf = cam_ref[16]
+    dc = (sx * thf, sy * thf)
+    dwx = cam_ref[0] * dc[0] + cam_ref[1] * dc[1] + cam_ref[2]
+    dwy = cam_ref[4] * dc[0] + cam_ref[5] * dc[1] + cam_ref[6]
+    dwz = cam_ref[8] * dc[0] + cam_ref[9] * dc[1] + cam_ref[10]
+    (dwx, dwy, dwz), _len = _normalize3((dwx, dwy, dwz))
+    shape = dwx.shape
+    o = (jnp.full(shape, cam_ref[3]), jnp.full(shape, cam_ref[7]),
+         jnp.full(shape, cam_ref[11]))
+    d = (dwx, dwy, dwz)
+
+    L = _path_loop(tri_ref, attr_ref, light_ref, mat_ref, o, d, mi, lam4,
+                   Le_in, ablate=ablate, **statics)
+    L0[...] = L[0]
+    L1[...] = L[1]
+    L2[...] = L[2]
+    L3[...] = L[3]
+    FW[...] = fw
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_tris", "n_real", "n_mats", "n_lights",
                               "max_depth", "rr_start", "seed", "B",
-                              "ls_uniform", "interpret", "ablate"))
+                              "ls_uniform", "interpret", "ablate", "rows"))
 def _run(tri_flat, attr_flat, light_flat, mat_flat,
          ox, oy, oz, dx, dy, dz, mi, l4, e4,
          n_tris, n_real, n_mats, n_lights, max_depth, rr_start, seed, B,
-         ls_uniform, interpret=False, ablate=()):
-    nb = ox.shape[0] // BLOCK_ROWS
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0),
+         ls_uniform, interpret=False, ablate=(), rows=BLOCK_ROWS):
+    nb = ox.shape[0] // rows
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((BLOCK_ROWS, LANES), lambda i, *_: (i, 0),
+    out_specs = [pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM)] * 4
     out_shape = [jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4
     kern = functools.partial(
@@ -599,7 +694,7 @@ def scene_tables(scene):
 
 
 def trace(scene, sampler, px, py, sample_index, o, d, lam,
-          max_depth=5, rr_start=1, interpret=None, ablate=()):
+          max_depth=5, rr_start=1, interpret=None, ablate=(), rows=None):
     """Megakernel path trace. Returns L (N, 4) spectral radiance (matching
     integrators/path.py::trace_paths for eligible scenes)."""
     from ..utils import rng as prng
@@ -617,15 +712,19 @@ def trace(scene, sampler, px, py, sample_index, o, d, lam,
     Le = lgt.eval_light_spectrum(scene.spectra_pool, spec_idx,
                                  jnp.ones((N,), jnp.float32), lam)
 
-    n_pad = -(-N // BLOCK) * BLOCK
-    rows = n_pad // LANES
+    # rows: lanes-per-block (hides dependent-chain latency; the kernel is
+    # latency-bound — tools/exp_r5d.py). Padded wave size must tile by it.
+    rows = BLOCK_ROWS if rows is None else int(rows)
+    blk = rows * LANES
+    n_pad = -(-N // blk) * blk
+    tot_rows = n_pad // LANES
 
     def prep(v, fill, dtype=jnp.float32):
         v = jnp.asarray(v, dtype)
         if n_pad != N:
             v = jnp.concatenate([v, jnp.full((n_pad - N,) + v.shape[1:],
                                              fill, dtype)])
-        return v.reshape((rows, LANES) + v.shape[1:])
+        return v.reshape((tot_rows, LANES) + v.shape[1:])
 
     ox, oy, oz = (prep(o[:, c], 0.0) for c in range(3))
     dx, dy, dz = (prep(d[:, c], 1.0) for c in range(3))
@@ -642,7 +741,7 @@ def trace(scene, sampler, px, py, sample_index, o, d, lam,
                 n_pool, meta.n_tris, meta.n_mats, meta.n_lights,
                 int(max_depth), int(rr_start), int(sampler.seed), int(B),
                 bool(meta.ls_uniform), interpret=bool(interpret),
-                ablate=tuple(ablate))
+                ablate=tuple(ablate), rows=rows)
     L = jnp.stack([outs[c].reshape(-1)[:N] for c in range(4)], axis=-1)
     return L
 
@@ -658,3 +757,130 @@ def eligible(scene, sampler, opts) -> bool:
     if getattr(opts, "collect_stats", False):
         return False
     return True
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tris", "n_real", "n_mats", "n_lights",
+                              "max_depth", "rr_start", "seed", "B",
+                              "ls_uniform", "log2_spp", "fparams",
+                              "interpret", "ablate", "rows"))
+def _run_full(cam, tri_flat, attr_flat, light_flat, mat_flat,
+              mi, l4, e4,
+              n_tris, n_real, n_mats, n_lights, max_depth, rr_start, seed,
+              B, ls_uniform, log2_spp, fparams, interpret=False, ablate=(),
+              rows=BLOCK_ROWS):
+    nb = mi.shape[0] // rows
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                              memory_space=pltpu.VMEM)] * 5
+    out_shape = [jax.ShapeDtypeStruct(mi.shape, jnp.float32)] * 5
+    kern = functools.partial(
+        _wave_kernel_full, n_tris=n_tris, n_real=n_real, n_mats=n_mats,
+        n_lights=n_lights, max_depth=max_depth, rr_start=rr_start,
+        seed=seed, B=B, ls_uniform=ls_uniform, uniform_dpdu=True,
+        log2_spp=log2_spp, fparams=fparams, ablate=ablate)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nb,),
+        in_specs=[ray_spec] * 9,
+        out_specs=out_specs,
+    )
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(cam, tri_flat, attr_flat, light_flat, mat_flat,
+      mi,
+      l4[:, :, 0], l4[:, :, 1], l4[:, :, 2], l4[:, :, 3],
+      e4[:, :, 0], e4[:, :, 1], e4[:, :, 2], e4[:, :, 3])
+
+
+def trace_full(scene, sampler, camera, filt, px, py, sample_index, lam,
+               max_depth=5, rr_start=1, interpret=None, ablate=(),
+               rows=None):
+    """Full-pipeline megakernel (v2): camera dims + gaussian filter +
+    pinhole ray generation run IN-KERNEL (reference wavefront
+    GenerateCameraRays, wavefront/camera.cpp:15). Returns (L (N, 4),
+    filter_weight (N,)). Gate with eligible_full()."""
+    from ..utils import rng as prng
+    from .. import lights as lgt
+    from .. import filters as flt
+
+    N = px.shape[0]
+    morton = prng.encode_morton_2(px.astype(_U32), py.astype(_U32))
+    mi = (morton << np.uint32(sampler.log2_spp)) | \
+        jnp.asarray(sample_index).astype(_U32)
+    B = min(2 * sampler.n_base4_digits - (sampler.log2_spp & 1), 32)
+
+    meta = scene.mega
+    spec_idx = jnp.full((N,), meta.light_spec, jnp.int32)
+    Le = lgt.eval_light_spectrum(scene.spectra_pool, spec_idx,
+                                 jnp.ones((N,), jnp.float32), lam)
+
+    rows = BLOCK_ROWS if rows is None else int(rows)
+    blk = rows * LANES
+    n_pad = -(-N // blk) * blk
+    tot_rows = n_pad // LANES
+
+    def prep(v, fill, dtype=jnp.float32):
+        v = jnp.asarray(v, dtype)
+        if n_pad != N:
+            v = jnp.concatenate([v, jnp.full((n_pad - N,) + v.shape[1:],
+                                             fill, dtype)])
+        return v.reshape((tot_rows, LANES) + v.shape[1:])
+
+    mi_i = prep(jax.lax.bitcast_convert_type(mi, jnp.int32), 0, jnp.int32)
+    l4 = prep(lam, 550.0)
+    e4 = prep(Le, 0.0)
+
+    # cam layout: [m00..m23 (12) | smin0 smin1 smax0 smax1 | thf | W H]
+    m = jnp.asarray(camera.c2w_m, jnp.float32)
+    smin = jnp.asarray(camera.screen_min, jnp.float32)
+    smax = jnp.asarray(camera.screen_max, jnp.float32)
+    cam = jnp.concatenate([
+        m[:3].reshape(-1),
+        jnp.stack([smin[0], smin[1], smax[0], smax[1],
+                   jnp.reshape(jnp.asarray(camera.tan_half_fov,
+                                           jnp.float32), ()),
+                   jnp.asarray(camera.width, jnp.float32),
+                   jnp.asarray(camera.height, jnp.float32)])])
+
+    attr, light, mat = scene_tables(scene)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_pool = int(scene.tri_pallas.shape[0]) // 16
+    fparams = (float(filt.sigma), float(filt.radius[0]),
+               float(filt.radius[1]))
+    outs = _run_full(cam, scene.tri_pallas, attr, light, mat,
+                     mi_i, l4, e4,
+                     n_pool, meta.n_tris, meta.n_mats, meta.n_lights,
+                     int(max_depth), int(rr_start), int(sampler.seed),
+                     int(B), bool(meta.ls_uniform),
+                     int(sampler.log2_spp), fparams,
+                     interpret=bool(interpret), ablate=tuple(ablate),
+                     rows=rows)
+    L = jnp.stack([outs[c].reshape(-1)[:N] for c in range(4)], axis=-1)
+    fw = outs[4].reshape(-1)[:N]
+    return L, fw
+
+
+def eligible_full(scene, sampler, camera, filt, opts) -> bool:
+    """v2 (in-kernel camera) eligibility: megakernel scene + pinhole
+    perspective camera + gaussian filter + jitter not disabled + the
+    morton|spp index fits 32 bits (it must round-trip to pixel coords
+    in-kernel)."""
+    from .. import cameras as cam_mod
+    from .. import filters as flt
+    from ..options import get_options
+    if not eligible(scene, sampler, opts):
+        return False
+    if camera.kind != cam_mod.CAMERA_PERSPECTIVE or camera.has_lens:
+        return False
+    if filt.kind != flt.FILTER_GAUSSIAN:
+        return False
+    gopts = get_options()
+    if gopts.disable_pixel_jitter or gopts.disable_wavelength_jitter:
+        return False
+    import math
+    side_bits = max(1, math.ceil(math.log2(max(camera.width,
+                                               camera.height))))
+    return 2 * side_bits + sampler.log2_spp <= 32

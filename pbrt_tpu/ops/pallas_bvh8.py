@@ -604,9 +604,9 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     sgn = [jnp.sum(d_x) < 0, jnp.sum(d_y) < 0, jnp.sum(d_z) < 0]
 
     t_out[...] = tmax_ref[...]
-    k_out[...] = jnp.full((BLOCK_ROWS, LANES), -1.0, jnp.float32)
-    b1_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
-    b2_out[...] = jnp.zeros((BLOCK_ROWS, LANES), jnp.float32)
+    k_out[...] = jnp.full(o_x.shape, -1.0, jnp.float32)
+    b1_out[...] = jnp.zeros(o_x.shape, jnp.float32)
+    b2_out[...] = jnp.zeros(o_x.shape, jnp.float32)
 
     def tri_test(idx):
         """One MT test at page-local slot idx. Returns (t, tid, b1, b2,
@@ -781,11 +781,12 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
+                                              "rows"))
 def _run8(nodes_f_flat, nodes_q_flat, tris_flat, ox, oy, oz, dx, dy, dz,
-          tmax, any_hit, interpret=False):
-    nb = ox.shape[0] // BLOCK_ROWS
-    ray_spec = pl.BlockSpec((BLOCK_ROWS, LANES),
+          tmax, any_hit, interpret=False, rows=BLOCK_ROWS):
+    nb = ox.shape[0] // rows
+    ray_spec = pl.BlockSpec((rows, LANES),
                             lambda i, nf, nq, tf: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1006,11 +1007,17 @@ def forest_intersect(f: BVH8Forest, o, d, t_max, any_hit=False,
                 b0=1.0 - b1 - b2, b1=b1, b2=b2)
 
 
-def bvh8_intersect(b8: BVH8, o, d, t_max, any_hit=False, interpret=False):
+def bvh8_intersect(b8: BVH8, o, d, t_max, any_hit=False, interpret=False,
+                   rows=BLOCK_ROWS):
     """Packet-BVH8 closest/any hit. o, d: (N, 3); t_max: (N,) or scalar.
-    Returns dict(hit, t, prim (ORIGINAL id), b0, b1, b2)."""
+    Returns dict(hit, t, prim (ORIGINAL id), b0, b1, b2).
+
+    rows: lanes-per-block is rows*128 — bigger blocks amortize the
+    per-visit scalar dequant over more lanes but traverse a LARGER
+    union (tools/sim_union.py block-size table)."""
     N = o.shape[0]
-    n_pad = -(-N // BLOCK) * BLOCK
+    blk = rows * LANES
+    n_pad = -(-N // blk) * blk
 
     def prep(v, fill):
         v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
@@ -1023,7 +1030,7 @@ def bvh8_intersect(b8: BVH8, o, d, t_max, any_hit=False, interpret=False):
 
     t, kf, b1, b2 = _run8(b8.nodes_f, b8.nodes_q, b8.tris, ox, oy, oz,
                           dx, dy, dz, tm, bool(any_hit),
-                          interpret=bool(interpret))
+                          interpret=bool(interpret), rows=int(rows))
     t = t.reshape(-1)[:N]
     kf = kf.reshape(-1)[:N]
     b1 = b1.reshape(-1)[:N]

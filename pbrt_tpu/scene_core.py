@@ -1029,9 +1029,15 @@ class SceneBuilder:
 # Device intersection entry points
 
 def _ray_sort_keys(scene: Scene, o, d):
-    """u32 sort keys: direction octant (3 bits) + origin Morton (27 bits) —
-    packet-BVH blocks traverse the union of their rays' subtrees, so
-    coherent blocks are the speed lever (ops/pallas_bvh.py)."""
+    """u32 sort keys: origin Morton (27 bits) MAJOR + direction octant
+    (3 bits) minor — packet-BVH blocks traverse the union of their rays'
+    subtrees, so coherent blocks are the speed lever (ops/pallas_bvh.py).
+
+    Morton-major measured 1.64x fewer union node visits per 1024-lane
+    block than the octant-major key on meshfield bounce rays
+    (tools/sim_union.py: 345.6 vs 567.0 visits/block; octant-major packs
+    same-direction rays whose ORIGINS span the whole image, and origin
+    spread costs more union than direction spread)."""
     oct_ = ((d[:, 0] < 0).astype(jnp.uint32)
             + 2 * (d[:, 1] < 0).astype(jnp.uint32)
             + 4 * (d[:, 2] < 0).astype(jnp.uint32))
@@ -1048,7 +1054,7 @@ def _ray_sort_keys(scene: Scene, o, d):
 
     m = spread(qi[:, 0]) | (spread(qi[:, 1]) << jnp.uint32(1)) | \
         (spread(qi[:, 2]) << jnp.uint32(2))
-    return (oct_ << jnp.uint32(27)) | (m & jnp.uint32(0x07FFFFFF))
+    return ((m & jnp.uint32(0x07FFFFFF)) << jnp.uint32(3)) | oct_
 
 
 def _pallas_bvh_query(scene: Scene, o, d, t_max, any_hit):

@@ -93,3 +93,59 @@ def test_ineligible_scenes():
     s_ind = smp.make_sampler("independent", spp=4)
     assert not megawave.eligible(scene_c, s_ind,
                                  path_mod.PathOptions(megakernel=True))
+
+
+def test_full_pipeline_matches_render_wave():
+    """v2 (in-kernel camera dims + gaussian filter + pinhole ray gen,
+    megawave.trace_full) must reproduce the XLA front-end + v1 kernel
+    combination lane-for-lane: same ZSobol draws, same Giles erf-inv,
+    same camera math."""
+    from pbrt_tpu import filters as flt
+
+    W = H = 16
+    spp = 4
+    scene, cam = scenes.make_cornell_box(width=W, height=H)
+    sampler = smp.make_sampler("zsobol", spp=spp, full_resolution=(W, H))
+    filt = flt.make_filter("gaussian")
+    N = W * H
+    pix = jnp.arange(N, dtype=jnp.int32)
+    si = jnp.full((N,), 2, jnp.int32)
+    opts = path_mod.PathOptions(max_depth=4, megakernel=False)
+    assert megawave.eligible_full(scene, sampler, cam, filt, opts)
+
+    L_ref, swl_ref, fw_ref = path_mod.render_wave(
+        scene, cam, sampler, filt, pix, si, opts)
+
+    px = pix % W
+    py = pix // W
+    u_lam = smp.sample_1d(sampler, px, py, si, 5)
+    swl = spc.sample_visible_wavelengths(u_lam)
+    np.testing.assert_array_equal(np.asarray(swl.lam),
+                                  np.asarray(swl_ref.lam))
+    L2, fw2 = megawave.trace_full(scene, sampler, cam, filt, px, py, si,
+                                  swl.lam, max_depth=4, rr_start=1,
+                                  interpret=True)
+    rel = np.abs(np.asarray(L_ref) - np.asarray(L2)) / \
+        np.maximum(np.abs(np.asarray(L_ref)), 1e-3)
+    assert rel.max() < 1e-4, rel.max()
+    fw_rel = np.abs(np.asarray(fw_ref) - np.asarray(fw2)) / \
+        np.maximum(np.abs(np.asarray(fw_ref)), 1e-3)
+    assert fw_rel.max() < 1e-4, fw_rel.max()
+
+
+def test_full_pipeline_eligibility():
+    from pbrt_tpu import filters as flt
+    scene, cam = scenes.make_cornell_box(width=8, height=8)
+    sampler = smp.make_sampler("zsobol", spp=4, full_resolution=(8, 8))
+    opts = path_mod.PathOptions(megakernel=True)
+    assert megawave.eligible_full(scene, sampler, cam,
+                                  flt.make_filter("gaussian"), opts)
+    # non-gaussian filter, lens camera: ineligible
+    assert not megawave.eligible_full(scene, sampler, cam,
+                                      flt.make_filter("box"), opts)
+    cam_dof = cam_mod.make_camera(
+        "perspective", camera_from_world=cam_mod.tfm.look_at(
+            (278, 273, -800), (278, 273, 0), (0, 1, 0)).inverse(),
+        width=8, height=8, fov=38.5, lens_radius=0.1, focal_distance=500.0)
+    assert not megawave.eligible_full(scene, sampler, cam_dof,
+                                      flt.make_filter("gaussian"), opts)

@@ -174,6 +174,8 @@ def main():
     wlo = np.asarray(scene.world_lo)
     whi = np.asarray(scene.world_hi)
     N = args.blocks * 1024
+    rng = np.random.default_rng(7)
+    tri_ids = rng.integers(0, len(tri), N)      # same seed/draws as gen_rays
     o, d = gen_rays(scene, tri, args.rays, N)
     print(f"rays={args.rays} N={N} nodes={k.n_nodes} "
           f"tris={k.n_tris}", flush=True)
@@ -181,9 +183,26 @@ def main():
     mean_per_ray = visits.sum(axis=1).mean()
     print(f"mean visits/ray (independent traversal): {mean_per_ray:.1f}",
           flush=True)
+    # BVH-slot ordering: sort by the origin triangle's position in the
+    # tree's DFS primitive order — the wavefront KNOWS the previous hit
+    # prim, so this is implementable (vs morton, which only proxies it)
+    inv_perm = np.empty(k.n_tris, np.int64)
+    inv_perm[np.asarray(k.prim_indices)] = np.arange(k.n_tris)
+    slot_order = np.argsort(inv_perm[tri_ids], kind="stable")
+
     for kind in ("none", "octant_morton", "morton_octant", "morton",
-                 "dir_morton"):
-        idx = order_keys(kind, o, d, wlo, whi)
+                 "dir_morton", "bvh_slot", "bvh_slot_octant"):
+        if kind == "bvh_slot":
+            idx = slot_order
+        elif kind == "bvh_slot_octant":
+            octant = ((d[:, 0] < 0).astype(np.uint64)
+                      | ((d[:, 1] < 0).astype(np.uint64) << np.uint64(1))
+                      | ((d[:, 2] < 0).astype(np.uint64) << np.uint64(2)))
+            key = (inv_perm[tri_ids].astype(np.uint64) << np.uint64(3)) \
+                | octant
+            idx = np.argsort(key, kind="stable")
+        else:
+            idx = order_keys(kind, o, d, wlo, whi)
         v = visits[idx]
         unions = [v[b * 1024:(b + 1) * 1024].any(axis=0).sum()
                   for b in range(args.blocks)]
