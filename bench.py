@@ -76,6 +76,34 @@ def main():
     except Exception as e:
         extras["bench1080_error"] = str(e)[:200]
 
+    # --- compaction A/B on meshfield (VERDICT r4 #7: commit the numbers
+    # behind the auto heuristic — ON is the measured win for BVH8 scenes,
+    # forced-ON on brute-force scenes is a 5.4x cliff pinned by
+    # tests/test_compaction_auto.py) ------------------------------------
+    try:
+        for label, comp in (("on", True), ("off", False)):
+            oc = PathOptions(max_depth=4, compaction=comp)
+            rdr.render(desc.scene, desc.camera, sampler=msampler, opts=oc,
+                       max_waves=32)
+            _i, cst = rdr.render(desc.scene, desc.camera, spp=32,
+                                 sampler=msampler, opts=oc)
+            extras[f"compaction_{label}_paths_per_sec"] = round(
+                cst["paths_per_sec"])
+    except Exception as e:
+        extras["compaction_ab_error"] = str(e)[:200]
+
+    # --- per-stage ms table (VERDICT r4 #10: the data lived only in
+    # ROUND4.md; emit it with every bench run) ---------------------------
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import profile_stages as pstages
+        rows, info = pstages.collect("cornell", n=160 * 1024, depth=5,
+                                     reps=3)
+        extras["stage_ms_cornell_160k"] = {k: round(v, 2) for k, v in rows}
+    except Exception as e:
+        extras["stage_ms_error"] = str(e)[:200]
+
     # --- Mrays/s (closest + shadow) on the meshfield BVH ------------------
     try:
         import jax, numpy as _np, time as _t

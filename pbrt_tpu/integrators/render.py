@@ -203,17 +203,13 @@ def render(scene: sc.Scene, camera: cam_mod.Camera, spp=16,
     m = 1
     mod0 = wave_module(scene, integrator)
     if chunk == n_pix and not hasattr(mod0, "render_wave_film"):
-        # measured on the v5e: FUSED waves above ~256k lanes stop helping
-        # and start costing (VMEM pressure); meshfield 40k-lane sweep
-        # peaked at m=4 (160k lanes), cornell 160k-lane waves peaked at
-        # m=1. Megakernel-routed scenes keep per-lane state in-kernel
-        # (~100 B/lane), so bigger waves only amortize the XLA front-end
-        # and film — allow up to 1M lanes there.
-        lane_cap = 1 << 18
-        if opts is not None and path_mod._use_megawave(
-                scene, sampler, opts):
-            lane_cap = 1 << 20
-        cap = max(1, min(max_rays_per_wave, lane_cap) // n_pix)
+        # measured on the v5e: waves above ~256k lanes stop helping and
+        # start costing (VMEM pressure); meshfield 40k-lane sweep peaked
+        # at m=4 (160k lanes), cornell 160k-lane waves peaked at m=1 —
+        # re-measured after megakernel v2 (tools/exp_r5g.py: 36.8 / 35.7 /
+        # 32.8 Mpaths/s at m=1/2/4), so the 256k cap stays for the
+        # megakernel path too
+        cap = max(1, min(max_rays_per_wave, 1 << 18) // n_pix)
         while m * 2 <= cap and (n_waves - s) % (m * 2) == 0:
             m *= 2
     tiled_pix = np.tile(all_pix, m) if m > 1 else None

@@ -1081,12 +1081,16 @@ def _pallas_bvh8_query(scene: Scene, o, d, t_max, any_hit,
     from .ops import pallas_bvh8 as b8_mod
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32),
                                (o.shape[0],))
+    # rows=16: 2048-lane blocks measured ~15% faster per query than 1024
+    # on sorted bounce rays (tools/exp_r5f.py: 21.3 vs 25.0 ms closest,
+    # 19.5 vs 23.6 any-hit at 160k rays) — the per-visit scalar dequant
+    # amortizes over more lanes faster than the union grows
     if presorted:
         return b8_mod.bvh8_intersect(scene.bvh8, o, d, t_max_b,
-                                     any_hit=any_hit)
+                                     any_hit=any_hit, rows=16)
     order = jnp.argsort(_ray_sort_keys(scene, o, d))
     r = b8_mod.bvh8_intersect(scene.bvh8, o[order], d[order],
-                              t_max_b[order], any_hit=any_hit)
+                              t_max_b[order], any_hit=any_hit, rows=16)
     inv = jnp.argsort(order)
     return {k: v[inv] for k, v in r.items()}
 

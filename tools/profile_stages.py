@@ -32,12 +32,11 @@ def timeit(fn, *args, reps=5):
     return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="cornell")
-    ap.add_argument("--n", type=int, default=400 * 400)
-    ap.add_argument("--depth", type=int, default=5)
-    args = ap.parse_args()
+def collect(scene_name="cornell", n=400 * 400, depth=5, reps=5):
+    """Per-stage ms rows [(name, ms), ...] — reused by bench.py extras
+    (VERDICT r4 #10: emit the per-stage table into BENCH extras)."""
+    import types
+    args = types.SimpleNamespace(scene=scene_name, n=n, depth=depth)
 
     from pbrt_tpu import scenes, scene_core as sc, samplers as smp
     from pbrt_tpu import bxdfs, materials as mtl, lights as lgt
@@ -83,7 +82,7 @@ def main():
     rows = []
 
     def stage(name, fn, *a, **kw):
-        ms = timeit(jax.jit(fn), *a, **kw)
+        ms = timeit(jax.jit(fn), *a, reps=reps, **kw)
         rows.append((name, ms))
         return ms
 
@@ -140,6 +139,24 @@ def main():
                                           opts)
         return L
     ms_wave = stage(f"FULL_WAVE depth={args.depth}", full_wave, pix, sidx)
+    return rows, dict(N=N, scene=args.scene, wave_ms=ms_wave)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--n", type=int, default=400 * 400)
+    ap.add_argument("--depth", type=int, default=5)
+    args = ap.parse_args()
+    import jax
+    from pbrt_tpu import scenes
+    rows, info = collect(args.scene, args.n, args.depth)
+    N, ms_wave = info["N"], info["wave_ms"]
+    if args.scene == "cornell":
+        scene, _cam = scenes.make_cornell_box(width=400, height=400)
+    else:
+        from pbrt_tpu.scene import parser as pparser
+        scene = pparser.parse_file("scenes/meshfield.pbrt").scene
 
     print(f"\ndevice={jax.devices()[0].device_kind}  scene={args.scene}  "
           f"N={N}  use_bvh={scene.use_bvh}  T={scene.tri_geo.shape[0]}")
