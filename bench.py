@@ -28,6 +28,16 @@ def main():
     from pbrt_tpu.integrators import render as rdr
     from pbrt_tpu.integrators.path import PathOptions
 
+    t_start = time.time()
+
+    def budget_left(extras, label, limit_s=1500):
+        """Skip optional extras once the run gets long — the driver
+        records NOTHING if bench.py is killed before the JSON line."""
+        if time.time() - t_start > limit_s:
+            extras[f"{label}_skipped"] = "bench time budget"
+            return False
+        return True
+
     width = height = 400
     spp = 64
     scene, cam = scenes.make_cornell_box(width=width, height=height)
@@ -80,29 +90,32 @@ def main():
     # behind the auto heuristic — ON is the measured win for BVH8 scenes,
     # forced-ON on brute-force scenes is a 5.4x cliff pinned by
     # tests/test_compaction_auto.py) ------------------------------------
-    try:
-        for label, comp in (("on", True), ("off", False)):
-            oc = PathOptions(max_depth=4, compaction=comp)
-            rdr.render(desc.scene, desc.camera, sampler=msampler, opts=oc,
-                       max_waves=32)
-            _i, cst = rdr.render(desc.scene, desc.camera, spp=32,
-                                 sampler=msampler, opts=oc)
-            extras[f"compaction_{label}_paths_per_sec"] = round(
-                cst["paths_per_sec"])
-    except Exception as e:
-        extras["compaction_ab_error"] = str(e)[:200]
+    if budget_left(extras, "compaction_ab"):
+        try:
+            for label, comp in (("on", True), ("off", False)):
+                oc = PathOptions(max_depth=4, compaction=comp)
+                rdr.render(desc.scene, desc.camera, sampler=msampler,
+                           opts=oc, max_waves=32)
+                _i, cst = rdr.render(desc.scene, desc.camera, spp=32,
+                                     sampler=msampler, opts=oc)
+                extras[f"compaction_{label}_paths_per_sec"] = round(
+                    cst["paths_per_sec"])
+        except Exception as e:
+            extras["compaction_ab_error"] = str(e)[:200]
 
     # --- per-stage ms table (VERDICT r4 #10: the data lived only in
     # ROUND4.md; emit it with every bench run) ---------------------------
-    try:
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tools"))
-        import profile_stages as pstages
-        rows, info = pstages.collect("cornell", n=160 * 1024, depth=5,
-                                     reps=3)
-        extras["stage_ms_cornell_160k"] = {k: round(v, 2) for k, v in rows}
-    except Exception as e:
-        extras["stage_ms_error"] = str(e)[:200]
+    if budget_left(extras, "stage_ms"):
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import profile_stages as pstages
+            rows, info = pstages.collect("cornell", n=160 * 1024, depth=5,
+                                         reps=3)
+            extras["stage_ms_cornell_160k"] = {k: round(v, 2)
+                                               for k, v in rows}
+        except Exception as e:
+            extras["stage_ms_error"] = str(e)[:200]
 
     # --- Mrays/s (closest + shadow) on the meshfield BVH ------------------
     try:

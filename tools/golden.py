@@ -72,6 +72,11 @@ CONFIGS = [
     # whose AOV/GBuffer pass is sanity-gated below
     ("manylight16k", "manylight16k_200_32spp.exr", 32, 3, 0.08, 0.03),
     ("portalbox", "portalbox_200_64spp.exr", 64, 5, 0.10, 0.04),
+    # killeroo-class scale point (BASELINE config 2): 163,840 PLY
+    # triangles — above the single-SMEM-page BVH8 limit, so the TPU path
+    # runs the CHUNKED multi-launch traversal; trimmed MRSE for the
+    # conductor/dielectric fireflies (same rationale as plytex)
+    ("killeroo", "killeroo_200_32spp.exr", 32, 5, 0.06, 0.03, 0.002),
 ]
 
 
@@ -124,6 +129,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="write rendered images to this dir")
+    ap.add_argument("--scene", default=None,
+                    help="only run this scene (comma-separated names)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS and hangs when the tunnel "
@@ -136,8 +143,11 @@ def main():
     from pbrt_tpu.utils import image as pimg
     import numpy as np
     failed = False
+    only = set(args.scene.split(",")) if args.scene else None
     for cfg in CONFIGS:
         name, golden, spp, max_depth, gate_mrse, gate_mean = cfg[:6]
+        if only is not None and name not in only:
+            continue
         trim = cfg[6] if len(cfg) > 6 else 0.0
         gpath = ROOT / "goldens" / golden
         if not gpath.exists():
