@@ -411,9 +411,8 @@ def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
             tri_pages.append(
                 pack_tris_flat(tg[start[s]:start[s] + count[s]]))
             starts.append(int(start[s]))
-        worst = max(n.shape[0] for n in nf_pages) + \
-            max(n.shape[0] for n in nq_pages) + \
-            max(t.shape[0] for t in tri_pages)
+        worst = sum(-(-max(p.shape[0] for p in pages_) // LANES) * LANES
+                    for pages_ in (nf_pages, nq_pages, tri_pages))
         if worst * 4 <= budget:
             break
         part_budget = int(part_budget * 0.7)
@@ -422,9 +421,11 @@ def build_bvh8_chunked(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
             f"chunk pages ({worst * 4}B) exceed SMEM budget {budget}B "
             "after 8 re-partitions")
     K = len(nf_pages)
-    NFL = max(p.shape[0] for p in nf_pages)
-    NQL = max(p.shape[0] for p in nq_pages)
-    TL = max(p.shape[0] for p in tri_pages)
+    # page dims rounded up to LANES multiples: the binned kernel views
+    # each page array as (K, rows, LANES) for HBM->SMEM DMA
+    NFL = -(-max(p.shape[0] for p in nf_pages) // LANES) * LANES
+    NQL = -(-max(p.shape[0] for p in nq_pages) // LANES) * LANES
+    TL = -(-max(p.shape[0] for p in tri_pages) // LANES) * LANES
     nodes_f = np.zeros((K, NFL), np.float32)
     nodes_q = np.zeros((K, NQL), np.int32)
     tris = np.zeros((K, TL), np.float32)
@@ -587,11 +588,17 @@ def build_bvh8_forest(prim_lo, prim_hi, tri_geo, max_leaf: int = 8,
 # Kernel
 
 
-def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
-                 tmax_ref, t_out, k_out, b1_out, b2_out, stack_ref, *,
-                 any_hit):
-    o_x, o_y, o_z = ox[...], oy[...], oz[...]
-    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+def _traverse_page(nf, nq, tr, o_x, o_y, o_z, d_x, d_y, d_z,
+                   t_ref, k_ref, b1_ref, b2_ref, stack_ref, *,
+                   any_hit, extra_hit_ref=None):
+    """Shared one-page BVH8 traversal body. `nf`/`nq`/`tr` are scalar
+    READER functions (flat index -> scalar) so the same code runs against
+    scalar-prefetch SMEM refs (single/chunked launches) and DMA'd SMEM
+    scratch pages (binned launch). `t_ref` must already hold the per-lane
+    t bound, `k_ref` the page-LOCAL prim carry (-1 = none), b1/b2 the
+    barycentric carries. `extra_hit_ref`: optional second hit carry (the
+    binned kernel's cross-page global prim slot) consulted for any_hit
+    liveness."""
     inv_dx = 1.0 / jnp.where(d_x == 0.0, 1e-20, d_x)
     inv_dy = 1.0 / jnp.where(d_y == 0.0, 1e-20, d_y)
     inv_dz = 1.0 / jnp.where(d_z == 0.0, 1e-20, d_z)
@@ -603,20 +610,19 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
     # boxes that surface-origin rays start inside.
     sgn = [jnp.sum(d_x) < 0, jnp.sum(d_y) < 0, jnp.sum(d_z) < 0]
 
-    t_out[...] = tmax_ref[...]
-    k_out[...] = jnp.full(o_x.shape, -1.0, jnp.float32)
-    b1_out[...] = jnp.zeros(o_x.shape, jnp.float32)
-    b2_out[...] = jnp.zeros(o_x.shape, jnp.float32)
+    def live_mask():
+        live = k_ref[...] < 0.0
+        if extra_hit_ref is not None:
+            live = live & (extra_hit_ref[...] < 0.0)
+        return live
 
     def tri_test(idx):
         """One MT test at page-local slot idx. Returns (t, tid, b1, b2,
         valid) — valid excludes the t_best comparison (done at merge)."""
         base = idx * 9
-        p0x, p0y, p0z = tris_ref[base], tris_ref[base + 1], tris_ref[base + 2]
-        e1x, e1y, e1z = tris_ref[base + 3], tris_ref[base + 4], \
-            tris_ref[base + 5]
-        e2x, e2y, e2z = tris_ref[base + 6], tris_ref[base + 7], \
-            tris_ref[base + 8]
+        p0x, p0y, p0z = tr(base), tr(base + 1), tr(base + 2)
+        e1x, e1y, e1z = tr(base + 3), tr(base + 4), tr(base + 5)
+        e2x, e2y, e2z = tr(base + 6), tr(base + 7), tr(base + 8)
         tid = idx.astype(jnp.float32)            # page-local sorted slot
         pvx = d_y * e2z - d_z * e2y
         pvy = d_z * e2x - d_x * e2z
@@ -670,26 +676,26 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
         sp = sp - 1
         cur = stack_ref[sp]
         base_f = 8 + cur * NF_F
-        onx = nodes_f_ref[base_f]
-        ony = nodes_f_ref[base_f + 1]
-        onz = nodes_f_ref[base_f + 2]
-        sx = nodes_f_ref[base_f + 3]
-        sy = nodes_f_ref[base_f + 4]
-        sz = nodes_f_ref[base_f + 5]
-        axis = jnp.round(nodes_f_ref[base_f + 6]).astype(jnp.int32)
+        onx = nf(base_f)
+        ony = nf(base_f + 1)
+        onz = nf(base_f + 2)
+        sx = nf(base_f + 3)
+        sy = nf(base_f + 4)
+        sz = nf(base_f + 5)
+        axis = jnp.round(nf(base_f + 6)).astype(jnp.int32)
         neg = jnp.where(axis == 0, sgn[0],
                         jnp.where(axis == 1, sgn[1], sgn[2]))
-        t_best = t_out[...]
+        t_best = t_ref[...]
         if any_hit:
-            live = k_out[...] < 0.0
+            live = live_mask()
         # test all 8 child slabs; reductions are independent -> pipelined
         base_q = cur * NQ_I
         infos = []
         for c in range(WIDTH):
             qb = base_q + c * 3
-            w0 = nodes_q_ref[qb]
-            w1 = nodes_q_ref[qb + 1]
-            first = nodes_q_ref[qb + 2]
+            w0 = nq(qb)
+            w1 = nq(qb + 1)
+            first = nq(qb + 2)
             cnt = jnp.bitwise_and(jnp.right_shift(w0, 24), 255)
             lox = onx + jnp.bitwise_and(w0, 255).astype(jnp.float32) * sx
             loy = ony + jnp.bitwise_and(jnp.right_shift(w0, 8),
@@ -724,14 +730,14 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
 
             @pl.when(any_c & (cnt > 0) & (cnt < CNT_EMPTY))
             def _(first=first, cnt=cnt):
-                carry = (t_out[...], k_out[...], b1_out[...], b2_out[...])
+                carry = (t_ref[...], k_ref[...], b1_ref[...], b2_ref[...])
                 t_b, pr, b1, b2 = jax.lax.fori_loop(
                     0, (cnt + 1) // 2, make_tri_pair_body(first, cnt),
                     carry)
-                t_out[...] = t_b
-                k_out[...] = pr
-                b1_out[...] = b1
-                b2_out[...] = b2
+                t_ref[...] = t_b
+                k_ref[...] = pr
+                b1_ref[...] = b1
+                b2_ref[...] = b2
 
         # interior pushes, far-to-near by block-majority sign: children are
         # sorted ascending along `axis`, so positive-direction blocks pop
@@ -755,30 +761,47 @@ def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
             sp = jnp.where(do, sp + 1, sp)
 
         if any_hit:
-            sp = jnp.where(jnp.any(k_out[...] < 0.0), sp, 0)
+            sp = jnp.where(jnp.any(live_mask()), sp, 0)
         return sp
 
     # whole-block root pre-test: in the chunked multi-launch scan most
     # (chunk, block) pairs are dead — one slab test against the root's
     # union box (stored in node 0's pad floats) skips the traversal
-    rtx0 = (nodes_f_ref[0] - o_x) * inv_dx
-    rtx1 = (nodes_f_ref[3] - o_x) * inv_dx
-    rty0 = (nodes_f_ref[1] - o_y) * inv_dy
-    rty1 = (nodes_f_ref[4] - o_y) * inv_dy
-    rtz0 = (nodes_f_ref[2] - o_z) * inv_dz
-    rtz1 = (nodes_f_ref[5] - o_z) * inv_dz
+    rtx0 = (nf(0) - o_x) * inv_dx
+    rtx1 = (nf(3) - o_x) * inv_dx
+    rty0 = (nf(1) - o_y) * inv_dy
+    rty1 = (nf(4) - o_y) * inv_dy
+    rtz0 = (nf(2) - o_z) * inv_dz
+    rtz1 = (nf(5) - o_z) * inv_dz
     rmin = jnp.maximum(jnp.maximum(jnp.minimum(rtx0, rtx1),
                                    jnp.minimum(rty0, rty1)),
                        jnp.maximum(jnp.minimum(rtz0, rtz1), 0.0))
     rmax = jnp.minimum(jnp.minimum(jnp.maximum(rtx0, rtx1),
                                    jnp.maximum(rty0, rty1)),
                        jnp.minimum(jnp.maximum(rtz0, rtz1),
-                                   tmax_ref[...]))
+                                   t_ref[...]))
+    go = jnp.any(rmin <= rmax * 1.0000004)
+    if any_hit and extra_hit_ref is not None:
+        go = go & jnp.any(live_mask())
 
-    @pl.when(jnp.any(rmin <= rmax * 1.0000004))
+    @pl.when(go)
     def _():
         stack_ref[0] = 0
         jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
+
+
+def _bvh8_kernel(nodes_f_ref, nodes_q_ref, tris_ref, ox, oy, oz, dx, dy, dz,
+                 tmax_ref, t_out, k_out, b1_out, b2_out, stack_ref, *,
+                 any_hit):
+    t_out[...] = tmax_ref[...]
+    k_out[...] = jnp.full(ox.shape, -1.0, jnp.float32)
+    b1_out[...] = jnp.zeros(ox.shape, jnp.float32)
+    b2_out[...] = jnp.zeros(ox.shape, jnp.float32)
+    _traverse_page(lambda i: nodes_f_ref[i], lambda i: nodes_q_ref[i],
+                   lambda i: tris_ref[i],
+                   ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+                   t_out, k_out, b1_out, b2_out, stack_ref,
+                   any_hit=any_hit)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret",
@@ -1003,6 +1026,203 @@ def forest_intersect(f: BVH8Forest, o, d, t_max, any_hit=False,
     b2 = b2.reshape(-1)[:N]
     prim = jnp.round(kf).astype(jnp.int32)
     hit = prim >= 0
+    return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
+                b0=1.0 - b1 - b2, b1=b1, b2=b2)
+
+
+# ---------------------------------------------------------------------------
+# Binned page traversal (round 5): the scalable big-mesh path. Instead of
+# re-launching the all-SMEM kernel once per chunk against EVERY ray block
+# (chunked_intersect: O(K * B) root tests + K full launches), an XLA
+# pre-pass slab-tests every ray against every chunk ROOT box, reduces to a
+# per-block (hit, min-entry-t) table, and builds a per-block shortlist of
+# the P nearest hit pages. ONE Pallas launch with grid (B, P) then DMAs
+# exactly the pages each block needs from HBM into SMEM scratch
+# (scalar-prefetched schedule -> grid-driven DMA, which sidesteps the
+# round-4 Mosaic conditional-DMA hang on vector predicates), traverses,
+# and accumulates the best hit in the VMEM-resident output block across
+# the P same-block grid steps. Blocks needing more than P pages are
+# served by an outer lax.while_loop round that re-prunes the remaining
+# pages against the tightened per-block t bound — so correctness never
+# depends on P. Plays the role of OptiX's device-memory GAS at arbitrary
+# scale (gpu/optix/aggregate.cpp:343, :1429); traversal semantics match
+# cpu/aggregates.cpp:529-579.
+
+
+def _binned_kernel(sched_ref, vmask_ref, start_ref, nf_ref, nq_ref,
+                   tr_ref, ox, oy, oz, dx, dy, dz, t_in, k_in, b1_in,
+                   b2_in, t_out, k_out, b1_out, b2_out, k_loc, stack_ref,
+                   *, P, any_hit):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    valid = vmask_ref[b * P + p] > 0
+    k = sched_ref[b * P + p]
+
+    @pl.when(p == 0)
+    def _():
+        t_out[...] = t_in[...]
+        k_out[...] = k_in[...]
+        b1_out[...] = b1_in[...]
+        b2_out[...] = b2_in[...]
+
+    @pl.when(valid)
+    def _():
+        k_loc[...] = jnp.full(k_loc.shape, -1.0, jnp.float32)
+        _traverse_page(
+            lambda i: nf_ref[0, i >> 7, i & 127],
+            lambda i: nq_ref[0, i >> 7, i & 127],
+            lambda i: tr_ref[0, i >> 7, i & 127],
+            ox[...], oy[...], oz[...], dx[...], dy[...], dz[...],
+            t_out, k_loc, b1_out, b2_out, stack_ref,
+            any_hit=any_hit, extra_hit_ref=k_out)
+        kl = k_loc[...]
+        k_out[...] = jnp.where(
+            kl >= 0.0, kl + start_ref[k].astype(jnp.float32), k_out[...])
+
+
+@functools.partial(jax.jit, static_argnames=("P", "any_hit", "interpret",
+                                              "rows"))
+def _run_binned(sched, vmask, start, nf3, nq3, tr3, ox, oy, oz, dx, dy,
+                dz, t, kf, b1, b2, P, any_hit, interpret=False,
+                rows=BLOCK_ROWS):
+    nb = ox.shape[0] // rows
+    ray_spec = pl.BlockSpec((rows, LANES), lambda b, p, s, v, st: (b, 0))
+
+    def page_spec(r, ms=pltpu.SMEM):
+        # pages are DMA'd HBM->SMEM by the Pallas pipeline itself, driven
+        # by the scalar-prefetched schedule (double-buffered; identical
+        # consecutive indices skip the copy). Manual make_async_copy of a
+        # dim-0 slice of a 3-D HBM memref hangs on v5e (tools/exp_dma_var*)
+        # — this BlockSpec form is the one that works.
+        return pl.BlockSpec((1, r, LANES),
+                            lambda b, p, s, v, st: (s[b * P + p], 0, 0),
+                            memory_space=ms)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb, P),
+        in_specs=[page_spec(nf3.shape[1]), page_spec(nq3.shape[1]),
+                  page_spec(tr3.shape[1])] + [ray_spec] * 10,
+        out_specs=[ray_spec] * 4,
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.float32),
+                        pltpu.SMEM((STACK,), jnp.int32)])
+    kern = functools.partial(_binned_kernel, P=P, any_hit=any_hit)
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(ox.shape, jnp.float32)] * 4,
+        interpret=interpret)(sched, vmask, start, nf3, nq3, tr3,
+                             ox, oy, oz, dx, dy, dz, t, kf, b1, b2)
+
+
+def _page_entries(c: BVH8Chunked, o3, d3, tm, B, blk, group=16):
+    """Per-(block, chunk) min entry distance: every ray slab-tested
+    against every chunk root box (header floats 0..5 of each nodes_f
+    page), reduced per ray block. Grouped lax.map bounds the fused
+    intermediate to (N, group)."""
+    K = c.n_chunks
+    roots = c.nodes_f[:, :6]
+    G = min(group, K)
+    Kp = -(-K // G) * G
+    lo = jnp.concatenate(
+        [roots[:, 0:3], jnp.full((Kp - K, 3), BIG, jnp.float32)])
+    hi = jnp.concatenate(
+        [roots[:, 3:6], jnp.full((Kp - K, 3), -BIG, jnp.float32)])
+    inv = 1.0 / jnp.where(d3 == 0.0, 1e-20, d3)
+
+    def grp(args):
+        lg, hg = args
+        t0 = (lg[None] - o3[:, None]) * inv[:, None]
+        t1 = (hg[None] - o3[:, None]) * inv[:, None]
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1),
+                         tm[:, None])
+        entg = jnp.where(tn <= tf * 1.0000004, tn, BIG)
+        return entg.reshape(B, blk, G).min(axis=1)
+
+    ent = jax.lax.map(grp, (lo.reshape(-1, G, 3), hi.reshape(-1, G, 3)))
+    return jnp.moveaxis(ent, 0, 1).reshape(B, Kp)[:, :K]
+
+
+def binned_intersect(c: BVH8Chunked, o, d, t_max, any_hit=False,
+                     interpret=False, pages_per_round: int = 16,
+                     rows: int = BLOCK_ROWS):
+    """Closest/any hit via per-block page shortlists (see banner above).
+    Bit-identical results to chunked_intersect (same page traversal,
+    same merge order guarantees: pages are served nearest-first and a
+    later page only wins with strictly smaller t). Same returns."""
+    N = o.shape[0]
+    blk = rows * LANES
+    n_pad = -(-N // blk) * blk
+    B = n_pad // blk
+    K = c.n_chunks
+    P = min(pages_per_round, K)
+
+    def prep(v, fill):
+        v = jnp.concatenate([v, jnp.full((n_pad - N,), fill, v.dtype)]) \
+            if n_pad != N else v
+        return v.reshape(n_pad // LANES, LANES)
+
+    ox, oy, oz = (prep(o[:, i], 1e9) for i in range(3))
+    dx, dy, dz = (prep(d[:, i], 1.0) for i in range(3))
+    tmf = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    tm = prep(tmf, -1.0)
+    o3 = jnp.concatenate([v.reshape(-1, 1) for v in
+                          (ox.reshape(-1), oy.reshape(-1),
+                           oz.reshape(-1))], 1)
+    d3 = jnp.concatenate([v.reshape(-1, 1) for v in
+                          (dx.reshape(-1), dy.reshape(-1),
+                           dz.reshape(-1))], 1)
+    nf3 = c.nodes_f.reshape(K, -1, LANES)
+    nq3 = c.nodes_q.reshape(K, -1, LANES)
+    tr3 = c.tris.reshape(K, -1, LANES)
+    rowsB = jnp.arange(B)[:, None]
+
+    def live_ent(t, kf, served):
+        """Per-(block, page) min entry distance among lanes whose CURRENT
+        per-lane t bound the page root still beats — recomputed each round
+        so the pruning is per-lane exact (a block-level min-entry vs max-t
+        test keeps ~every crossed page alive and re-traverses the world)."""
+        te = jnp.where(kf >= 0.0, -1.0, t) if any_hit else t
+        ent = _page_entries(c, o3, d3, te.reshape(-1), B, blk)
+        return jnp.where(served, BIG, ent)
+
+    def cond(s):
+        return jnp.any(s[5] < BIG)
+
+    def body(s):
+        t, kf, b1, b2, served, ent = s
+        idx = jnp.argsort(ent, axis=1)[:, :P]
+        entp = jnp.take_along_axis(ent, idx, 1)
+        # ent is served nearest-first, so `valid` is a PREFIX of each row;
+        # pad entries repeat the row's LAST valid page so the pipeline's
+        # consecutive-same-index copy elision makes them free
+        valid = entp < BIG
+        cnt = jnp.sum(valid.astype(jnp.int32), axis=1)
+        last = jnp.take_along_axis(
+            idx, jnp.maximum(cnt - 1, 0)[:, None], 1)
+        sched = jnp.where(valid, idx, last).astype(jnp.int32).reshape(-1)
+        vmask = valid.astype(jnp.int32).reshape(-1)
+        served = served.at[rowsB, idx].set(valid | served[rowsB, idx])
+        t, kf, b1, b2 = _run_binned(
+            sched, vmask, c.page_start, nf3, nq3, tr3, ox, oy, oz,
+            dx, dy, dz, t, kf, b1, b2, P, any_hit, interpret=interpret,
+            rows=rows)
+        return (t, kf, b1, b2, served, live_ent(t, kf, served))
+
+    kf0 = jnp.full_like(tm, -1.0)
+    served0 = jnp.zeros((B, K), jnp.bool_)
+    init = (tm, kf0, jnp.zeros_like(tm), jnp.zeros_like(tm), served0,
+            live_ent(tm, kf0, served0))
+    t, kf, b1, b2, _, _ = jax.lax.while_loop(cond, body, init)
+    t = t.reshape(-1)[:N]
+    kf = kf.reshape(-1)[:N]
+    b1 = b1.reshape(-1)[:N]
+    b2 = b2.reshape(-1)[:N]
+    slot = jnp.round(kf).astype(jnp.int32)
+    hit = slot >= 0
+    prim = jnp.where(
+        hit, c.prim_indices[jnp.clip(slot, 0, c.prim_indices.shape[0] - 1)],
+        -1)
     return dict(hit=hit, t=jnp.where(hit, t, jnp.inf), prim=prim,
                 b0=1.0 - b1 - b2, b1=b1, b2=b2)
 

@@ -40,6 +40,25 @@ def make_terrain(n=708):
 def gen_rays(V, kind, N, seed=5):
     import numpy as np
     rng = np.random.default_rng(seed)
+    if kind == "raster":
+        # honest production pattern: a pinhole camera raster (what the
+        # wave actually shoots — pixel-tile-coherent blocks), not the
+        # one-eye/random-target cone of "camera" below
+        w = int(np.sqrt(N))
+        eye = np.asarray([5.0, 7.0, -4.0], np.float32)
+        look = np.asarray([5.0, 0.0, 5.0], np.float32)
+        fwd = look - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, [0, 1, 0]).astype(np.float32)
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        ys, xs = np.meshgrid(np.arange(w), np.arange(w), indexing="ij")
+        u = (xs.reshape(-1)[:N] + 0.5) / w - 0.5
+        v = (ys.reshape(-1)[:N] + 0.5) / w - 0.5
+        d = fwd[None] + 1.2 * u[:, None] * right[None] \
+            + 1.2 * v[:, None] * up[None]
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return np.broadcast_to(eye, (N, 3)).copy(), d.astype(np.float32)
     if kind == "camera":
         eye = np.asarray([5.0, 6.0, -3.0], np.float32)
         tx = rng.uniform(0, 10, N)
@@ -78,7 +97,7 @@ def main():
     hi = np.maximum(np.maximum(p0, p1), p2)
     t0 = time.time()
     tri_geo = np.concatenate(
-        [p0, p1, p2, np.arange(len(F), np.float32)[:, None]], 1)
+        [p0, p1, p2, np.arange(len(F), dtype=np.float32)[:, None]], 1)
     kc = b8.build_bvh8_chunked(lo, hi, tri_geo)
     print(f"chunked build: {time.time()-t0:.1f}s, {kc.n_chunks} chunks",
           flush=True)
