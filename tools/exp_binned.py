@@ -94,7 +94,9 @@ def perf():
           f"page={(kc.nodes_f.shape[1]+kc.nodes_q.shape[1]+kc.tris.shape[1])*4/1024:.0f}KB",
           flush=True)
     N = 1 << 20
-    for kind in ("camera", "bounce"):
+    rows = int(os.environ.get("ROWS", "8"))
+    kinds = os.environ.get("KINDS", "raster,bounce").split(",")
+    for kind in kinds:
         o, d = gen_rays(V, kind, N)
         oj, dj = jnp.asarray(o), jnp.asarray(d)
         wl = jnp.asarray(lo.min(axis=0))
@@ -106,7 +108,7 @@ def perf():
         oj, dj = oj[order], dj[order]
         tm = jnp.full((N,), 1e30, jnp.float32)
         fn = jax.jit(lambda o, d, tm: b8.binned_intersect(
-            kc, o, d, tm, pages_per_round=ppr)["t"])
+            kc, o, d, tm, pages_per_round=ppr, rows=rows)["t"])
         out = fn(oj, dj, tm)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
